@@ -1,0 +1,736 @@
+"""Query catalog: every operator class from SURVEY.md §2, as (Spark, oracle) pairs.
+
+This is the engine's public query inventory and the driver's correctness
+gate (``__spark_entry__.py`` re-exports it). Each entry is one operator
+family from the reference, re-expressed over the driver-generated testdata
+tables (TESTDATA.md) so the DuckDB oracle can verify it hash-exactly:
+
+* the Spark callable ``(spark, sf_dir) -> DataFrame`` is the engine's
+  idiomatic plan;
+* ``oracle`` is equivalent ANSI SQL DuckDB runs on the same parquet.
+
+Cross-engine determinism rules applied throughout (so value-hash compare
+is exact):
+
+* double aggregates are ``round(x, 2)`` on BOTH sides (summation order
+  differs between engines);
+* collected lists are sorted then joined to one string;
+* every ranking/top-k has a total tiebreak;
+* DuckDB ``date_trunc('month', ts)`` yields DATE — oracle casts to
+  TIMESTAMP to match Spark;
+* ranks/counts cast to BIGINT on both sides.
+
+The flagship ``exports_report_events`` mirrors the reference pipeline's
+shape end-to-end (filter → max_by dedup → failure classify → global
+denominators → label CASE → sort; exports_results.sql:14-205) on the
+``events`` table, which TESTDATA.md designates as the exports_deals
+stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and floor-divide to micros. DuckDB
+    reads the same column as µs-truncated TIMESTAMP, so both engines see
+    identical values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # integer DIV, not float division — epoch-nanos exceed double's 2^53
+    # exact-integer range and would round the microsecond
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the exports pipeline's shape on the events stand-in
+# (P2/P3 filters, A2/A3 max_by dedup, F4 failure rules, W1-W3 global
+# denominators, F5 classifier, O1 sort — SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH base AS (
+    SELECT event_id, ts, user_id, event_type, value,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+),
+dedup AS (
+    SELECT user_id,
+           MAX(ts) AS time,
+           MAX_BY(event_type, ts) AS event_type,
+           MAX_BY(value, ts) AS value,
+           MAX_BY(k_value, ts) AS k_value
+    FROM base GROUP BY user_id
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN event_type = 'error' THEN true
+                WHEN k_value IS NULL OR value < 10 THEN true
+                ELSE false END AS failing
+    FROM dedup
+),
+passing AS (SELECT * FROM flagged WHERE failing = false),
+with_globals AS (
+    SELECT *,
+           COUNT(DISTINCT user_id) OVER () AS count_all_unique_user_id,
+           COUNT(DISTINCT user_id) OVER (PARTITION BY event_type) AS count_all_event_type,
+           SUM(value) OVER () AS sum_all_value_raw
+    FROM passing
+)
+SELECT user_id, time, event_type, value, k_value,
+       CAST(count_all_unique_user_id AS BIGINT) AS count_all_unique_user_id,
+       CAST(count_all_event_type AS BIGINT) AS count_all_event_type,
+       ROUND(sum_all_value_raw, 2) AS sum_all_value,
+       CASE WHEN k_value > 80 THEN 'Export Winner Deals'
+            WHEN k_value > 50 THEN 'Secondary Export Deals'
+            WHEN event_type = 'purchase' THEN 'Deals Not Exported'
+            WHEN k_value > 20 THEN 'Failed In Scope Deals'
+            WHEN k_value > 5 THEN 'Failed Out of Scope Deals'
+            WHEN value > 500 THEN 'Not Available Scenarios'
+            ELSE 'Unknown' END AS performance
+FROM with_globals
+ORDER BY user_id
+"""
+
+
+@_register("exports_report_events", _FLAGSHIP_ORACLE)
+def exports_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's 7-step shape on ``events``.
+
+    Same scale layout as operators/exports.py: predicate pushed to the
+    scan, ONE shuffle for the dedup hash-agg, global denominators via
+    tiny aggregate + broadcast join-back (never a one-partition window),
+    classifier inside codegen, range-partitioned final sort.
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-25").cast("timestamp"))
+    ).select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+    dedup = base.groupBy("user_id").agg(
+        F.max("ts").alias("time"),
+        F.max_by("event_type", "ts").alias("event_type"),
+        F.max_by("value", "ts").alias("value"),
+        # DuckDB MAX_BY skips NULL values — guard the ordering key
+        F.max_by("k_value", F.when(F.col("k_value").isNotNull(), F.col("ts"))).alias("k_value"),
+    )
+    passing = dedup.filter(
+        ~(
+            F.when(F.col("event_type") == "error", F.lit(True))
+            .when(F.col("k_value").isNull() | (F.col("value") < 10), F.lit(True))
+            .otherwise(F.lit(False))
+        )
+    )
+    totals = passing.agg(
+        F.countDistinct("user_id").alias("count_all_unique_user_id"),
+        F.round(F.sum("value"), 2).alias("sum_all_value"),
+    )
+    per_type = passing.groupBy(F.col("event_type").alias("_et")).agg(
+        F.countDistinct("user_id").alias("count_all_event_type")
+    )
+    k = F.col("k_value")
+    label = (
+        F.when(k > 80, "Export Winner Deals")
+        .when(k > 50, "Secondary Export Deals")
+        .when(F.col("event_type") == "purchase", "Deals Not Exported")
+        .when(k > 20, "Failed In Scope Deals")
+        .when(k > 5, "Failed Out of Scope Deals")
+        .when(F.col("value") > 500, "Not Available Scenarios")
+        .otherwise("Unknown")
+    )
+    return (
+        passing.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(per_type), F.col("event_type") == F.col("_et"), "left")
+        .drop("_et")
+        .withColumn("performance", label)
+        .select(
+            "user_id",
+            "time",
+            "event_type",
+            "value",
+            "k_value",
+            "count_all_unique_user_id",
+            "count_all_event_type",
+            "sum_all_value",
+            "performance",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "filter_project_window",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      AND event_type <> 'error' AND value IS NOT NULL
+    """,
+)
+def filter_project_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3/P6: projection + boolean/timestamp-range/NOT NULL predicates,
+    all pushed into the parquet scan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+            & (F.col("event_type") != "error")
+            & F.col("value").isNotNull()
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@_register(
+    "month_membership_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+          IN (TIMESTAMP '2000-04-01', TIMESTAMP '2000-05-01', TIMESTAMP '2000-06-01')
+    """,
+)
+def month_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: keep rows whose date falls in one of 3 calendar months
+    (run_exports_query.py:113-118)."""
+    months = [f"2000-0{m}-01" for m in (4, 5, 6)]
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.date_trunc("month", F.col("o_orderdate")).isin(
+                [F.lit(m).cast("timestamp") for m in months]
+            )
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
+    "null_profile_orders",
+    """
+    SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority
+    FROM orders
+    """,
+)
+def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/A7: per-column null counts as ONE aggregate row (the reference
+    collects the frame and runs isnull().sum() driver-side, :232)."""
+    df = _t(spark, sf_dir, "orders")
+    return df.agg(*[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "lookup_enrich_broadcast",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment, n.n_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def lookup_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: dimension enrich via broadcast left joins (the tier-lookup
+    pattern, run_exports_query.py:224)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select("o_orderkey", "o_totalprice", "c_mktsegment", "n_name")
+    )
+
+
+@_register(
+    "exists_over_array",
+    """
+    SELECT user_id,
+           bool_or(event_type = 'purchase' AND value > 500) AS has_big_purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def exists_over_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: correlated-EXISTS-over-array (exports_results.sql:152-163) as a
+    higher-order ``F.exists`` over a collected array — not a join."""
+    ev = _t(spark, sf_dir, "events")
+    collected = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "value")).alias("evs")
+    )
+    return collected.select(
+        "user_id",
+        F.exists(
+            "evs", lambda e: (e["event_type"] == "purchase") & (e["value"] > 500)
+        ).alias("has_big_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "distinct_event_types",
+    "SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL",
+)
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the driving DISTINCT (get_lenders, run_exports_query.py:38-45)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type")
+        .filter(F.col("event_type").isNotNull())
+        .distinct()
+    )
+
+
+@_register(
+    "dedup_latest_maxby",
+    """
+    SELECT user_id,
+           MAX(ts) AS time,
+           MAX_BY(event_type, ts) AS event_type,
+           MAX_BY(value, ts) AS value,
+           MAX_BY(props, ts) AS props
+    FROM events GROUP BY user_id
+    """,
+)
+def dedup_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: latest-record-wins dedup via MAX/MAX_BY — one hash-agg
+    shuffle with map-side partials (exports_results.sql:51-71)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("time"),
+            F.max_by("event_type", "ts").alias("event_type"),
+            F.max_by("value", "ts").alias("value"),
+            F.max_by("props", "ts").alias("props"),
+        )
+    )
+
+
+@_register(
+    "collect_types_sorted",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS types_csv,
+           CAST(len(list_filter(list(value), x -> x > 500)) AS BIGINT) AS n_big
+    FROM events GROUP BY user_id
+    """,
+)
+def collect_types_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F13: list aggregate + lambda filter (exports_results.sql:73-76).
+    Output sorted-joined for cross-engine determinism."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types_csv"),
+            F.size(F.filter(F.collect_list("value"), lambda x: x > 500)).cast("long").alias("n_big"),
+        )
+    )
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + multi-agg group-by (TPC-H Q1 shape): partial aggregation
+    map-side, tiny shuffle, codegen'd expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / §2.4 pivot
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "global_denominators",
+    """
+    SELECT event_id,
+           CAST(COUNT(DISTINCT user_id) OVER () AS BIGINT) AS count_all_users,
+           CAST(COUNT(DISTINCT user_id) OVER (PARTITION BY event_type) AS BIGINT)
+               AS count_users_in_type,
+           ROUND(SUM(value) OVER (), 2) AS sum_all_value
+    FROM events
+    """,
+)
+def global_denominators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W3: COUNT(DISTINCT) OVER () has no Spark window form and an
+    empty-partition window is a single-partition funnel. Rewrite: tiny
+    aggregates broadcast-joined back (exports_results.sql:107-115)."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.agg(
+        F.countDistinct("user_id").alias("count_all_users"),
+        F.round(F.sum("value"), 2).alias("sum_all_value"),
+    )
+    per_type = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.countDistinct("user_id").alias("count_users_in_type")
+    )
+    return (
+        ev.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(per_type), F.col("event_type") == F.col("_et"), "left")
+        .select("event_id", "count_all_users", "count_users_in_type", "sum_all_value")
+    )
+
+
+@_register(
+    "rank_in_segment_month",
+    """
+    WITH counts AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_count
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+              IN (TIMESTAMP '2000-04-01', TIMESTAMP '2000-05-01', TIMESTAMP '2000-06-01')
+        GROUP BY 1, 2, 3
+    )
+    SELECT segment, priority, month, order_count,
+           CAST(RANK() OVER (PARTITION BY segment, month
+                             ORDER BY order_count DESC, priority) AS BIGINT)
+               AS rank_in_segment
+    FROM counts
+    """,
+)
+def rank_in_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A5: competition rank within (segment, month) by count — the
+    rank-in-tier pattern (run_exports_query.py:121-125); priority tiebreak
+    keeps cross-engine determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    months = [F.lit(f"2000-0{m}-01").cast("timestamp") for m in (4, 5, 6)]
+    counts = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter(F.date_trunc("month", F.col("o_orderdate")).isin(months))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    w = Window.partitionBy("segment", "month").orderBy(F.desc("order_count"), F.col("priority"))
+    return counts.withColumn("rank_in_segment", F.rank().over(w).cast("long"))
+
+
+@_register(
+    "rank_pivot_merge_back",
+    """
+    WITH counts AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+               COUNT(*) AS order_count
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+              IN (TIMESTAMP '2000-05-01', TIMESTAMP '2000-06-01')
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT *, RANK() OVER (PARTITION BY segment, month
+                               ORDER BY order_count DESC, priority) AS r
+        FROM counts
+    ),
+    pivoted AS (
+        SELECT segment, priority,
+               CAST(coalesce(MAX(CASE WHEN month = TIMESTAMP '2000-05-01' THEN r END), 0) AS BIGINT)
+                   AS rank_one_month,
+               CAST(coalesce(MAX(CASE WHEN month = TIMESTAMP '2000-06-01' THEN r END), 0) AS BIGINT)
+                   AS rank_two_months
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT o.o_orderkey, c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           p.rank_one_month, p.rank_two_months
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN pivoted p ON p.segment = c.c_mktsegment AND p.priority = o.o_orderpriority
+    WHERE o.o_orderdate >= TIMESTAMP '2000-05-01' AND o.o_orderdate < TIMESTAMP '2000-07-01'
+    """,
+)
+def rank_pivot_merge_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/J2: pivot (long→wide) of per-month ranks + broadcast merge-back
+    (prepare_rank_data, run_exports_query.py:128-161)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    m1, m2 = (F.lit("2000-05-01").cast("timestamp"), F.lit("2000-06-01").cast("timestamp"))
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    counts = (
+        joined.filter(F.date_trunc("month", F.col("o_orderdate")).isin([m1, m2]))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(F.count("*").alias("order_count"))
+    )
+    w = Window.partitionBy("segment", "month").orderBy(F.desc("order_count"), F.col("priority"))
+    ranked = counts.withColumn("r", F.rank().over(w))
+    pivoted = ranked.groupBy("segment", "priority").agg(
+        F.coalesce(F.max(F.when(F.col("month") == m1, F.col("r"))), F.lit(0))
+        .cast("long")
+        .alias("rank_one_month"),
+        F.coalesce(F.max(F.when(F.col("month") == m2, F.col("r"))), F.lit(0))
+        .cast("long")
+        .alias("rank_two_months"),
+    )
+    return (
+        joined.filter(
+            (F.col("o_orderdate") >= m1) & (F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .join(F.broadcast(pivoted), ["segment", "priority"], "left")
+        .select("o_orderkey", "segment", "priority", "rank_one_month", "rank_two_months")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / top-k, §2.7 set ops
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + LIMIT: total-order top-k (TakeOrderedAndProject — per-partition
+    heaps, no global sort materialization). Tiebreak on orderkey."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
+    "union_by_name",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, 'high' AS bucket
+    FROM lineitem WHERE l_quantity >= 25
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_quantity, 'low' AS bucket
+    FROM lineitem WHERE l_quantity < 25
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: n-ary union-by-name (pd.concat, merge_all_lenders.py:31-55) —
+    columns deliberately in different orders to exercise name alignment."""
+    li = _t(spark, sf_dir, "lineitem")
+    high = li.filter(F.col("l_quantity") >= 25).select(
+        "l_orderkey", "l_linenumber", "l_quantity", F.lit("high").alias("bucket")
+    )
+    low = li.filter(F.col("l_quantity") < 25).select(
+        F.lit("low").alias("bucket"), "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return high.unionByName(low)
+
+
+# ---------------------------------------------------------------------------
+# §2.8-2.10 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k_value,
+           CASE WHEN json_extract_string(props, 'k') IS NULL THEN true ELSE false END AS k_missing
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F9: JSON probe with missing-key → SQL NULL semantics
+    (exports_results.sql:37-38,89-91)."""
+    k = F.get_json_object("props", "$.k")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        k.cast("long").alias("k_value"),
+        k.isNull().alias("k_missing"),
+    )
+
+
+@_register(
+    "case_classifier",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'Failed In Scope Deals'
+                WHEN event_type = 'purchase' THEN
+                    CASE WHEN value > 800 THEN 'Export Winner Deals'
+                         WHEN value > 300 THEN 'Secondary Export Deals'
+                         ELSE 'Deals Not Exported' END
+                WHEN value IS NULL THEN 'Not Available Scenarios'
+                WHEN value < 50 THEN 'Failed Out of Scope Deals'
+                ELSE 'Unknown' END AS label
+    FROM events
+    """,
+)
+def case_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F5: order-sensitive nested CASE classifier
+    (exports_results.sql:150-175)."""
+    v = F.col("value")
+    label = (
+        F.when(F.col("event_type") == "error", "Failed In Scope Deals")
+        .when(
+            F.col("event_type") == "purchase",
+            F.when(v > 800, "Export Winner Deals")
+            .when(v > 300, "Secondary Export Deals")
+            .otherwise("Deals Not Exported"),
+        )
+        .when(v.isNull(), "Not Available Scenarios")
+        .when(v < 50, "Failed Out of Scope Deals")
+        .otherwise("Unknown")
+    )
+    return _t(spark, sf_dir, "events").select("event_id", label.alias("label"))
+
+
+@_register(
+    "regex_clean_strings",
+    r"""
+    SELECT doc_id,
+           regexp_replace(text, '[aeiou]', '', 'g') AS devoweled,
+           CASE WHEN regexp_matches(text, 'spark') THEN true ELSE false END AS mentions_spark,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def regex_clean_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F17: regex strip + regex contains (clean_dataframe,
+    run_exports_query.py:49-67)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", "[aeiou]", "").alias("devoweled"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@_register(
+    "date_ops",
+    """
+    SELECT event_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           strftime(ts, '%Y-%m') AS month_label,
+           CAST(ts - INTERVAL 1 MONTH AS TIMESTAMP) AS one_month_before,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m
+    FROM events
+    """,
+)
+def date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21-F24: month truncate/label/arithmetic (run_exports_query.py:113-121,
+    182-184)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.date_format("ts", "yyyy-MM").alias("month_label"),
+        (F.col("ts") - F.expr("INTERVAL 1 MONTH")).alias("one_month_before"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+    )
+
+
+@_register(
+    "numeric_coercion",
+    """
+    SELECT doc_id,
+           TRY_CAST(lang AS DOUBLE) AS lang_as_num,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) AS n_chars_num
+    FROM documents
+    """,
+)
+def numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18: pd.to_numeric(errors='coerce') — unparseable → NULL
+    (run_exports_query.py:69-71); non-ANSI cast nulls on failure."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").cast("double").alias("lang_as_num"),
+        F.col("n_chars").cast("string").cast("double").alias("n_chars_num"),
+    )
