@@ -41,9 +41,31 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _engine_semantics(fn: QueryFn) -> QueryFn:
+    """Pin the SQL semantics every catalog query assumes, regardless of the
+    caller's session defaults (the driver harness runs these in ITS OWN
+    vanilla SparkSession):
+
+    * ``ansi.enabled=false`` — coercing casts null-fill like
+      ``pd.to_numeric(errors='coerce')`` (run_exports_query.py:69-71) and
+      sketch hash arithmetic wraps on overflow (Spark 4 defaults ANSI on,
+      which would throw ARITHMETIC_OVERFLOW inside MinHash permutations);
+    * session timezone UTC — oracle comparison requires UTC timestamps.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def _register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        QUERIES[name] = _engine_semantics(fn)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -717,6 +739,23 @@ def date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_extension_catalogs() -> None:
+    """Merge the extension operators' (fn, oracle) tables into the registry.
+
+    Deferred import at module bottom (the extension modules are standalone;
+    catalog is the single wiring point the driver sees).
+    """
+    from monthly_report_etl_spark.operators import dedup as _dedup
+    from monthly_report_etl_spark.operators import similarity as _similarity
+    from monthly_report_etl_spark.operators import text as _text
+
+    for module in (_text, _dedup, _similarity):
+        for name, (fn, oracle) in module.CATALOG.items():
+            QUERIES[name] = _engine_semantics(fn)
+            if oracle is not None:
+                ORACLES[name] = oracle
+
+
 @_register(
     "numeric_coercion",
     """
@@ -734,3 +773,6 @@ def numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").cast("double").alias("lang_as_num"),
         F.col("n_chars").cast("string").cast("double").alias("n_chars_num"),
     )
+
+
+_register_extension_catalogs()

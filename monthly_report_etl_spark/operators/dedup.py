@@ -1,0 +1,348 @@
+"""Deduplication operators over ``documents`` — exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup (the training-data
+pipeline extensions, BASELINE.json north star).
+
+Scale design (100 TB):
+
+* exact dedup is one hash aggregation on the text (or fingerprint) key;
+* n-gram Jaccard pairs shuffle by SHINGLE (the classic inverted-index
+  join) — exact but quadratic in per-shingle frequency; it is the
+  verification oracle for the sketch methods;
+* MinHash+LSH is the scale path: signatures are a per-row projection,
+  candidate generation shuffles by (band, band-hash) — data volume per
+  shuffle is #docs x #bands tiny keys, independent of document length;
+  candidates are verified with exact Jaccard before reporting;
+* SimHash gives hamming-distance near-dup with 4x16-bit chunk banding
+  (pigeonhole: hamming <= 3 → at least one equal chunk).
+
+Engine-native hashes (xxhash64) are used inside MinHash/SimHash sketches —
+deterministic per engine but not portable to DuckDB, so those two are
+rows-only for the driver gate and differentially tested in pytest against
+the exact-Jaccard operator (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monthly_report_etl_spark.functions.text import shingles, whitespace_tokens
+from monthly_report_etl_spark.functions.vectors import cosine_similarity
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per identical text.
+
+    One hash-agg shuffle keyed by the text. At 100 TB, group by the
+    128-bit content hash instead of the raw text so the shuffle carries
+    16-byte keys — same result, given a collision-free hash.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    ).select("keep_doc_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs (the oracle-checkable ground truth)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS sh
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+e AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
+    FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (na + nb - common), 6) AS jaccard
+FROM pairs
+WHERE common * 1.0 / (na + nb - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id", shingles(whitespace_tokens(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+
+    Shuffles by shingle; per-shingle hot keys are the scale hazard (stop
+    shingles) — at 100 TB, cap posting-list length or switch to the
+    MinHash path below. Kept exact here because it is the verification
+    oracle for the sketches.
+    """
+    e = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("n")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path; rows-only for the driver gate)
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 32
+NUM_BANDS = 8  # 8 bands x 4 rows: P(candidate | j=0.9) ≈ 1 - (1-0.9^4)^8 ≈ 0.998
+_ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = random.Random(42)
+PERMUTATIONS = [(_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE)) for _ in range(NUM_PERM)]
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (NUM_PERM permutations over shingle
+    xxhash64s) — a pure per-row projection, no shuffle."""
+    sh = _shingled(spark, sf_dir)
+    hashes = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+            )
+            for a, b in PERMUTATIONS
+        ]
+    )
+    return sh.select("doc_id", sig.alias("signature"), "sh")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Candidate generation shuffles only (doc_id, band, 8-byte band key) —
+    independent of document size; the exact-Jaccard verification then runs
+    only on candidates (array_intersect on the two shingle sets), so the
+    quadratic step touches near-dups only.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("signature", i * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)
+                        ).alias("key"),
+                    )
+                    for i in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingled(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (hamming-distance near-dup; rows-only for the driver gate)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+# Empirical: a one-token edit on a ~40-token document flips 4-8 simhash
+# bits (each bit's vote is a small signed sum, so many sit near zero).
+# Threshold 7 with 8 chunks is pigeonhole-complete: hamming <= 7 → at
+# least one of the 8 8-bit chunks is equal.
+HAMMING_THRESHOLD = 7
+_CHUNKS = HAMMING_THRESHOLD + 1
+_CHUNK_BITS = SIMHASH_BITS // _CHUNKS
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    One hash aggregation collects the token hashes per doc; the 64
+    per-bit +/-1 vote sums and the sign-bit packing run as nested
+    higher-order ``aggregate`` expressions (a flat 64-column aggregate
+    would exceed the JVM method-size limit and kick the whole stage out
+    of codegen). Work per doc is O(64 x tokens), embarrassingly parallel.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hs = (
+        d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+        .withColumn("th", F.xxhash64("token"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("th").alias("hs"))
+    )
+    simhash = F.expr(
+        """
+        aggregate(
+            sequence(0, 63),
+            CAST(0 AS BIGINT),
+            (acc, bit) -> acc | IF(
+                aggregate(hs, 0, (a, h) -> a + IF(((h >> bit) & 1) = 1, 1, -1)) > 0,
+                shiftleft(CAST(1 AS BIGINT), bit),
+                CAST(0 AS BIGINT)))
+        """
+    )
+    return hs.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= HAMMING_THRESHOLD, found by
+    16-bit chunk banding (pigeonhole-complete for <= 3 bit flips)."""
+    sigs = simhash_signatures(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * _CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (oracle-checkable brute force)
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4
+
+EMBEDDING_COSINE_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])),
+               (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])),
+                  (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])),
+                  (acc, x) -> acc + x))) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+FROM pairs WHERE cos >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: brute-force all-pairs cosine (the exact
+    baseline; the LSH-bucketed scale path lives in operators/similarity).
+
+    Sequential-fold arithmetic matches the oracle's list_reduce exactly
+    (floating-point addition order is part of the contract).
+    """
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+CATALOG: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
+    "dedup_minhash_lsh": (minhash_lsh_pairs, None),  # engine-hash sketch: rows-only
+    "dedup_simhash": (simhash_pairs, None),  # engine-hash sketch: rows-only
+    "dedup_embedding_cosine": (embedding_cosine_pairs, EMBEDDING_COSINE_ORACLE),
+}

@@ -1,0 +1,188 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline extensions (BASELINE.json north star): language-ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in expression API (whole-stage codegen, zero Python
+UDFs) and embarrassingly parallel — no shuffles at all: each operator is a
+pure per-row projection over the scan, so it scales linearly to 100 TB and
+pushes column pruning down to parquet (only ``doc_id``/``text`` read).
+
+Each operator carries its exact DuckDB oracle SQL next to it (wired into
+the catalog) — determinism notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monthly_report_etl_spark.functions.text import (
+    FINGERPRINT_MOD,
+    LANGUAGE_STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint,
+    language_scores,
+    regex_token_count,
+    stopword_regex,
+    whitespace_tokens,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+TOKEN_STATS_ORACLE = rf"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_exact
+FROM documents
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-hit heuristic, deterministic argmax)
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    score_cols = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{stopword_regex(lang)}')) AS BIGINT)"
+        f" AS score_{lang}"
+        for lang in LANGUAGE_STOPWORDS
+    )
+    langs = list(LANGUAGE_STOPWORDS)
+    # argmax with fixed priority order on ties (same order as the Spark CASE)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        others = [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        branches.append(f"WHEN {' AND '.join(others)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {score_cols}
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_de, score_fr, score_es,
+           {case} AS predicted_lang
+    FROM scored
+    """
+
+
+LANGUAGE_ID_ORACLE = _lang_oracle()
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID: per-language stopword hit counts,
+    argmax with a fixed priority order on ties."""
+    d = _docs(spark, sf_dir)
+    scores = language_scores(F.col("text"))
+    out = d.select("doc_id", *[c.alias(f"score_{lang}") for lang, c in scores.items()])
+    langs = list(LANGUAGE_STOPWORDS)
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    return out.withColumn("predicted_lang", pred)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+QUALITY_SCORE_ORACLE = rf"""
+WITH parts AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_exact,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(lower(text), '{stopword_regex("en")}')) AS BIGINT) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_chars_exact, n_tokens,
+       ROUND(n_punct * 1.0 / greatest(n_chars_exact, 1), 6) AS punct_ratio,
+       ROUND(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       ROUND(0.4 * least(n_stop * 1.0 / greatest(n_tokens, 1), 1.0)
+           + 0.3 * (1.0 - least(n_punct * 1.0 / greatest(n_chars_exact, 1), 1.0))
+           + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+FROM parts
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio composite quality score —
+    the standard cheap pre-filter for LLM training corpora."""
+    d = _docs(spark, sf_dir)
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(whitespace_tokens(F.col("text"))).cast("long")
+    n_punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).cast("long")
+    n_stop = F.regexp_count(F.lower("text"), F.lit(stopword_regex("en"))).cast("long")
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    score = (
+        0.4 * F.least(stop_ratio, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio, F.lit(1.0)))
+        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_exact"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % {FINGERPRINT_MOD}
+       ) AS doc_fingerprint
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint per document (portable
+    arithmetic, not an engine hash — so the oracle can recompute it)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("doc_fingerprint"))
+
+
+CATALOG: dict[str, tuple] = {
+    "text_token_stats": (token_stats, TOKEN_STATS_ORACLE),
+    "text_language_id": (language_id, LANGUAGE_ID_ORACLE),
+    "text_quality_score": (quality_score, QUALITY_SCORE_ORACLE),
+    "text_fingerprint": (doc_fingerprint, FINGERPRINT_ORACLE),
+}

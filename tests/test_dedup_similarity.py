@@ -1,0 +1,97 @@
+"""Sketch-vs-exact differential tests for the non-SQL-expressible
+operators (MinHash+LSH, SimHash, LSH-ANN): the exact operators (already
+oracle-verified against DuckDB) serve as ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monthly_report_etl_spark.operators import dedup, similarity
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r["doc_a"], r["doc_b"]) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_minhash_lsh_finds_exact_near_dups(spark, sf_dir):
+    """With j≈0.99 planted near-dups and 8x4 banding, candidate-miss
+    probability is < 1e-8 per pair — LSH output must equal the exact
+    pair set (false positives are removed by the verification step)."""
+    exact = _pairs(dedup.ngram_jaccard_pairs(spark, sf_dir))
+    lsh = _pairs(dedup.minhash_lsh_pairs(spark, sf_dir))
+    assert lsh == exact
+    assert len(exact) > 0, "fixture should contain planted near-dups"
+
+
+def test_minhash_jaccard_values_match_exact(spark, sf_dir):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert lsh == exact  # verification recomputes EXACT jaccard on candidates
+
+
+def test_simhash_banding_is_pigeonhole_complete(spark, sf_dir):
+    """Chunk banding must find EVERY pair within the hamming threshold
+    (pigeonhole guarantee — this is a completeness property of the LSH
+    machinery, independent of data)."""
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(spark, sf_dir).collect()}
+    ids = sorted(sigs)
+    mask = (1 << 64) - 1
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & mask).count("1") <= dedup.HAMMING_THRESHOLD
+    }
+    found = _pairs(dedup.simhash_pairs(spark, sf_dir))
+    assert found == truth
+    assert len(truth) > 0, "fixture should contain simhash near-dups"
+
+
+def test_simhash_covers_planted_near_dups(spark, sf_dir):
+    """The planted word-edit near-dups (jaccard >= 0.95) should land
+    within the hamming threshold for short docs; require >= 75% coverage
+    (hamming of a one-token edit is probabilistic)."""
+    exact_high = _pairs(
+        dedup.ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.95)
+    )
+    sim = _pairs(dedup.simhash_pairs(spark, sf_dir))
+    if exact_high:
+        coverage = len(exact_high & sim) / len(exact_high)
+        assert coverage >= 0.75, f"simhash covered only {coverage:.0%} of planted near-dups"
+
+
+def test_simhash_signature_deterministic(spark, sf_dir):
+    a = dedup.simhash_signatures(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    b = dedup.simhash_signatures(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert [r["simhash"] for r in a] == [r["simhash"] for r in b]
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Recall@5 of the LSH ANN against the exact brute force — with 4
+    OR'd tables of 8 bits each, recall must be well above chance; we
+    require >= 0.4 (chance is ~5/N ≈ 0.01)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_brute_force(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"ANN recall too low: {recall:.2f}"
+
+
+def test_dedup_exact_removes_duplicates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    result = dedup.dedup_exact(spark, sf_dir)
+    assert result.count() == n_distinct
+    assert result.agg(F.sum("n_copies")).collect()[0][0] == n_docs
