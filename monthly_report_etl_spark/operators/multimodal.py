@@ -1,0 +1,151 @@
+"""Multimodal (image/audio/video) column handling.
+
+Design for opaque media at 100 TB (BASELINE.json north star): media
+payloads are ``binary`` columns with typed metadata alongside; decode /
+feature-extract / resize / frame-sample run as Arrow-batched Pandas
+functions over ``mapInPandas`` — the only place Python touches data, with
+columnar Arrow transfer and per-partition batch iteration (never per-row
+serde). Partitioning, schema, UDF signature and batch shape are real and
+tested; the codec call itself is STUBBED (this container has no
+PIL/ffmpeg): ``_decode_payload`` derives deterministic fake pixels from
+the bytes, and a real decoder drops in behind ``try: import PIL`` without
+touching any Spark-side shape.
+
+For the driver tables (no binary column exists), payloads are synthesized
+as ``encode(text, 'utf-8')`` from ``documents`` — byte-level semantics are
+identical to real media blobs as far as the engine is concerned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real codecs, if ever present in the image
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover - container has no PIL
+    _HAS_PIL = False
+
+FRAME_SIZE = 64  # bytes per synthetic "frame"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("byte_histogram", T.ArrayType(T.LongType())),  # 4 bins
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` text → opaque binary payload + metadata (the stand-in
+    media table; a real pipeline reads parquet with a binary column)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_payload(payload: bytes) -> np.ndarray:
+    """STUB decode: bytes → 'pixels'. A real implementation would be
+    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))`` — the surrounding
+    Spark plumbing (schema, batching, partitioning) is identical."""
+    if _HAS_PIL:  # pragma: no cover
+        raise NotImplementedError("real decode not exercised in this container")
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = _decode_payload(bytes(payload))
+            hist = np.bincount(px // 64, minlength=4)[:4]
+            feats.append(
+                (
+                    int(doc_id),
+                    int(px.size),
+                    float(px.mean()) if px.size else 0.0,
+                    [int(x) for x in hist],
+                )
+            )
+        yield pd.DataFrame(feats, columns=["doc_id", "n_bytes", "mean_byte", "byte_histogram"])
+
+
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the media table via Arrow-batched
+    ``mapInPandas`` — one Python round-trip per partition batch, schema
+    declared up front, embarrassingly parallel (no shuffle)."""
+    return media_table(spark, sf_dir).mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = _decode_payload(bytes(payload))
+            for i in range(0, px.size, FRAME_SIZE):
+                frame = px[i : i + FRAME_SIZE]
+                rows.append((int(doc_id), i // FRAME_SIZE, float(frame.mean())))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_mean"])
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-style fan-out): each payload expands to
+    ceil(n/FRAME_SIZE) frame rows inside the same Arrow batch pass."""
+    return media_table(spark, sf_dir).mapInPandas(_frame_batches, FRAME_SCHEMA)
+
+
+# Byte-level metadata is pure engine-side expression work → oracle-checkable
+BYTE_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars_exact
+FROM documents
+"""
+
+
+def byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars_exact"),
+    )
+
+
+CATALOG: dict[str, tuple] = {
+    "multimodal_byte_stats": (byte_stats, BYTE_STATS_ORACLE),
+    "multimodal_decode_features": (decode_features, None),  # Pandas-UDF path: rows-only
+    "multimodal_frame_sample": (frame_sample, None),  # Pandas-UDF fan-out: rows-only
+}

@@ -1,0 +1,231 @@
+"""Structured Streaming over the ``events`` stream (the reference is batch
+only — SURVEY §2.11; this is the streaming extension on the ``events``
+fixture, BASELINE.json north star).
+
+* ``windowed_counts_stream`` — readStream → watermark → tumbling
+  event-time window aggregation. Watermark bounds state: late rows beyond
+  10 minutes are dropped, so state size is O(windows in flight), not
+  O(stream length) — the 100 TB/day streaming shape.
+* ``sessionize_batch`` — gap-based sessionization expressed with lag +
+  windowed cumsum; in streaming the same semantics come from
+  ``session_window`` (both included; the batch form is oracle-checkable).
+* ``stateful_user_counts`` — arbitrary stateful processing via
+  ``applyInPandasWithState`` (running per-user counters with timeout) —
+  the custom-stateful-operator template.
+
+events.parquet carries TIMESTAMP(NANOS) (see catalog._events); streaming
+schemas must declare ``ts`` as LongType under ``nanosAsLong`` and convert.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (catalog._events)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP_MINUTES = 30
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """Streaming sources read directories; stage the single events.parquet
+    into a temp dir (driver-side file copy, not a data pass)."""
+    staged = os.path.join(tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir))}")
+    os.makedirs(staged, exist_ok=True)
+    dst = os.path.join(staged, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    return staged
+
+
+def windowed_counts_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream → watermark(10 min) → 1-hour tumbling windows per
+    event_type: count + sum(value)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def run_windowed_counts_once(spark: SparkSession, sf_dir: str, query_name: str = "windowed_counts") -> DataFrame:
+    """Drive the streaming query to completion over the staged fixture
+    (memory sink + processAllAvailable) and return the materialized result."""
+    src = _stage_events_dir(sf_dir)
+    q = (
+        windowed_counts_stream(spark, src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# sessionization — batch form (oracle-checkable) mirroring session_window
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {SESSION_GAP_MINUTES} MINUTES
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new,
+           event_id
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag → new-session flag → running sum).
+
+    One shuffle keyed by user_id serves both window passes (same
+    partitioning); session stats come from the subsequent hash agg on
+    (user_id, session_id) — co-partitioned, no extra exchange.
+    """
+    from monthly_report_etl_spark.catalog import _events
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary stateful processing template
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = "n LONG"
+_STATEFUL_OUTPUT_SCHEMA = "user_id LONG, n_events_total LONG"
+
+
+def _count_events(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n,) = state.get if state.exists else (0,)
+    for pdf in batches:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events_total": [n]})
+
+
+def stateful_user_counts(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: running per-user event counts
+    via ``applyInPandasWithState`` (update mode, no timeout)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _count_events,
+        outputStructType=_STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_counts_once(spark: SparkSession, sf_dir: str, query_name: str = "stateful_counts") -> DataFrame:
+    src = _stage_events_dir(sf_dir)
+    q = (
+        stateful_user_counts(spark, src)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+# batch tumbling-window counts — same windowing semantics, oracle-checkable
+TUMBLING_WINDOW_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming aggregation (identical window
+    semantics: 1-hour tumbling windows align with hour truncation)."""
+    from monthly_report_etl_spark.catalog import _events
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+CATALOG: dict[str, tuple] = {
+    "streaming_tumbling_window_batch": (tumbling_window_counts, TUMBLING_WINDOW_ORACLE),
+    "streaming_sessionize": (sessionize_batch, SESSIONIZE_ORACLE),
+}

@@ -1,0 +1,85 @@
+"""Tests for the multimodal (Pandas-UDF plumbing) and streaming operators."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from monthly_report_etl_spark.operators import multimodal
+from monthly_report_etl_spark.streaming import events_stream
+
+
+def test_decode_features_match_numpy(spark, sf_dir):
+    """The Arrow/mapInPandas path must reproduce a driver-side numpy
+    computation exactly (deterministic stub decode)."""
+    feats = {r["doc_id"]: r for r in multimodal.decode_features(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()
+    for row in docs:
+        px = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8)
+        got = feats[row["doc_id"]]
+        assert got["n_bytes"] == px.size
+        assert abs(got["mean_byte"] - float(px.mean())) < 1e-9
+        assert got["byte_histogram"] == [int(x) for x in np.bincount(px // 64, minlength=4)[:4]]
+
+
+def test_decode_features_survive_small_arrow_batches(spark, sf_dir):
+    """Batch-boundary independence: forcing tiny Arrow batches must not
+    change the result (catches per-batch state leaks in the UDF)."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        small = multimodal.decode_features(spark, sf_dir)
+        n = small.count()
+        total = small.agg(F.sum("n_bytes")).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    big = multimodal.decode_features(spark, sf_dir)
+    assert n == big.count()
+    assert total == big.agg(F.sum("n_bytes")).collect()[0][0]
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    frames = multimodal.frame_sample(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = docs.select(
+        F.ceil(F.length(F.encode(F.col("text"), "utf-8")) / multimodal.FRAME_SIZE).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert frames.count() == expected
+    # frame_idx contiguous from 0 per doc
+    m = frames.groupBy("doc_id").agg(F.min("frame_idx").alias("lo"), F.max("frame_idx").alias("hi"), F.count("*").alias("c"))
+    bad = m.filter((F.col("lo") != 0) | (F.col("c") != F.col("hi") + 1)).count()
+    assert bad == 0
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir):
+    """The streaming query over the staged fixture must produce exactly
+    the batch tumbling-window aggregation (no late data in a replay, so
+    the watermark drops nothing)."""
+    streamed = events_stream.run_windowed_counts_once(spark, sf_dir, "wc_test")
+    batch = events_stream.tumbling_window_counts(spark, sf_dir)
+    s = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in streamed.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in batch.collect()}
+    assert s == b
+    assert len(s) > 0
+
+
+def test_stateful_user_counts(spark, sf_dir):
+    result = events_stream.run_stateful_counts_once(spark, sf_dir, "sc_test")
+    got = {r["user_id"]: r["n_events_total"] for r in result.collect()}
+    from monthly_report_etl_spark.catalog import _events
+
+    expected = {
+        r["user_id"]: r["n"]
+        for r in _events(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_properties(spark, sf_dir):
+    sessions = events_stream.sessionize_batch(spark, sf_dir)
+    from monthly_report_etl_spark.catalog import _events
+
+    n_events = _events(spark, sf_dir).count()
+    # partition: every event in exactly one session
+    assert sessions.agg(F.sum("n_events")).collect()[0][0] == n_events
+    # no session spans a gap silently: start <= end everywhere
+    assert sessions.filter(F.col("session_start") > F.col("session_end")).count() == 0
