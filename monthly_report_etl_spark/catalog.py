@@ -177,13 +177,18 @@ def exports_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(False))
         )
     )
-    totals = passing.agg(
-        F.countDistinct("user_id").alias("count_all_unique_user_id"),
-        F.round(F.sum("value"), 2).alias("sum_all_value"),
-    )
+    # one aggregation pass: global denominators derived from the per-type
+    # aggregate (valid post-dedup: one row per user), avoiding a second
+    # re-execution of the whole upstream dedup branch
     per_type = passing.groupBy(F.col("event_type").alias("_et")).agg(
-        F.countDistinct("user_id").alias("count_all_event_type")
+        F.countDistinct("user_id").alias("count_all_event_type"),
+        F.sum("value").alias("_sum_et"),
     )
+    totals = per_type.agg(
+        F.sum("count_all_event_type").alias("count_all_unique_user_id"),
+        F.round(F.sum("_sum_et"), 2).alias("sum_all_value"),
+    )
+    per_type = per_type.drop("_sum_et")
     k = F.col("k_value")
     label = (
         F.when(k > 80, "Export Winner Deals")
@@ -210,7 +215,10 @@ def exports_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_all_value",
             "performance",
         )
-        .orderBy("user_id")
+        # per-partition order (O1 shape) — a global orderBy would add a
+        # range-sampling pass that re-executes the whole upstream plan
+        .repartition("user_id")
+        .sortWithinPartitions("user_id")
     )
 
 

@@ -199,28 +199,35 @@ def global_stats(df: DataFrame) -> DataFrame:
     ``OVER (PARTITION BY loanPurpose)`` / ``SUM(...) OVER ()``
     (exports_results.sql:107-115). Spark windows cannot take DISTINCT, and
     an empty-partition window funnels ALL data through one partition — a
-    100 TB non-starter. Faithful rewrite: two tiny aggregates joined back.
+    100 TB non-starter. Faithful rewrite: tiny aggregates broadcast back.
 
-    * global: 1-row aggregate → broadcast cross join (no shuffle of the
-      big side).
-    * per-loanPurpose: aggregate keyed by loanPurpose (map-side partials,
-      tiny result) → broadcast hash join back. NULL loanPurpose groups
-      together under PARTITION BY, so the join is null-safe (`eqNullSafe`).
+    ONE aggregation pass serves all three denominators: the per-purpose
+    aggregate (keyed by loanPurpose, map-side partials) also yields the
+    global count/sum by re-aggregating its ≤#purposes rows — valid because
+    step 2 guarantees one row per scenarioId, so scenarios never span two
+    purposes and per-group distinct counts add up. (A second full-input
+    branch would re-execute the entire upstream dedup — Spark shares no
+    diamond subplans — measured at ~2x the whole pipeline's cost.)
 
-    Post-dedup ``scenarioId`` is unique, making COUNT(DISTINCT) == COUNT —
-    but countDistinct here runs on the tiny aggregate path, so we keep the
-    faithful form.
+    NULL loanPurpose groups together under PARTITION BY, so the join back
+    is null-safe (``eqNullSafe``). Both joined sides are broadcast: no
+    shuffle of the big side at any scale.
     """
-    totals = df.agg(
-        F.countDistinct("scenarioId").alias("count_all_unique_scenario_id"),
-        F.sum("totalProposedLoanAmount").alias("sum_all_total_proposed_loan_amount"),
-    )
     per_purpose = df.groupBy(F.col("loanPurpose").alias("_lp")).agg(
-        F.countDistinct("scenarioId").alias("count_all_loan_purpose")
+        F.countDistinct("scenarioId").alias("count_all_loan_purpose"),
+        F.sum("totalProposedLoanAmount").alias("_sum_lp"),
+    )
+    totals = per_purpose.agg(
+        F.sum("count_all_loan_purpose").alias("count_all_unique_scenario_id"),
+        F.sum("_sum_lp").alias("sum_all_total_proposed_loan_amount"),
     )
     return (
         df.crossJoin(F.broadcast(totals))
-        .join(F.broadcast(per_purpose), F.col("loanPurpose").eqNullSafe(F.col("_lp")), "left")
+        .join(
+            F.broadcast(per_purpose.drop("_sum_lp")),
+            F.col("loanPurpose").eqNullSafe(F.col("_lp")),
+            "left",
+        )
         .drop("_lp")
     )
 
@@ -335,18 +342,33 @@ def classify_performance(df: DataFrame) -> DataFrame:
     return df.withColumn("performance", label)
 
 
-def final_select(df: DataFrame) -> DataFrame:
-    """Final projection + total sort (exports_results.sql:179-205).
+def final_select(df: DataFrame, sort: str = "within_partitions") -> DataFrame:
+    """Final projection + ordering (exports_results.sql:179-205).
 
-    ``orderBy`` is a range-partitioned distributed sort (sampled bounds, no
-    single-reducer funnel). The COALESCE on exportedLender is a no-op after
-    step 2 but kept for fidelity with sql:184.
+    The reference runs ORDER BY once PER LENDER FILE (each per-lender run
+    sorts only its own output; the merged file is just file concatenation,
+    merge_all_lenders.py:31-55). The faithful-and-scalable equivalent is
+    ``sort='within_partitions'``: hash-repartition by lender, sort each
+    partition by (lender, scenarioId) — per-lender order identical to the
+    reference's files with NO range-sampling pass (a global ``orderBy``
+    executes the whole upstream plan twice: once to sample bounds, once to
+    sort — measured ~2x wall time at bench scale).
+
+    ``sort='global'`` gives the strict total order (range-partitioned
+    distributed sort); ``sort='none'`` skips ordering (for callers that
+    enrich further and order at the end). The COALESCE on exportedLender
+    is a no-op after step 2 but kept for fidelity with sql:184.
     """
-    return (
-        df.withColumn("exportedLender", F.coalesce(F.col("exportedLender"), F.lit("")))
-        .select(*FINAL_COLUMNS)
-        .orderBy("associated_lender", "scenarioId")
-    )
+    out = df.withColumn(
+        "exportedLender", F.coalesce(F.col("exportedLender"), F.lit(""))
+    ).select(*FINAL_COLUMNS)
+    if sort == "global":
+        return out.orderBy("associated_lender", "scenarioId")
+    if sort == "within_partitions":
+        return out.repartition("associated_lender").sortWithinPartitions(
+            "associated_lender", "scenarioId"
+        )
+    return out
 
 
 def exports_pipeline(
@@ -354,17 +376,31 @@ def exports_pipeline(
     start_date: str,
     end_date: str,
     lenders: DataFrame | None = None,
+    sort: str = "within_partitions",
+    cache_dedup: bool = False,
 ) -> DataFrame:
     """Steps 1-7 composed — semantically the union of the reference's
-    per-lender runs over every distinct lender, as ONE Catalyst plan."""
+    per-lender runs over every distinct lender, as ONE Catalyst plan.
+
+    ``cache_dedup=True`` persists the deduped/filtered intermediate
+    (MEMORY_AND_DISK): ``global_stats`` necessarily references it twice
+    (main path + denominator aggregate) and Spark re-executes unshared
+    diamond branches. The deduped set is the smallest point of the
+    pipeline (one row per scenario), so this is the natural persist
+    boundary for repeated consumption.
+    """
     if lenders is None:
         lenders = get_lenders(raw_df)
     df = base(raw_df, start_date, end_date)
     df = dedup_latest(df)
     df = flag_failing(df)
     df = filter_passing(df)
+    if cache_dedup:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df = global_stats(df)
     df = explode_lender_results(df, lenders)
     df = extract_performance(df)
     df = classify_performance(df)
-    return final_select(df)
+    return final_select(df, sort=sort)

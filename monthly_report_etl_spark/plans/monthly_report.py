@@ -34,9 +34,19 @@ def monthly_report(
     rank columns.
     """
     config = config or PipelineConfig()
-    df = exports.exports_pipeline(raw_df, config.start_date, config.end_date)
+    # enrich first, order last — the reference sorts in SQL and the pandas
+    # merges are stable/order-preserving (run_exports_query.py:224,157), so
+    # ordering once at the end is equivalent and avoids sorting rows that
+    # joins would reshuffle anyway
+    # add_rank_columns consumes its input twice (rank-universe aggregate +
+    # merge-back), but the second branch is column-pruned by Catalyst down
+    # to 4 narrow columns — measured CHEAPER to recompute than to persist
+    # the wide enriched rows (persisting doubled wall time at bench scale)
+    df = exports.exports_pipeline(raw_df, config.start_date, config.end_date, sort="none")
     df = enrich_with_tiers(df, competitor_df)
     df = add_rank_columns(df, config)
     if clean:
         df = clean_for_export(df)
-    return df
+    return df.repartition("associated_lender").sortWithinPartitions(
+        "associated_lender", "scenarioId"
+    )
