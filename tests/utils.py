@@ -53,6 +53,6 @@ def _isnan(x) -> bool:
     if x is None:
         return True
     try:
-        return isinstance(x, float) and math.isnan(x)
-    except TypeError:
+        return bool(pd.isna(x))  # covers float nan AND NaT
+    except (TypeError, ValueError):
         return False
