@@ -1,0 +1,100 @@
+"""Operational entry points — the reference's two scripts as engine jobs.
+
+``run_export_job``  ≙ scripts/run_exports_query.py:main (S5 sink: one TSV
+per lender, QUOTE_ALL/BOM/null-as-empty, validated read-back).
+``run_merge_job``   ≙ scripts/merge_all_lenders.py:main (S4/U1/S6: read the
+per-lender directory as one table, re-infer ``time``, single merged TSV).
+
+Differences by design (SURVEY §2.12): the export job is ONE partitioned
+write instead of ~48 sequential per-lender queries, and the merge job is a
+directory scan — Spark unions natively. Validation (S7) is a read-back
+assertion, not a data pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monthly_report_etl_spark.config import PipelineConfig
+from monthly_report_etl_spark.plans import monthly_report
+from monthly_report_etl_spark.schemas import COMPETITOR_LIST_SCHEMA
+from monthly_report_etl_spark.sources import (
+    read_lookup_csv,
+    read_tsv_directory,
+    write_tsv,
+)
+
+
+def run_export_job(
+    spark: SparkSession,
+    deals_path: str,
+    competitor_csv: str,
+    output_dir: str,
+    config: PipelineConfig | None = None,
+) -> DataFrame:
+    """Full monthly report → per-lender TSV directory (S5 contract).
+
+    Returns the report DataFrame (lazy; the write is the only action).
+    """
+    raw = spark.read.parquet(deals_path)
+    comp = read_lookup_csv(spark, competitor_csv, COMPETITOR_LIST_SCHEMA)
+    report = monthly_report(raw, comp, config or PipelineConfig())
+    write_tsv(report, output_dir, partition_by="associated_lender", bom=True)
+    validate_tsv_output(spark, output_dir)
+    return report
+
+
+def run_merge_job(spark: SparkSession, output_dir: str, merged_dir: str) -> DataFrame:
+    """Union the per-lender TSV directory into one merged file (S4/U1/S6).
+
+    All-string read + ``to_timestamp`` re-inference of ``time`` mirrors
+    merge_all_lenders.py:41-59 (the ``partitionBy`` layout moves
+    ``associated_lender`` into the directory key; the read restores it).
+    """
+    df = read_tsv_directory(spark, output_dir)
+    if "time" in df.columns:
+        df = df.withColumn("time", F.to_timestamp("time"))
+    write_tsv(df, merged_dir, single_file=True, bom=True)
+    validate_tsv_output(spark, merged_dir)
+    return df
+
+
+def validate_tsv_output(spark: SparkSession, path: str) -> None:
+    """S7: read-back validation — header arity vs data arity, rows > 0."""
+    back = read_tsv_directory(spark, path)
+    n_cols = len(back.columns)
+    if n_cols == 0:
+        raise ValueError(f"no columns in written output at {path}")
+    bad = back.filter(
+        sum((F.col(c).isNull().cast("int") for c in back.columns), F.lit(0)) == n_cols
+    ).count()
+    if bad:
+        raise ValueError(f"{bad} fully-null rows in {path} (arity mismatch?)")
+
+
+def main() -> None:  # pragma: no cover - thin CLI
+    import argparse
+
+    from monthly_report_etl_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="monthly report export + merge")
+    p.add_argument("--deals", required=True)
+    p.add_argument("--competitors", required=True)
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--merged-dir", default="result")
+    p.add_argument("--start-date", default=PipelineConfig.start_date)
+    p.add_argument("--end-date", default=PipelineConfig.end_date)
+    p.add_argument("--report-date", default=PipelineConfig.report_date)
+    args = p.parse_args()
+    spark = get_spark(app_name="monthly_report_job")
+    cfg = PipelineConfig(args.start_date, args.end_date, args.report_date)
+    run_export_job(spark, args.deals, args.competitors, args.output_dir, cfg)
+    run_merge_job(spark, args.output_dir, os.path.join(args.merged_dir))
+    spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,70 @@
+"""Golden-contract tests for the TSV sinks and the export/merge jobs
+(SURVEY §5 test strategy #3: the sink contract can't be oracle-tested)."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from monthly_report_etl_spark.config import PipelineConfig
+from monthly_report_etl_spark.jobs import run_export_job, run_merge_job
+
+
+def test_export_and_merge_jobs(spark, fixture_dir, tmp_path):
+    out_dir = str(tmp_path / "output")
+    merged_dir = str(tmp_path / "result")
+    deals = os.path.join(fixture_dir, "exports_deals.parquet")
+    comp = os.path.join(fixture_dir, "competitor_list.csv")
+
+    report = run_export_job(spark, deals, comp, out_dir, PipelineConfig())
+    n_expected = report.count()
+
+    # one directory per lender
+    lender_dirs = [d for d in os.listdir(out_dir) if d.startswith("associated_lender=")]
+    n_lenders = report.select("associated_lender").distinct().count()
+    assert len(lender_dirs) == n_lenders
+
+    merged = run_merge_job(spark, out_dir, merged_dir)
+    assert merged.count() == n_expected
+
+    files = glob.glob(os.path.join(merged_dir, "part-*.csv"))
+    assert len(files) == 1  # S6 single-file contract
+
+
+def test_tsv_contract_bytes(spark, fixture_dir, tmp_path):
+    """Byte-level contract of the sink: BOM, tab delimiter, QUOTE_ALL,
+    '' for NULL, parseable with the csv module the reference validates
+    with (run_exports_query.py:91-104)."""
+    out_dir = str(tmp_path / "contract")
+    deals = os.path.join(fixture_dir, "exports_deals.parquet")
+    comp = os.path.join(fixture_dir, "competitor_list.csv")
+    run_export_job(spark, deals, comp, out_dir, PipelineConfig())
+
+    part = glob.glob(os.path.join(out_dir, "associated_lender=*", "part-*.csv"))[0]
+    raw = open(part, "rb").read()
+    assert raw.startswith(b"\xef\xbb\xbf")  # utf-8-sig BOM
+    text = raw.decode("utf-8-sig")
+    reader = csv.reader(io.StringIO(text), delimiter="\t")
+    header = next(reader)
+    assert len(header) > 20
+    first = next(reader)
+    assert len(first) == len(header)  # arity
+    # QUOTE_ALL: every field of the raw first data line is quoted
+    first_line = text.splitlines()[1]
+    assert all(f.startswith('"') and f.endswith('"') for f in first_line.split("\t"))
+
+
+def test_merged_time_reinference(spark, fixture_dir, tmp_path):
+    """merge job re-infers `time` (merge_all_lenders.py:58-59): the merged
+    frame's time parses to timestamps, nulls only where source was null."""
+    out_dir, merged_dir = str(tmp_path / "o"), str(tmp_path / "m")
+    deals = os.path.join(fixture_dir, "exports_deals.parquet")
+    comp = os.path.join(fixture_dir, "competitor_list.csv")
+    run_export_job(spark, deals, comp, out_dir, PipelineConfig())
+    merged = run_merge_job(spark, out_dir, merged_dir)
+    assert dict(merged.dtypes)["time"] == "timestamp"
+    assert merged.filter(F.col("time").isNull()).count() == 0

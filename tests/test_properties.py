@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the tricky pipeline semantics
+(SURVEY §5 #4): dedup idempotence, explode scenario preservation,
+classifier totality, clean idempotence."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from monthly_report_etl_spark.operators import exports
+from monthly_report_etl_spark.operators.enrich import clean_for_export
+from monthly_report_etl_spark.schemas import EXPORTS_DEALS_SCHEMA
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+_lender = st.sampled_from(["a", "b", "c", None])
+_tristate = st.sampled_from(["true", "false", None])
+
+
+@st.composite
+def _event_rows(draw):
+    n = draw(st.integers(1, 12))
+    rows = []
+    used_times = set()
+    for i in range(n):
+        t = draw(st.integers(0, 10_000_000).filter(lambda x: x not in used_times))
+        used_times.add(t)
+        elements = []
+        for ln in draw(st.lists(st.sampled_from(["a", "b", "c"]), unique=True)):
+            el = {"lenderName": ln, "doesService": draw(_tristate)}
+            if draw(st.booleans()):
+                el["maxBorrowingCapacity"] = draw(
+                    st.one_of(st.none(), st.just("null"), st.floats(1e5, 1e6, allow_nan=False))
+                )
+            if draw(st.booleans()):
+                el["performance"] = {
+                    "lenderFailedServicing": draw(_tristate),
+                    "lenderFailedInScope": draw(_tristate),
+                    "lenderFailedOutOfScope": draw(_tristate),
+                    "lenderPassedServicing": draw(_tristate),
+                    "lenderExportWinner": draw(_tristate),
+                }
+            elements.append(el)
+        rows.append(
+            {
+                "time": f"2025-03-01T00:00:{t % 60:02d}.{t % 1000000:06d}",
+                "scenarioId": f"s{draw(st.integers(0, 4))}",
+                "isValidExport": True,
+                "exportedLender": draw(_lender),
+                "results": json.dumps(elements),
+            }
+        )
+    return rows
+
+
+def _to_df(spark, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows)
+    pdf["time"] = pd.to_datetime(pdf["time"]).astype("datetime64[us]")
+    for f in EXPORTS_DEALS_SCHEMA.fieldNames():
+        if f not in pdf.columns:
+            pdf[f] = None
+    return spark.createDataFrame(pdf[EXPORTS_DEALS_SCHEMA.fieldNames()], EXPORTS_DEALS_SCHEMA)
+
+
+@settings(**_SETTINGS)
+@given(rows=_event_rows())
+def test_dedup_idempotent_and_unique(spark, rows):
+    df = _to_df(spark, rows)
+    b = exports.base(df, "2025-01-01T00:00:00Z", "2026-01-01T00:00:00Z")
+    d1 = exports.dedup_latest(b)
+    # one row per scenario, scenario set preserved
+    assert d1.count() == d1.select("scenarioId").distinct().count()
+    assert (
+        d1.select("scenarioId").distinct().count()
+        == b.select("scenarioId").distinct().count()
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_event_rows())
+def test_explode_preserves_every_scenario_per_lender(spark, rows):
+    """The COALESCE/NULLIF/placeholder dance is load-bearing: every
+    (passing scenario x lender) pair must appear at least once."""
+    df = _to_df(spark, rows)
+    b = exports.base(df, "2025-01-01T00:00:00Z", "2026-01-01T00:00:00Z")
+    passing = exports.filter_passing(exports.flag_failing(exports.dedup_latest(b)))
+    lenders = exports.get_lenders(df)
+    n_lenders = lenders.count()
+    n_pass = passing.count()
+    out = exports.explode_lender_results(exports.global_stats(passing), lenders)
+    if n_lenders and n_pass:
+        # matched elements satisfy lenderName == target and the placeholder
+        # carries the target, so the distinct pair set is EXACTLY the
+        # cross product — nothing lost, nothing invented
+        pairs = out.select("scenarioId", F.col("lender_result")["lenderName"]).distinct().count()
+        assert pairs == n_pass * n_lenders
+        assert out.count() >= n_pass * n_lenders  # dup elements may add rows
+    else:
+        assert out.count() == 0
+
+
+@settings(**_SETTINGS)
+@given(rows=_event_rows())
+def test_classifier_is_total(spark, rows):
+    """performance is never NULL and always one of the 7 labels."""
+    df = _to_df(spark, rows)
+    result = exports.exports_pipeline(
+        df, "2025-01-01T00:00:00Z", "2026-01-01T00:00:00Z", sort="none"
+    )
+    labels = {r["performance"] for r in result.select("performance").distinct().collect()}
+    assert labels <= set(exports.PERFORMANCE_LABELS)
+    assert result.filter(F.col("performance").isNull()).count() == 0
+
+
+def test_clean_idempotent(spark, fixture_dir):
+    """clean(clean(x)) == clean(x) — the regex strip and coercions are
+    stable under re-application (F16 idempotence, SURVEY §5)."""
+    import os
+
+    from monthly_report_etl_spark.config import PipelineConfig
+    from monthly_report_etl_spark.plans import monthly_report
+    from monthly_report_etl_spark.schemas import COMPETITOR_LIST_SCHEMA
+    from monthly_report_etl_spark.sources import read_lookup_csv
+    from tests.utils import assert_frames_match
+
+    raw = spark.read.parquet(os.path.join(fixture_dir, "exports_deals.parquet"))
+    comp = read_lookup_csv(
+        spark, os.path.join(fixture_dir, "competitor_list.csv"), COMPETITOR_LIST_SCHEMA
+    )
+    once = monthly_report(raw, comp, PipelineConfig())
+    twice = clean_for_export(once)
+    assert_frames_match(twice.toPandas(), once.toPandas())
