@@ -303,3 +303,103 @@ CATALOG: dict[str, tuple] = {
     "percentiles_exact": (percentiles, PERCENTILES_ORACLE),
     "window_family": (window_family, WINDOW_FAMILY_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# skew-salted join (scale technique, oracle = the plain join's result)
+# ---------------------------------------------------------------------------
+
+_SALT_BUCKETS = 8
+
+SALTED_JOIN_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe equi-join via salting: the probe side appends a random
+    salt in [0, B) to its key; the build side is replicated B ways with
+    every salt value; join on (key, salt).
+
+    Same result set as the plain join (the oracle IS the plain join), but
+    a key holding p% of the rows now spreads over B reducers instead of
+    one — the manual fallback when AQE skew-join splitting can't kick in
+    (e.g. pre-3.0 clusters or broadcast-disabled builds). B=8 multiplies
+    the small side's shuffle volume 8x — use on genuinely skewed keys.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_probe = li.withColumn(
+        "_salt", (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_BUCKETS)))
+    )
+    replicated_build = o.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)]))
+    )
+    return (
+        salted_probe.join(
+            replicated_build,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & (salted_probe._salt == replicated_build._salt),
+        )
+        .select("l_orderkey", "l_linenumber", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# array / map / higher-order function coverage
+# ---------------------------------------------------------------------------
+
+ARRAY_FUNCTIONS_ORACLE = """
+WITH t AS (
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+           list_sort(list(value)) AS vals
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(types) AS BIGINT) AS n_types,
+       array_to_string(types, '|') AS types_str,
+       CAST(len(list_filter(vals, v -> v > 500)) AS BIGINT) AS n_big,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, vals), (a, v) -> a + v), 2)
+           AS sum_vals,
+       ROUND(list_transform(vals, v -> v * 2)[1], 2) AS first_doubled,
+       list_contains(types, 'error') AS has_error,
+       array_to_string(list_sort(list_intersect(types, ['click', 'view', 'error'])), '|')
+           AS common_types
+FROM t
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order coverage in one pass: collect_set, sort,
+    transform, filter, fold (aggregate), contains, intersect — all
+    JVM-side expression work on grouped arrays.
+
+    Note: DuckDB's list_intersect preserves no particular order — both
+    sides sort before joining to a string.
+    """
+    ev = _t(spark, sf_dir, "events")
+    t = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.sort_array(F.collect_list("value")).alias("vals"),
+    )
+    return t.select(
+        "user_id",
+        F.size("types").cast("long").alias("n_types"),
+        F.array_join("types", "|").alias("types_str"),
+        F.size(F.filter("vals", lambda v: v > 500)).cast("long").alias("n_big"),
+        F.round(
+            F.aggregate("vals", F.lit(0.0), lambda a, v: a + v), 2
+        ).alias("sum_vals"),
+        F.round(F.element_at(F.transform("vals", lambda v: v * 2), 1), 2).alias(
+            "first_doubled"
+        ),
+        F.array_contains("types", "error").alias("has_error"),
+        F.array_join(
+            F.array_sort(F.array_intersect("types", F.array(F.lit("click"), F.lit("view"), F.lit("error")))),
+            "|",
+        ).alias("common_types"),
+    )
+
+
+CATALOG["salted_join"] = (salted_join, SALTED_JOIN_ORACLE)
+CATALOG["array_functions"] = (array_functions, ARRAY_FUNCTIONS_ORACLE)

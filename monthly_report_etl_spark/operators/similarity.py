@@ -9,9 +9,11 @@ Scale design (100 TB of vectors):
   Q is small;
 * LSH hashes every vector to a bucket signature as a per-row projection,
   then only joins query buckets — candidate volume drops by ~2^bits;
-  recall is tunable with multiple tables (OR-amplification). IVF with
-  learned centroids would need a k-means pass (iterative; out of scope for
-  the SQL-oracle gate) — LSH gives the same shuffle shape without training.
+  recall is tunable with multiple tables (OR-amplification);
+* IVF trains a k-means coarse quantizer (distributed Lloyd iterations —
+  only the k x dim model crosses to the driver, like MLlib), then each
+  query probes its nearest clusters with exact re-rank — the best
+  recall/candidate trade on clustered corpora, rows-only for the SQL gate.
 """
 
 from __future__ import annotations
@@ -173,3 +175,120 @@ CATALOG: dict[str, tuple] = {
     "similarity_knn_brute_force": (knn_brute_force, KNN_ORACLE),
     "similarity_ann_lsh": (ann_lsh_topk, None),  # approximate: rows-only + pytest recall
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: k-means coarse quantizer + probe-limited exact search
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_ITERS = 3
+IVF_PROBES = 4
+
+
+def _normalized(df: DataFrame, vec_col: str = "e") -> DataFrame:
+    from monthly_report_etl_spark.functions.vectors import l2_norm
+
+    n = l2_norm(F.col(vec_col))
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x / n)
+    )
+
+
+def _nearest_centroid(vec_col, centroids: list[list[float]]):
+    """argmax dot(vec, centroid) over the (driver-held) centroid list —
+    expressed as array_max over (dot, cid) structs, pure JVM expressions."""
+    scored = []
+    for cid, c in enumerate(centroids):
+        lit = F.array(*[F.lit(x) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        scored.append(F.struct(dot.alias("dot"), F.lit(cid).alias("cid")))
+    return F.array_max(F.array(*scored))["cid"]
+
+
+def train_ivf_centroids(
+    spark: SparkSession, sf_dir: str, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS
+) -> list[list[float]]:
+    """Lloyd's k-means on normalized vectors (cosine k-means).
+
+    Assignment and the per-dimension mean are fully distributed
+    (posexplode → groupBy(cluster, dim) avg → reassemble). Only the MODEL
+    (k x dim floats) crosses to the driver between iterations — the same
+    contract as MLlib's KMeans; data never does. Init is the first k
+    vectors by vec_id (deterministic, no RNG).
+    """
+    v = _normalized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    centroids = [
+        r["e"] for r in v.orderBy("vec_id").limit(k).collect()
+    ]  # k x 64 floats: model init, not a data path
+    for _ in range(iters):
+        assigned = v.withColumn("cid", _nearest_centroid(F.col("e"), centroids))
+        dims = assigned.select(
+            "cid", F.posexplode("e").alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+        new = {r["cid"]: r["centroid"] for r in means.collect()}  # model state only
+        centroids = [new.get(cid, centroids[cid]) for cid in range(k)]
+    return centroids
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign the corpus to trained coarse clusters; each query
+    searches only its IVF_PROBES nearest clusters with exact cosine, then
+    window top-k.
+
+    The scale shape: the corpus is scanned once to tag cluster ids (pure
+    projection), and the search join is equi on cluster id — candidate
+    volume drops to ~PROBES/K of the corpus vs brute force. Centroids are
+    plan literals (k x dim), no broadcast table needed.
+    """
+    centroids = train_ivf_centroids(spark, sf_dir)
+    v = _normalized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    tagged = v.withColumn("cid", _nearest_centroid(F.col("e"), centroids))
+    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    # per-query probe list: top IVF_PROBES centroids by dot product
+    probe_structs = []
+    for cid, c in enumerate(centroids):
+        lit = F.array(*[F.lit(x) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col("qe"), lit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        probe_structs.append(F.struct(dot.alias("dot"), F.lit(cid).alias("cid")))
+    probes = F.slice(
+        F.reverse(F.array_sort(F.array(*probe_structs))), 1, IVF_PROBES
+    )
+    q = q.withColumn("probe_cid", F.explode(F.transform(probes, lambda s: s["cid"])))
+    cand = tagged.join(
+        F.broadcast(q), (F.col("cid") == F.col("probe_cid")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.withColumn("cos", cosine_similarity(F.col("qe"), F.col("e")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+CATALOG["similarity_ivf_topk"] = (ivf_topk, None)  # iterative model: rows-only + pytest recall

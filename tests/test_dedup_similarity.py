@@ -95,3 +95,40 @@ def test_dedup_exact_removes_duplicates(spark, sf_dir):
     result = dedup.dedup_exact(spark, sf_dir)
     assert result.count() == n_distinct
     assert result.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with 4/16 probes must beat plain LSH's recall floor; trained
+    centroids are deterministic (fixed init, fixed iteration count)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_brute_force(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_assignment_is_nearest_centroid(spark, sf_dir):
+    """Every corpus vector's cluster tag is argmax-dot over the trained
+    centroids (spot-checked driver-side for 20 vectors)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cents = np.array(similarity.train_ivf_centroids(spark, sf_dir))
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(20).collect()
+    from monthly_report_etl_spark.operators.similarity import _nearest_centroid, _normalized
+
+    df = _normalized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .limit(20)
+    )
+    tagged = {r["vec_id"]: r["cid"] for r in df.withColumn("cid", _nearest_centroid(F.col("e"), [list(c) for c in cents])).collect()}
+    for r in v:
+        e = np.array(r["embedding"], dtype=np.float64)
+        e = e / np.linalg.norm(e)
+        assert tagged[r["vec_id"]] == int(np.argmax(cents @ e))
