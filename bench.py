@@ -33,6 +33,15 @@ HEADLINE = [
     "topk_orders",
     "union_by_name",
     "json_extract_props",
+    "olap_shipping_priority",
+    "olap_local_supplier_volume",
+    "olap_returned_items",
+    "dedup_minhash_lsh",
+    "similarity_knn_brute_force",
+    "text_quality_score",
+    "streaming_sessionize",
+    "asof_join",
+    "window_family",
 ]
 
 

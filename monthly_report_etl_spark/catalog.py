@@ -755,12 +755,13 @@ def _register_extension_catalogs() -> None:
     """
     from monthly_report_etl_spark.operators import dedup as _dedup
     from monthly_report_etl_spark.operators import multimodal as _multimodal
+    from monthly_report_etl_spark.operators import olap as _olap
     from monthly_report_etl_spark.operators import relational as _relational
     from monthly_report_etl_spark.operators import similarity as _similarity
     from monthly_report_etl_spark.operators import text as _text
     from monthly_report_etl_spark.streaming import events_stream as _streaming
 
-    for module in (_text, _dedup, _similarity, _multimodal, _streaming, _relational):
+    for module in (_text, _dedup, _similarity, _multimodal, _streaming, _relational, _olap):
         for name, (fn, oracle) in module.CATALOG.items():
             QUERIES[name] = _engine_semantics(fn)
             if oracle is not None:

@@ -25,10 +25,10 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from monthly_report_etl_spark.functions.text import shingles, whitespace_tokens
+from monthly_report_etl_spark.functions.text import whitespace_tokens
 from monthly_report_etl_spark.functions.vectors import cosine_similarity
 
 # ---------------------------------------------------------------------------
@@ -88,11 +88,40 @@ WHERE common * 1.0 / (na + nb - common) >= {JACCARD_THRESHOLD}
 """
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the form every consumer
+    (inverted-index join, MinHash) actually wants.
+
+    Built WITHOUT higher-order lambdas: posexplode tokens, then two window
+    ``lead``s concatenate the 3-gram. HOF expressions (``transform`` +
+    ``concat_ws`` over ``element_at``) are CodegenFallback — interpreted
+    tree-walking — and feeding one into a Generate re-evaluates it per
+    consumer: measured ~11s for 5000 docs vs ~1s for this formulation.
+    The window shuffle is keyed by doc_id and reused by the downstream
+    per-doc aggregations.
+    """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
-        "doc_id", shingles(whitespace_tokens(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
+    toks = d.select("doc_id", whitespace_tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    ex = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = ex.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("s"),
+        F.lead("tok", 2).over(w).alias("_t2"),
+    ).filter(F.col("_t2").isNotNull())
+    return grams.select("doc_id", "s").distinct()
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinct shingle SET (array form, for verification
+    array_intersect) — aggregated from the row form."""
+    return _shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh")
+    )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,9 +132,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash path below. Kept exact here because it is the verification
     oracle for the sketches.
     """
-    e = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s"), F.size("sh").alias("n")
-    )
+    rows = _shingle_rows(spark, sf_dir)
+    e = rows.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -136,18 +164,28 @@ PERMUTATIONS = [(_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE)) for
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (NUM_PERM permutations over shingle
-    xxhash64s) — a pure per-row projection, no shuffle."""
-    sh = _shingled(spark, sf_dir)
-    hashes = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
-    sig = F.array(
+    xxhash64s).
+
+    Formulated as explode → per-permutation MIN hash-aggregation, NOT as
+    nested higher-order transforms: Catalyst's CollapseProject re-inlines
+    projection chains into HOF lambdas (no subexpression elimination
+    inside lambdas), which made the expression-only version recompute the
+    shingle-string construction 32x per element — measured minutes instead
+    of seconds at 5000 docs. The Generate (explode) is a hard optimizer
+    barrier, each shingle string is built exactly once, and the 32 MINs
+    get map-side partial aggregation (the shuffle carries one 32-long row
+    per doc per partition — the 100 TB-safe shape).
+    """
+    ex = _shingle_rows(spark, sf_dir)
+    h = F.xxhash64("s")
+    mins = ex.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
-            )
-            for a, b in PERMUTATIONS
+            F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"_m{j}")
+            for j, (a, b) in enumerate(PERMUTATIONS)
         ]
     )
-    return sh.select("doc_id", sig.alias("signature"), "sh")
+    sig = F.array(*[F.col(f"_m{j}") for j in range(NUM_PERM)])
+    return mins.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
