@@ -403,3 +403,80 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CATALOG["salted_join"] = (salted_join, SALTED_JOIN_ORACLE)
 CATALOG["array_functions"] = (array_functions, ARRAY_FUNCTIONS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# approximate aggregates + map functions
+# ---------------------------------------------------------------------------
+
+APPROX_EXACT_BOUNDS_ORACLE = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS exact_types
+FROM events
+"""
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) and percentile_approx
+    (t-digest) — the mergeable-sketch aggregates that replace their exact
+    forms at 100 TB (bounded state per partition, one combine tree).
+
+    Sketch outputs are engine-specific, so the driver check is rows-only;
+    the pytest asserts the HLL estimate lands within its error bound of
+    the exact count (tests/test_dedup_similarity.py-style differential).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_type", rsd=0.02).alias("approx_types"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+    )
+
+
+def exact_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companions for the approx sketches (oracle-checked)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_type").alias("exact_types"),
+    )
+
+
+MAP_FUNCTIONS_ORACLE = """
+SELECT user_id,
+       CAST(len(map_entries(m)) AS BIGINT) AS n_keys,
+       ROUND(m['click'][1], 2) AS click_sum,
+       ROUND(m['purchase'][1], 2) AS purchase_sum
+FROM (
+    SELECT user_id, MAP(list(event_type ORDER BY event_type),
+                        list(s ORDER BY event_type)) AS m
+    FROM (
+        SELECT user_id, event_type, SUM(value) AS s
+        FROM events GROUP BY user_id, event_type
+    ) GROUP BY user_id
+)
+"""
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: build a per-user event_type→sum map with
+    map_from_entries, probe with element_at, count with map_keys.
+    DuckDB's MAP[key] returns a list — the oracle indexes [1]."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.sum("value").alias("s"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "s")))
+        ).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+        F.round(F.element_at("m", "click"), 2).alias("click_sum"),
+        F.round(F.element_at("m", "purchase"), 2).alias("purchase_sum"),
+    )
+
+
+CATALOG["approx_aggregates"] = (approx_aggregates, None)  # sketch: rows-only
+CATALOG["exact_distinct_bounds"] = (exact_distinct_bounds, APPROX_EXACT_BOUNDS_ORACLE)
+CATALOG["map_functions"] = (map_functions, MAP_FUNCTIONS_ORACLE)

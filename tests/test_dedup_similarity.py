@@ -132,3 +132,16 @@ def test_ivf_assignment_is_nearest_centroid(spark, sf_dir):
         e = np.array(r["embedding"], dtype=np.float64)
         e = e / np.linalg.norm(e)
         assert tagged[r["vec_id"]] == int(np.argmax(cents @ e))
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    """HLL++ estimate must land within ~3x its configured rsd of exact."""
+    from monthly_report_etl_spark.operators.relational import (
+        approx_aggregates,
+        exact_distinct_bounds,
+    )
+
+    a = approx_aggregates(spark, sf_dir).collect()[0]
+    e = exact_distinct_bounds(spark, sf_dir).collect()[0]
+    assert abs(a["approx_users"] - e["exact_users"]) <= max(3, 0.06 * e["exact_users"])
+    assert a["approx_types"] == e["exact_types"]  # tiny cardinality: exact
