@@ -229,3 +229,48 @@ CATALOG: dict[str, tuple] = {
     "streaming_tumbling_window_batch": (tumbling_window_counts, TUMBLING_WINDOW_ORACLE),
     "streaming_sessionize": (sessionize_batch, SESSIONIZE_ORACLE),
 }
+
+
+def session_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming sessionization via the native ``session_window`` — the
+    streaming twin of ``sessionize_batch`` (same 30-minute gap): state per
+    open session, closed by the watermark, merged on overlap."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_window_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "session_windows"
+) -> DataFrame:
+    src = _stage_events_dir(sf_dir)
+    q = (
+        session_window_stream(spark, src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

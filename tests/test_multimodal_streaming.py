@@ -83,3 +83,14 @@ def test_sessionize_properties(spark, sf_dir):
     assert sessions.agg(F.sum("n_events")).collect()[0][0] == n_events
     # no session spans a gap silently: start <= end everywhere
     assert sessions.filter(F.col("session_start") > F.col("session_end")).count() == 0
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
+    """The native session_window streaming query must partition events
+    into the same sessions as the batch lag/cumsum formulation (same
+    30-min gap): identical session count per user and total events."""
+    sw = events_stream.run_session_window_once(spark, sf_dir, "sw_test")
+    batch = events_stream.sessionize_batch(spark, sf_dir)
+    s = {(r["user_id"], r["session_start"]): r["n_events"] for r in sw.collect()}
+    b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    assert s == b
