@@ -201,7 +201,10 @@ def exports_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         passing.crossJoin(F.broadcast(totals))
-        .join(F.broadcast(per_type), F.col("event_type") == F.col("_et"), "left")
+        # eqNullSafe: a NULL event_type group must still find its own
+        # denominator row (COUNT(DISTINCT) OVER (PARTITION BY) counts the
+        # NULL group; plain == would null it out)
+        .join(F.broadcast(per_type), F.col("event_type").eqNullSafe(F.col("_et")), "left")
         .drop("_et")
         .withColumn("performance", label)
         .select(
@@ -382,9 +385,15 @@ def dedup_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max("ts").alias("time"),
-            F.max_by("event_type", "ts").alias("event_type"),
-            F.max_by("value", "ts").alias("value"),
-            F.max_by("props", "ts").alias("props"),
+            # DuckDB MAX_BY skips NULL values (returns the latest NON-NULL);
+            # Spark returns value-at-latest-row. The conditional ordering key
+            # reproduces the null-skip exactly (same guard as the flagship
+            # dedup_latest in operators/exports.py).
+            F.max_by("event_type", F.when(F.col("event_type").isNotNull(), F.col("ts"))).alias(
+                "event_type"
+            ),
+            F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))).alias("value"),
+            F.max_by("props", F.when(F.col("props").isNotNull(), F.col("ts"))).alias("props"),
         )
     )
 
@@ -476,7 +485,9 @@ def global_denominators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.crossJoin(F.broadcast(totals))
-        .join(F.broadcast(per_type), F.col("event_type") == F.col("_et"), "left")
+        # eqNullSafe: the NULL event_type group is a real partition for
+        # COUNT(DISTINCT) OVER (PARTITION BY) — plain == would drop it
+        .join(F.broadcast(per_type), F.col("event_type").eqNullSafe(F.col("_et")), "left")
         .select("event_id", "count_all_users", "count_users_in_type", "sum_all_value")
     )
 
@@ -747,12 +758,198 @@ def date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.4/2.5 extensions: grouping sets, range frames, filtered aggregates,
+# calendar densification, scalar string family
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the general form rollup/cube specialize): three
+    explicit grouping sets in ONE aggregation pass (Expand + single
+    shuffle), with GROUPING() disambiguating real NULLs from subtotals."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS LONG) AS g_pri,
+               CAST(grouping(o_orderstatus) AS LONG) AS g_st,
+               count(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@_register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2)
+               AS rolling_7d_total
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (rolling 7-day sum per customer). Spark's
+    rangeBetween is numeric, so the ordering key is epoch MICROseconds —
+    full precision, exactly the oracle's INTERVAL arithmetic (a seconds
+    cast would misplace sub-second boundary rows). RANGE includes all
+    peers of the current timestamp in both engines → deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # parquet column is TIMESTAMP_NTZ; cast to (UTC-pinned) TIMESTAMP
+        # for unix_micros — lossless under the UTC session
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d_total"),
+    )
+
+
+@_register(
+    "filtered_agg_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+           ROUND(COALESCE(SUM(o_totalprice)
+               FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01'), 0), 2) AS recent_total,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (conditional aggregation) — expressed as
+    aggregate-over-CASE so partial aggregation still applies map-side."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"),
+                        F.col("o_totalprice"),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("recent_total"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@_register(
+    "calendar_spine_monthly",
+    """
+    WITH months AS (
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                      TIMESTAMP '2001-08-01',
+                                      INTERVAL 1 MONTH)) AS month
+    ),
+    o AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               count(*) AS n, SUM(o_totalprice) AS t
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(months.month AS TIMESTAMP) AS month,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(o.t, 0), 2) AS total
+    FROM months LEFT JOIN o ON o.m = months.month
+    """,
+)
+def calendar_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a generated month spine left-joined against
+    the monthly aggregate, so empty months surface as zero rows. The spine
+    is 80 rows (sequence + explode on the driver's literal range) and
+    BROADCASTS; the aggregate side shuffles once on a month key."""
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month")
+    )
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("t")
+    )
+    return (
+        F.broadcast(spine)
+        .join(monthly, spine.month == monthly.m, "left")
+        .select(
+            "month",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("t", F.lit(0.0)), 2).alias("total"),
+        )
+    )
+
+
+@_register(
+    "string_funcs_customer",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           substr(c_name, 1, 8) AS prefix8,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           reverse(c_mktsegment) AS seg_rev,
+           lpad(c_mktsegment, 12, '*') AS seg_pad,
+           replace(c_name, '#', '-') AS name_dash,
+           concat_ws('|', c_mktsegment, c_name) AS seg_name,
+           CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_building,
+           split_part(c_name, '#', 1) AS name_stem
+    FROM customer
+    """,
+)
+def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function family (§2.8) — every function pinned to the
+    cross-engine-identical subset (1-based substr/strpos, lpad truncation,
+    classic levenshtein), all codegen'd in one projection."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.lpad("c_mktsegment", 12, "*").alias("seg_pad"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dash"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.instr("c_name", "1").cast("long").alias("pos_one"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("long").alias("lev_building"),
+        F.expr("split_part(c_name, '#', 1)").alias("name_stem"),
+    )
+
+
 def _register_extension_catalogs() -> None:
     """Merge the extension operators' (fn, oracle) tables into the registry.
 
     Deferred import at module bottom (the extension modules are standalone;
     catalog is the single wiring point the driver sees).
     """
+    from monthly_report_etl_spark.operators import corpus as _corpus
     from monthly_report_etl_spark.operators import dedup as _dedup
     from monthly_report_etl_spark.operators import multimodal as _multimodal
     from monthly_report_etl_spark.operators import olap as _olap
@@ -761,7 +958,16 @@ def _register_extension_catalogs() -> None:
     from monthly_report_etl_spark.operators import text as _text
     from monthly_report_etl_spark.streaming import events_stream as _streaming
 
-    for module in (_text, _dedup, _similarity, _multimodal, _streaming, _relational, _olap):
+    for module in (
+        _text,
+        _dedup,
+        _similarity,
+        _multimodal,
+        _streaming,
+        _relational,
+        _olap,
+        _corpus,
+    ):
         for name, (fn, oracle) in module.CATALOG.items():
             QUERIES[name] = _engine_semantics(fn)
             if oracle is not None:

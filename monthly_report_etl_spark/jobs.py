@@ -54,7 +54,7 @@ def run_merge_job(spark: SparkSession, output_dir: str, merged_dir: str) -> Data
     merge_all_lenders.py:41-59 (the ``partitionBy`` layout moves
     ``associated_lender`` into the directory key; the read restores it).
     """
-    df = read_tsv_directory(spark, output_dir)
+    df = read_tsv_directory(spark, output_dir, skip_bad_files=True)
     if "time" in df.columns:
         df = df.withColumn("time", F.to_timestamp("time"))
     write_tsv(df, merged_dir, single_file=True, bom=True)

@@ -1,0 +1,248 @@
+"""Corpus-statistics operators for the training-data pipeline — the
+aggregate/relational companions to the per-row ops in ``operators/text.py``:
+deterministic hash-mod sampling, PII/pattern flagging, TF-IDF top terms,
+bigram frequency, and length-bucket histograms over ``documents``.
+
+All built-in expression API (whole-stage codegen; zero Python UDFs). Each
+operator carries its exact DuckDB oracle. Scale notes inline — the design
+constraint is 100 TB of documents:
+
+* sampling and flagging are pure projections (zero shuffle, pruned scan);
+* TF-IDF is the canonical 3-shuffle shape (doc-term agg → term window →
+  doc window) with NO diamond re-execution (document frequency comes from
+  a window over the tf frame, not a second aggregation of it);
+* bigrams avoid higher-order-function shingle building (CodegenFallback +
+  Generate re-evaluation, the 10-30x trap) via posexplode + window lead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monthly_report_etl_spark.functions.text import fingerprint
+
+SAMPLE_MOD = 10  # keep ~1/10 of documents
+TFIDF_TOP_K = 3
+BIGRAM_TOP_K = 20
+
+# Portable regexes (Java regex == RE2 for these constructs)
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_REGEX = r"https?://[^\s]+"
+NUMBER_REGEX = r"[0-9]+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic content-hash sampling
+# ---------------------------------------------------------------------------
+
+# Content-keyed (not doc_id-keyed) so re-ingested copies of a document land
+# in the same sample — the property training-data pipelines rely on.
+SAMPLE_HASH_MOD_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(text, ''),
+                                           c -> CAST(ascii(c) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 1000000000007
+           ) AS doc_fingerprint
+    FROM documents
+)
+SELECT doc_id, doc_fingerprint
+FROM fp WHERE doc_fingerprint % {SAMPLE_MOD} = 0
+"""
+
+
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/SAMPLE_MOD sample keyed on the portable content
+    fingerprint — no RNG, reproducible across engines and runs; a pure
+    projection + filter (no shuffle, no sampling operator state)."""
+    d = _docs(spark, sf_dir)
+    fp = fingerprint(F.col("text"))
+    return (
+        d.select("doc_id", fp.alias("doc_fingerprint"))
+        .filter(F.col("doc_fingerprint") % SAMPLE_MOD == 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / pattern flagging (the redaction pre-pass of a training pipeline)
+# ---------------------------------------------------------------------------
+
+PII_FLAGS_ORACLE = rf"""
+SELECT doc_id,
+       regexp_matches(text, '{EMAIL_REGEX}') AS has_email,
+       regexp_matches(text, '{URL_REGEX}') AS has_url,
+       CAST(len(regexp_extract_all(text, '{NUMBER_REGEX}')) AS BIGINT) AS n_numbers,
+       regexp_replace(regexp_replace(text, '{EMAIL_REGEX}', '<EMAIL>', 'g'),
+                      '{NUMBER_REGEX}', '<NUM>', 'g') AS redacted
+FROM documents
+"""
+
+
+def pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern flags + redaction — single projection pass, all regexes
+    evaluated inside codegen; the shape of a PII scrub stage."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_like("text", F.lit(EMAIL_REGEX)).alias("has_email"),
+        F.regexp_like("text", F.lit(URL_REGEX)).alias("has_url"),
+        F.regexp_count("text", F.lit(NUMBER_REGEX)).cast("long").alias("n_numbers"),
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_REGEX, "<EMAIL>"), NUMBER_REGEX, "<NUM>"
+        ).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+scored AS (
+    SELECT doc_id, term, tf,
+           count(*) OVER (PARTITION BY term) AS dfreq,
+           (SELECT count(*) FROM documents) AS n_docs
+    FROM tf
+),
+r AS (
+    SELECT doc_id, term, tf,
+           ROUND(tf * ln((n_docs + 1.0) / (dfreq + 1.0)), 6) AS tfidf
+    FROM scored
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rn
+    FROM r
+)
+SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {TFIDF_TOP_K}
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-k terms.
+
+    Shuffle plan: (1) hash-agg on (doc_id, term) for tf; (2) window over
+    term for document frequency — a WINDOW on the tf frame, not a second
+    groupBy+join, so the explode/agg upstream is executed once (Spark
+    shares no diamond subplans); (3) window over doc_id for the top-k
+    rank. Ranking keys are the ROUNDED score then term, so cross-engine
+    1-ulp ln() differences cannot flip the order."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # driver scalar: one count job over a pruned scan
+    tok = (
+        d.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    scored = tf.withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (dfreq + 1.0)), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram frequency
+# ---------------------------------------------------------------------------
+
+BIGRAM_ORACLE = rf"""
+WITH d AS (
+    SELECT string_split_regex(trim(text), '\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+),
+b AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM d WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {BIGRAM_TOP_K}
+"""
+
+
+def bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus bigrams. Bigrams are built relationally (posexplode →
+    lead over (doc, pos)) — never with array-lambda shingles, which are
+    interpreted AND re-evaluated per Generate consumer. Top-k is
+    TakeOrdered (per-partition heaps), not a global sort."""
+    d = _docs(spark, sf_dir)
+    tok = (
+        d.filter(F.trim("text") != "")
+        .select("doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    return (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# document length histogram
+# ---------------------------------------------------------------------------
+
+LENGTH_BUCKETS_ORACLE = """
+SELECT CAST(FLOOR(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(length(text)), 2) AS avg_len,
+       CAST(MIN(length(text)) AS BIGINT) AS min_len,
+       CAST(MAX(length(text)) AS BIGINT) AS max_len
+FROM documents GROUP BY 1
+"""
+
+
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram (100-char buckets) — one partial-aggregated
+    shuffle over a tiny bucket key space."""
+    d = _docs(spark, sf_dir)
+    ln = F.length("text")
+    return (
+        d.select((F.floor(ln / 100) * 100).cast("long").alias("bucket_lo"), ln.alias("_l"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_l"), 2).alias("avg_len"),
+            F.min("_l").cast("long").alias("min_len"),
+            F.max("_l").cast("long").alias("max_len"),
+        )
+    )
+
+
+CATALOG: dict[str, tuple] = {
+    "corpus_sample_hash_mod": (sample_hash_mod, SAMPLE_HASH_MOD_ORACLE),
+    "corpus_pii_flags": (pii_flags, PII_FLAGS_ORACLE),
+    "corpus_tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
+    "corpus_bigram_top": (bigram_top, BIGRAM_ORACLE),
+    "corpus_length_buckets": (length_buckets, LENGTH_BUCKETS_ORACLE),
+}

@@ -46,15 +46,28 @@ GROUP BY text
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one representative (min doc_id) per identical text.
 
-    One hash-agg shuffle keyed by the text. At 100 TB, group by the
-    128-bit content hash instead of the raw text so the shuffle carries
-    16-byte keys — same result, given a collision-free hash.
+    The shuffle key is ``(sha2(text, 256), length(text))`` — 33 bytes per
+    row regardless of document size — NOT the raw text, so at 100 TB the
+    exchange moves hashes, not multi-KB documents. SHA-256 + exact length
+    makes an accidental group collision require a 256-bit hash collision
+    at equal lengths (cryptographically negligible), so the grouped result
+    is identical to grouping by the text itself; the text column is
+    dropped before the exchange (column pruning keeps the scan narrow).
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count("*").alias("n_copies"),
-    ).select("keep_doc_id", "n_copies")
+    keyed = d.select(
+        F.sha2(F.col("text"), 256).alias("_h"),
+        F.length("text").alias("_len"),
+        "doc_id",
+    )
+    return (
+        keyed.groupBy("_h", "_len")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -50,7 +50,13 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("mean_byte", T.DoubleType()),
-        T.StructField("byte_histogram", T.ArrayType(T.LongType())),  # 4 bins
+        # 4 histogram bins as scalar columns (NOT ArrayType): downstream
+        # canonicalizers (pandas sort/hash) cannot order list cells, and
+        # scalar bins stay fully codegen/Arrow friendly.
+        T.StructField("hist_bin0", T.LongType()),
+        T.StructField("hist_bin1", T.LongType()),
+        T.StructField("hist_bin2", T.LongType()),
+        T.StructField("hist_bin3", T.LongType()),
     ]
 )
 
@@ -96,10 +102,16 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     int(doc_id),
                     int(px.size),
                     float(px.mean()) if px.size else 0.0,
-                    [int(x) for x in hist],
+                    int(hist[0]),
+                    int(hist[1]),
+                    int(hist[2]),
+                    int(hist[3]),
                 )
             )
-        yield pd.DataFrame(feats, columns=["doc_id", "n_bytes", "mean_byte", "byte_histogram"])
+        yield pd.DataFrame(
+            feats,
+            columns=["doc_id", "n_bytes", "mean_byte", "hist_bin0", "hist_bin1", "hist_bin2", "hist_bin3"],
+        )
 
 
 def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,15 +106,31 @@ def _hyperplane(table: int, bit: int) -> list[float]:
     return [math.sin(10_000.0 * table + 100.0 * bit + d) for d in range(_DIM)]
 
 
+def _lit_dot(e_col: F.Column, weights: list[float]) -> F.Column:
+    """dot(e, literal weight vector) as plain indexed arithmetic:
+    ``e[0]*w0 + e[1]*w1 + ...`` summed in a balanced tree.
+
+    Higher-order ``aggregate``/``zip_with`` folds are CodegenFallback
+    (interpreted per row — the 10-30x trap measured on minhash shingles);
+    indexed element access + multiply-add stays inside whole-stage
+    codegen. The balanced tree keeps generated-expression depth O(log n)
+    so janino never sees a 64-deep left chain.
+    """
+    terms = [e_col[d] * F.lit(w) for d, w in enumerate(weights)]
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def _bucket_expr(e_col: F.Column, table: int) -> F.Column:
     """LSH bucket id: sign bits of LSH_BITS full-dimension hyperplane dots
-    (zip_with against a literal plane array — codegen'd, no UDF)."""
+    (codegen'd indexed arithmetic — no HOF, no UDF)."""
     bits = []
     for bit in range(LSH_BITS):
-        w = F.array(*[F.lit(x) for x in _hyperplane(table, bit)])
-        dot = F.aggregate(
-            F.zip_with(e_col, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
+        dot = _lit_dot(e_col, _hyperplane(table, bit))
         bits.append(F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
@@ -197,13 +213,11 @@ def _normalized(df: DataFrame, vec_col: str = "e") -> DataFrame:
 
 def _nearest_centroid(vec_col, centroids: list[list[float]]):
     """argmax dot(vec, centroid) over the (driver-held) centroid list —
-    expressed as array_max over (dot, cid) structs, pure JVM expressions."""
+    expressed as array_max over (dot, cid) structs, pure JVM expressions
+    (codegen'd indexed dots — see _lit_dot)."""
     scored = []
     for cid, c in enumerate(centroids):
-        lit = F.array(*[F.lit(x) for x in c])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-        )
+        dot = _lit_dot(vec_col, list(c))
         scored.append(F.struct(dot.alias("dot"), F.lit(cid).alias("cid")))
     return F.array_max(F.array(*scored))["cid"]
 
@@ -270,10 +284,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-query probe list: top IVF_PROBES centroids by dot product
     probe_structs = []
     for cid, c in enumerate(centroids):
-        lit = F.array(*[F.lit(x) for x in c])
-        dot = F.aggregate(
-            F.zip_with(F.col("qe"), lit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-        )
+        dot = _lit_dot(F.col("qe"), list(c))
         probe_structs.append(F.struct(dot.alias("dot"), F.lit(cid).alias("cid")))
     probes = F.slice(
         F.reverse(F.array_sort(F.array(*probe_structs))), 1, IVF_PROBES

@@ -138,9 +138,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard cheap pre-filter for LLM training corpora."""
     d = _docs(spark, sf_dir)
     n_chars = F.length("text").cast("long")
-    n_tokens = F.size(whitespace_tokens(F.col("text"))).cast("long")
+    # Three single-pass regexp_counts over the raw column — no array
+    # materialization (split+size) and no lower() string copy:
+    # count of maximal \S runs == whitespace token count, and (?i) folds
+    # the case-insensitivity into the (ASCII) stopword pattern itself.
+    n_tokens = F.regexp_count("text", F.lit(r"\S+")).cast("long")
     n_punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).cast("long")
-    n_stop = F.regexp_count(F.lower("text"), F.lit(stopword_regex("en"))).cast("long")
+    n_stop = F.regexp_count("text", F.lit("(?i)" + stopword_regex("en"))).cast("long")
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
     score = (

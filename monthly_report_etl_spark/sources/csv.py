@@ -19,10 +19,14 @@ Three contracts (SURVEY.md §2.1):
 from __future__ import annotations
 
 import glob
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
 
 # pandas strftime '%Y-%m-%d %H:%M:%S%z' → Java pattern (+0000-style offset)
 REFERENCE_TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ssZ"
@@ -49,12 +53,23 @@ def read_lookup_csv(spark: SparkSession, path: str, schema: T.StructType | None 
     return reader.csv(path)
 
 
-def read_tsv_directory(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+def read_tsv_directory(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    skip_bad_files: bool = False,
+) -> DataFrame:
     """S4/U1: union-by-directory of per-lender TSVs, every column string.
 
     ``dtype=str`` + ``''``→NaN (merge_all_lenders.py:41-43) maps to an
-    all-string schema with ``nullValue=''``. PERMISSIVE mode null-fills
-    malformed rows (the reference skips whole unreadable files).
+    all-string schema with ``nullValue=''``.
+
+    ``skip_bad_files=True`` reproduces the reference's per-file try/skip
+    (merge_all_lenders.py:46-49 drops a whole unreadable CSV with a
+    warning and continues): a distributed tagging pass marks corrupt
+    records with their source file, only the tiny bad-FILE list crosses
+    the driver, and every row from a bad file is excluded. With the flag
+    off, PERMISSIVE null-fills malformed rows in place.
     """
     reader = (
         spark.read.option("header", True)
@@ -63,12 +78,70 @@ def read_tsv_directory(spark: SparkSession, path: str, columns: list[str] | None
         .option("mode", "PERMISSIVE")
         .option("escape", "\\")
     )
-    if columns is not None:
-        schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
-        reader = reader.schema(schema)
+    if not skip_bad_files:
+        if columns is not None:
+            schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", False)
+        return reader.csv(path)
+
+    explicit_columns = columns
+    if columns is None:
+        # header pass only (schema inference off): establish the column set
+        columns = spark.read.option("header", True).option("sep", "\t").csv(path).columns
+    data_cols = [c for c in columns]
+
+    # Probe pass: re-read with an explicit corrupt-record column; a row that
+    # fails tokenization (quote damage) or disagrees with the file's data
+    # arity marks its FILE bad. The projection keeps one real data column:
+    # Spark disallows queries whose pruned schema is ONLY the corrupt column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). Partition
+    # columns are subtracted from the data schema by the reader, so the
+    # arity check is per-file-content, as in the reference. Only distinct
+    # bad file NAMES cross the driver — bounded by file count, never data.
+    probe_schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in data_cols]
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    probe = (
+        spark.read.option("header", True)
+        .option("sep", "\t")
+        .option("nullValue", "")
+        .option("mode", "PERMISSIVE")
+        .option("escape", "\\")
+        .schema(probe_schema)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # EVERY data column is referenced through the aggregate: CSV column
+    # pruning re-scopes malformed-row detection to the required columns
+    # only (a quote-broken tail column would go unnoticed), and a scan
+    # reduced to the corrupt column alone is rejected at planning time.
+    # Full-width parsing is also the reference's semantics (pandas parses
+    # whole rows). The per-file counts are discarded; only file names and
+    # one count row per file exist beyond the scan.
+    bad_files = [
+        r["_src_file"]
+        for r in probe.filter(F.col("_corrupt_record").isNotNull())
+        .groupBy(F.input_file_name().alias("_src_file"))
+        .agg(*[F.count(F.col(c)).alias(f"_n{i}") for i, c in enumerate(data_cols)])
+        .collect()
+    ]
+    for f in sorted(bad_files):
+        _LOG.warning("skipping unreadable TSV file (corrupt records): %s", f)
+
+    if explicit_columns is not None:
+        out = reader.schema(
+            T.StructType([T.StructField(c, T.StringType()) for c in explicit_columns])
+        ).csv(path)
     else:
-        reader = reader.option("inferSchema", False)
-    return reader.csv(path)
+        out = reader.option("inferSchema", False).csv(path)
+    if bad_files:
+        out = out.withColumn("_src_file", F.input_file_name()).filter(
+            ~F.col("_src_file").isin(bad_files)
+        ).drop("_src_file")
+    return out
 
 
 def write_tsv(

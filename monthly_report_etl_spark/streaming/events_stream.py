@@ -47,12 +47,27 @@ SESSION_GAP_MINUTES = 30
 
 def _stage_events_dir(sf_dir: str) -> str:
     """Streaming sources read directories; stage the single events.parquet
-    into a temp dir (driver-side file copy, not a data pass)."""
-    staged = os.path.join(tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir))}")
+    into a temp dir (driver-side file copy, not a data pass).
+
+    Keyed by a STABLE digest of the path (Python's ``hash`` is salted per
+    process, which littered /tmp with one dir per run); the copy is
+    refreshed when the source's (size, mtime) changed so a regenerated
+    fixture is never silently reused.
+    """
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:16]
+    staged = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
     os.makedirs(staged, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(staged, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    s = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or os.stat(dst).st_size != s.st_size
+        or os.stat(dst).st_mtime < s.st_mtime
+    ):
+        shutil.copy2(src, dst)
     return staged
 
 
@@ -132,10 +147,13 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Full microsecond precision: cast('long') truncates to seconds, which
+    # would split a gap in (1800s, 1801s] differently from the INTERVAL
+    # comparison in the oracle and from session_window.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     marked = ev.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1).otherwise(0),
     )
     numbered = marked.withColumn(
         "session_id",

@@ -58,6 +58,26 @@ def test_tsv_contract_bytes(spark, fixture_dir, tmp_path):
     assert all(f.startswith('"') and f.endswith('"') for f in first_line.split("\t"))
 
 
+def test_skip_bad_files_drops_whole_file(spark, tmp_path):
+    """S4 fidelity: the reference skips a whole unreadable CSV with a
+    warning and keeps going (merge_all_lenders.py:46-49). A file with a
+    corrupt row must contribute ZERO rows; good files are untouched."""
+    from monthly_report_etl_spark.sources import read_tsv_directory
+
+    d = tmp_path / "tsvs"
+    d.mkdir()
+    (d / "good.csv").write_text('a\tb\n"1"\t"x"\n"2"\t"y"\n')
+    # unclosed quote → CSV tokenizer failure inside the file
+    (d / "bad.csv").write_text('a\tb\n"3\t"z"\n"broken\n')
+
+    permissive = read_tsv_directory(spark, str(d), columns=["a", "b"])
+    skipped = read_tsv_directory(spark, str(d), columns=["a", "b"], skip_bad_files=True)
+
+    rows = {(r["a"], r["b"]) for r in skipped.collect()}
+    assert rows == {("1", "x"), ("2", "y")}  # bad.csv fully dropped
+    assert permissive.count() >= skipped.count()
+
+
 def test_merged_time_reinference(spark, fixture_dir, tmp_path):
     """merge job re-infers `time` (merge_all_lenders.py:58-59): the merged
     frame's time parses to timestamps, nulls only where source was null."""

@@ -19,7 +19,10 @@ def test_decode_features_match_numpy(spark, sf_dir):
         got = feats[row["doc_id"]]
         assert got["n_bytes"] == px.size
         assert abs(got["mean_byte"] - float(px.mean())) < 1e-9
-        assert got["byte_histogram"] == [int(x) for x in np.bincount(px // 64, minlength=4)[:4]]
+        hist = np.bincount(px // 64, minlength=4)[:4]
+        assert [got["hist_bin0"], got["hist_bin1"], got["hist_bin2"], got["hist_bin3"]] == [
+            int(x) for x in hist
+        ]
 
 
 def test_decode_features_survive_small_arrow_batches(spark, sf_dir):
