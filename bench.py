@@ -37,8 +37,12 @@ HEADLINE = [
     "olap_local_supplier_volume",
     "olap_returned_items",
     "dedup_minhash_lsh",
+    "dedup_exact",
     "similarity_knn_brute_force",
+    "similarity_ann_lsh",
     "text_quality_score",
+    "corpus_tfidf_top_terms",
+    "corpus_bigram_top",
     "streaming_sessionize",
     "asof_join",
     "window_family",

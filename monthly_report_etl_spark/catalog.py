@@ -943,6 +943,38 @@ def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "jsonl_roundtrip_docs",
+    """
+    SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → source roundtrip (the LLM-corpus interchange format):
+    write the documents table as JSON-lines with explicit nulls, read it
+    back under an explicit schema. The oracle is the ORIGINAL table —
+    equality proves byte-faithful JSON escaping/typing both ways. The
+    write is a real (small, /tmp-staged) sink pass on every invocation."""
+    import hashlib
+    import os
+    import tempfile
+
+    from monthly_report_etl_spark.sources.json import read_jsonl, write_jsonl
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    key = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"jsonl_docs_{key}")
+    write_jsonl(d, path, keep_nulls=True)
+    return read_jsonl(
+        spark,
+        path,
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def _register_extension_catalogs() -> None:
     """Merge the extension operators' (fn, oracle) tables into the registry.
 

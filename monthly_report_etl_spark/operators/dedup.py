@@ -76,8 +76,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 
-NGRAM_JACCARD_ORACLE = f"""
-WITH d AS (
+# Shared CTE chain: thresholded near-dup pairs (used by the Jaccard oracle
+# and the connected-components oracle below).
+_NGRAM_PAIR_CTES = f"""d AS (
     SELECT doc_id,
            list_distinct(list_transform(
                range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
@@ -93,7 +94,15 @@ pairs AS (
            count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
     FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-)
+),
+good AS (
+    SELECT doc_a, doc_b
+    FROM pairs
+    WHERE common * 1.0 / (na + nb - common) >= {JACCARD_THRESHOLD}
+)"""
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_NGRAM_PAIR_CTES}
 SELECT doc_a, doc_b,
        ROUND(common * 1.0 / (na + nb - common), 6) AS jaccard
 FROM pairs
@@ -390,10 +399,89 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# connected components over the near-dup pair graph (cluster → canonical doc)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 15
+
+# Oracle: transitive closure by recursive CTE; component = min reachable id
+# (self included). Tractable because the thresholded pair graph is tiny.
+CONNECTED_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (
+    SELECT doc_a AS s, doc_b AS t FROM good
+    UNION
+    SELECT doc_b AS s, doc_a AS t FROM good
+),
+reach(s, t) AS (
+    SELECT s, t FROM edges
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS doc_id, CAST(LEAST(MIN(t), s) AS BIGINT) AS component
+FROM reach GROUP BY s
+"""
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the near-dup pair graph: every document in a connected
+    component gets the component's MIN doc_id as its canonical label — the
+    "pick one representative per duplicate cluster" step after pairwise
+    near-dup detection.
+
+    Label propagation to fixpoint (the Pregel/GraphX pattern expressed in
+    DataFrames): each round, every vertex takes the min label among itself
+    and its neighbors; converged when no label changed. Each round is ONE
+    shuffle join + hash-agg; iterations are bounded by graph diameter
+    (CC_MAX_ITERS guards pathological chains — at 100 TB scale the
+    large-star/small-star variant cuts rounds to O(log n)). Only the
+    changed-row COUNT crosses the driver per round (convergence test, like
+    an iterative-solver residual); labels persist round-to-round (2 longs
+    per vertex — narrow rows, where persist beats recompute) and each
+    round's persist unpins the previous one, also truncating lineage.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
+        .persist()
+    )
+    labels = (
+        edges.select("s").distinct().select(F.col("s").alias("doc_id"))
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_labels = edges.join(
+            labels, edges.t == labels.doc_id
+        ).select(edges.s.alias("doc_id"), "component")
+        new_labels = (
+            neighbor_labels.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "_old"), "doc_id"
+            )
+            .filter(F.col("component") < F.col("_old"))
+            .count()
+        )  # scalar convergence check — model state, not data
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 CATALOG: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
     "dedup_minhash_lsh": (minhash_lsh_pairs, None),  # engine-hash sketch: rows-only
     "dedup_simhash": (simhash_pairs, None),  # engine-hash sketch: rows-only
     "dedup_embedding_cosine": (embedding_cosine_pairs, EMBEDDING_COSINE_ORACLE),
+    "dedup_connected_components": (dedup_connected_components, CONNECTED_COMPONENTS_ORACLE),
 }

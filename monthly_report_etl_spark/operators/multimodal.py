@@ -82,20 +82,30 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes) -> np.ndarray:
-    """STUB decode: bytes → 'pixels'. A real implementation would be
-    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))`` — the surrounding
-    Spark plumbing (schema, batching, partitioning) is identical."""
-    if _HAS_PIL:  # pragma: no cover
-        raise NotImplementedError("real decode not exercised in this container")
+def _decode_payload(payload: bytes, media_type: str = "text/plain") -> np.ndarray:
+    """Decode bytes → flat uint8 'pixel' array.
+
+    ``image/*`` payloads decode through PIL when it is installed (the
+    drop-in codec seam — Spark-side schema/batching/partitioning is
+    identical either way); this container has no PIL, so image decode
+    raises a clear error rather than silently faking. Non-image payloads
+    (and everything in the driver tables, which synthesizes text/plain)
+    use the deterministic byte view.
+    """
+    if media_type.startswith("image/"):
+        if not _HAS_PIL:  # pragma: no cover - container has no PIL
+            raise NotImplementedError("image decode requires PIL (not in this container)")
+        import io
+
+        return np.asarray(PIL.Image.open(io.BytesIO(payload))).reshape(-1).astype(np.uint8)
     return np.frombuffer(payload, dtype=np.uint8)
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         feats = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            px = _decode_payload(bytes(payload))
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+            px = _decode_payload(bytes(payload), str(mt))
             hist = np.bincount(px // 64, minlength=4)[:4]
             feats.append(
                 (
@@ -124,8 +134,8 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            px = _decode_payload(bytes(payload))
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+            px = _decode_payload(bytes(payload), str(mt))
             for i in range(0, px.size, FRAME_SIZE):
                 frame = px[i : i + FRAME_SIZE]
                 rows.append((int(doc_id), i // FRAME_SIZE, float(frame.mean())))

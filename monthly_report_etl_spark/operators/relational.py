@@ -480,3 +480,89 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["approx_aggregates"] = (approx_aggregates, None)  # sketch: rows-only
 CATALOG["exact_distinct_bounds"] = (exact_distinct_bounds, APPROX_EXACT_BOUNDS_ORACLE)
 CATALOG["map_functions"] = (map_functions, MAP_FUNCTIONS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# upsert / merge via FULL OUTER join (the warehouse MERGE pattern, no Delta)
+# ---------------------------------------------------------------------------
+
+# update arithmetic is EXACT in binary (floor + 0.25) — a multiply like
+# *1.1 lands on half-cent doubles where the engines' ROUND disagree
+UPSERT_ORACLE = """
+WITH updates AS (
+    SELECT o_orderkey, FLOOR(o_totalprice) + 0.25 AS new_price
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 42.0 FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+       COALESCE(u.new_price, b.o_totalprice) AS o_totalprice,
+       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+            WHEN u.o_orderkey IS NULL THEN 'unchanged'
+            ELSE 'update' END AS change_type
+FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+"""
+
+
+def upsert_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert expressed as FULL OUTER join + coalesce — the pattern
+    for incremental table maintenance without a transactional format.
+    One shuffle pair on the key; at scale the base side would be bucketed
+    on the key so repeated merges never re-shuffle it (see
+    tests/test_plans.py::test_bucketed_join_no_shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", (F.floor("o_totalprice") + 0.25).alias("new_price"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit(42.0).alias("new_price"),
+            )
+        )
+    )
+    b = o.select(F.col("o_orderkey").alias("_bk"), "o_totalprice")
+    u = updates.select(F.col("o_orderkey").alias("_uk"), "new_price")
+    return b.join(u, F.col("_bk") == F.col("_uk"), "full_outer").select(
+        F.coalesce("_bk", "_uk").alias("o_orderkey"),
+        F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        F.when(F.col("_bk").isNull(), "insert")
+        .when(F.col("_uk").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("change_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward fill (gap filling) via IGNORE NULLS window
+# ---------------------------------------------------------------------------
+
+FILL_FORWARD_ORACLE = """
+SELECT event_id, user_id, value,
+       last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM events
+"""
+
+
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill nulls with the last non-null value per user (IGNORE
+    NULLS running last_value) — the standard time-series gap-filling op,
+    one shuffle shared with any other user_id-partitioned window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+CATALOG["upsert_full_outer"] = (upsert_full_outer, UPSERT_ORACLE)
+CATALOG["window_fill_forward"] = (window_fill_forward, FILL_FORWARD_ORACLE)

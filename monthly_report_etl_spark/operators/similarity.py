@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,11 +112,12 @@ def _lit_dot(e_col: F.Column, weights: list[float]) -> F.Column:
     """dot(e, literal weight vector) as plain indexed arithmetic:
     ``e[0]*w0 + e[1]*w1 + ...`` summed in a balanced tree.
 
-    Higher-order ``aggregate``/``zip_with`` folds are CodegenFallback
-    (interpreted per row — the 10-30x trap measured on minhash shingles);
-    indexed element access + multiply-add stays inside whole-stage
-    codegen. The balanced tree keeps generated-expression depth O(log n)
-    so janino never sees a 64-deep left chain.
+    MEASURED CAVEAT: at 64 dims x many weight vectors this tree exceeds
+    codegen's huge-method limit and evaluates INTERPRETED — fine on tiny
+    row counts (the 10-row query probes below), 6s/2000 rows as a wide
+    projection. Every high-row-count dot product in this module goes
+    through the Arrow/numpy matmul UDFs instead (_bucket_array_udf,
+    _assign_centroid_udf).
     """
     terms = [e_col[d] * F.lit(w) for d, w in enumerate(weights)]
     while len(terms) > 1:
@@ -127,7 +130,8 @@ def _lit_dot(e_col: F.Column, weights: list[float]) -> F.Column:
 
 def _bucket_expr(e_col: F.Column, table: int) -> F.Column:
     """LSH bucket id: sign bits of LSH_BITS full-dimension hyperplane dots
-    (codegen'd indexed arithmetic — no HOF, no UDF)."""
+    (expression-tree form — see _bucket_array_udf for why the hot path
+    uses the Arrow/numpy form instead)."""
     bits = []
     for bit in range(LSH_BITS):
         dot = _lit_dot(e_col, _hyperplane(table, bit))
@@ -138,41 +142,75 @@ def _bucket_expr(e_col: F.Column, table: int) -> F.Column:
     return out
 
 
+def _bucket_array_udf():
+    """All LSH_TABLES bucket ids per vector as ONE Arrow-vectorized numpy
+    matmul: (batch x dim) @ (dim x tables*bits) → sign bits → packed ints.
+
+    Why a pandas_udf and not expressions (both measured at sf0.1):
+    a 32x64-term expression tree — HOF fold or expanded indexed arithmetic
+    — exceeds codegen's huge-method limit and is evaluated INTERPRETED
+    (~6s for just 2000 rows as a projection; 12s inlined into a generator,
+    since CollapseProject pushes projections into generator expressions
+    and those are always interpreted). The Arrow batch + BLAS matmul form
+    runs the same arithmetic in milliseconds and scales per-partition.
+    """
+    import numpy as np
+
+    w = np.array(
+        [_hyperplane(t, b) for t in range(LSH_TABLES) for b in range(LSH_BITS)]
+    ).T  # dim x (tables*bits)
+    powers = 1 << np.arange(LSH_BITS)
+
+    @F.pandas_udf("array<int>")
+    def buckets(e: pd.Series) -> pd.Series:
+        m = np.stack(e.to_numpy())  # batch x dim
+        bits = (m @ w > 0).astype(np.int64).reshape(len(e), LSH_TABLES, LSH_BITS)
+        vals = (bits * powers).sum(axis=2)  # batch x tables
+        return pd.Series([row.tolist() for row in vals])
+
+    return buckets
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH over LSH_TABLES tables,
     exact cosine re-rank inside the union of matching buckets.
 
-    Per-row bucket projection → equi-join on (table, bucket) against the
-    broadcast query buckets → exact re-rank of candidates. The join key
-    volume is #vectors x LSH_TABLES small ints — the 100 TB shape.
+    Plan shape (each step measured at sf0.1 — see _bucket_array_udf for
+    why the projection is Arrow/numpy, not expression trees):
+
+    1. bucket projection: one vectorized matmul per Arrow batch emitting
+       the 8 bucket ids as a plain int array — milliseconds, vs seconds
+       for any interpreted expression-tree formulation.
+    2. fan out with posexplode over that plain array (the generator
+       expression is a bare column — nothing expensive for
+       CollapseProject to inline), equi-join on (table, bucket) against
+       the broadcast query buckets, and dedup candidates as INT PAIRS
+       ONLY — a distinct that shuffles 64-dim vectors was the other
+       measured scale bug.
+    3. re-attach vectors (corpus join + broadcast queries), exact cosine,
+       per-query top-k window.
     """
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    buckets = v.select(
-        "vec_id",
-        "e",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("table"), _bucket_expr(F.col("e"), t).alias("bucket"))
-                    for t in range(LSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "e", "tb.table", "tb.bucket")
-    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        "table",
-        "bucket",
+    bucket_udf = _bucket_array_udf()
+    proj = v.select("vec_id", bucket_udf(F.col("e")).alias("bs"))
+    # posexplode of a plain attribute array — the generator expression is
+    # just a column reference, nothing expensive to re-evaluate
+    buckets = proj.select("vec_id", F.posexplode("bs").alias("table", "bucket"))
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
     )
-    cand = (
-        buckets.join(F.broadcast(q), ["table", "bucket"])
+    cand_ids = (
+        buckets.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qe", "vec_id", "e")
-        .distinct()
+        .select("query_id", "vec_id")
+        .distinct()  # int pairs only — never the vectors
     )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cand = cand_ids.join(v, "vec_id").join(F.broadcast(qv), "query_id")
     scored = cand.withColumn("cos", cosine_similarity(F.col("qe"), F.col("e")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
@@ -212,9 +250,11 @@ def _normalized(df: DataFrame, vec_col: str = "e") -> DataFrame:
 
 
 def _nearest_centroid(vec_col, centroids: list[list[float]]):
-    """argmax dot(vec, centroid) over the (driver-held) centroid list —
-    expressed as array_max over (dot, cid) structs, pure JVM expressions
-    (codegen'd indexed dots — see _lit_dot)."""
+    """argmax dot(vec, centroid) as a pure expression tree (array_max over
+    (dot, cid) structs) — the REFERENCE formulation kept for spot-check
+    tests; the data path uses _assign_centroid_udf (same arithmetic,
+    vectorized) because a k x dim expression tree exceeds codegen's
+    method limit and evaluates interpreted."""
     scored = []
     for cid, c in enumerate(centroids):
         dot = _lit_dot(vec_col, list(c))
@@ -222,8 +262,28 @@ def _nearest_centroid(vec_col, centroids: list[list[float]]):
     return F.array_max(F.array(*scored))["cid"]
 
 
+def _assign_centroid_udf(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid tag: (batch x dim) @ (dim x k)
+    → np.argmax per row (first max on exact ties — the same ground truth
+    the assignment spot-check test computes)."""
+    import numpy as np
+
+    c = np.array(centroids, dtype=np.float64).T  # dim x k
+
+    @F.pandas_udf("int")
+    def assign(e: pd.Series) -> pd.Series:
+        m = np.stack(e.to_numpy())
+        return pd.Series(np.argmax(m @ c, axis=1).astype("int32"))
+
+    return assign
+
+
 def train_ivf_centroids(
-    spark: SparkSession, sf_dir: str, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_CLUSTERS,
+    iters: int = IVF_ITERS,
+    v: DataFrame | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means on normalized vectors (cosine k-means).
 
@@ -233,16 +293,20 @@ def train_ivf_centroids(
     contract as MLlib's KMeans; data never does. Init is the first k
     vectors by vec_id (deterministic, no RNG).
     """
-    v = _normalized(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("e")
-        )
-    )
+    if v is None:
+        # persist: every Lloyd iteration re-reads the normalized corpus
+        # (assign + mean); without the cache each iteration re-runs the
+        # scan + HOF normalization (measured ~3x the training time)
+        v = _normalized(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+        ).persist()
     centroids = [
         r["e"] for r in v.orderBy("vec_id").limit(k).collect()
     ]  # k x 64 floats: model init, not a data path
     for _ in range(iters):
-        assigned = v.withColumn("cid", _nearest_centroid(F.col("e"), centroids))
+        assigned = v.withColumn("cid", _assign_centroid_udf(centroids)(F.col("e")))
         dims = assigned.select(
             "cid", F.posexplode("e").alias("dim", "x")
         )
@@ -271,13 +335,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume drops to ~PROBES/K of the corpus vs brute force. Centroids are
     plan literals (k x dim), no broadcast table needed.
     """
-    centroids = train_ivf_centroids(spark, sf_dir)
     v = _normalized(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-    )
-    tagged = v.withColumn("cid", _nearest_centroid(F.col("e"), centroids))
+    ).persist()  # shared by training iterations, tagging and re-rank
+    centroids = train_ivf_centroids(spark, sf_dir, v=v)
+    tagged = v.withColumn("cid", _assign_centroid_udf(centroids)(F.col("e")))
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )

@@ -4,3 +4,4 @@ from monthly_report_etl_spark.sources.csv import (  # noqa: F401
     read_tsv_directory,
     write_tsv,
 )
+from monthly_report_etl_spark.sources.json import read_jsonl, write_jsonl  # noqa: F401

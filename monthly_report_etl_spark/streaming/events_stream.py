@@ -249,6 +249,124 @@ CATALOG: dict[str, tuple] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# stream-stream interval join (click → purchase attribution)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_MINUTES = 30
+
+INTERVAL_JOIN_ORACLE = f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_MINUTES} MINUTES
+"""
+
+
+def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join: every purchase
+    attributed to each click by the same user in the preceding 30 minutes.
+
+    Equi-join on user_id (ONE shuffle pair) with the time interval as a
+    post-join predicate — the exact shape Structured Streaming executes
+    with watermark-bounded state below."""
+    from monthly_report_etl_spark.catalog import _events
+
+    ev = _events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_uid"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("_uid"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.unix_micros("purchase_ts")
+                <= F.unix_micros("click_ts") + ATTRIBUTION_WINDOW_MINUTES * 60 * 1_000_000
+            ),
+        )
+        .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    )
+
+
+def interval_join_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming twin: two readStreams, watermarks on BOTH sides, a
+    time-interval join condition. The watermarks bound the buffered state
+    to the attribution window (+ lateness) — without them a stream-stream
+    join's state grows with the stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _stream():
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .format("parquet")
+            .load(src_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+
+    c = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    p = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("_uid"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            user_id = _uid AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {ATTRIBUTION_WINDOW_MINUTES} MINUTES
+            """
+        ),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
+def run_interval_join_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "interval_join"
+) -> DataFrame:
+    src = _stage_events_dir(sf_dir)
+    q = (
+        interval_join_stream(spark, src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+CATALOG["streaming_interval_join_batch"] = (interval_join_batch, INTERVAL_JOIN_ORACLE)
+
+
 def session_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming sessionization via the native ``session_window`` — the
     streaming twin of ``sessionize_batch`` (same 30-minute gap): state per

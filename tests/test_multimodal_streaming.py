@@ -40,6 +40,29 @@ def test_decode_features_survive_small_arrow_batches(spark, sf_dir):
     assert total == big.agg(F.sum("n_bytes")).collect()[0][0]
 
 
+def test_decode_payload_image_seam():
+    """The codec seam: image/* dispatches to PIL when present (round-trip
+    a real PNG), and fails loudly — never silently fakes — when absent."""
+    import pytest
+
+    payload = b"\x89PNG fake"
+    if multimodal._HAS_PIL:
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.new("L", (4, 4), color=7)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        px = multimodal._decode_payload(buf.getvalue(), "image/png")
+        assert px.shape == (16,) and (px == 7).all()
+    else:
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_payload(payload, "image/png")
+    # non-image payloads always use the deterministic byte view
+    assert list(multimodal._decode_payload(b"ab", "text/plain")) == [97, 98]
+
+
 def test_frame_sample_fanout(spark, sf_dir):
     frames = multimodal.frame_sample(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -86,6 +109,17 @@ def test_sessionize_properties(spark, sf_dir):
     assert sessions.agg(F.sum("n_events")).collect()[0][0] == n_events
     # no session spans a gap silently: start <= end everywhere
     assert sessions.filter(F.col("session_start") > F.col("session_end")).count() == 0
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir):
+    """The stream-stream interval join (watermarks both sides) must emit
+    exactly the batch click→purchase attribution pairs on a replay."""
+    streamed = events_stream.run_interval_join_once(spark, sf_dir, "ij_test")
+    batch = events_stream.interval_join_batch(spark, sf_dir)
+    s = {(r["click_id"], r["purchase_id"]) for r in streamed.collect()}
+    b = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert s == b
+    assert len(s) > 0
 
 
 def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):

@@ -69,6 +69,59 @@ def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
     assert "sha2" in plan, plan
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """A lang-partitioned parquet layout must prune at planning time: the
+    lang='en' filter appears as a PartitionFilter on the scan — at 100 TB
+    this is the difference between scanning one partition and all of them."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "docs_by_lang")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    plan = _plan(back)
+    pf = _lines(plan, "PartitionFilters")
+    assert pf and any("lang" in ln for ln in pf), plan
+    expected = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join WITHOUT an exchange —
+    the co-located-join contract that replaces the biggest shuffle in a
+    repeated fact-fact join at scale."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for name, df, key in (("b_orders", orders, "o_orderkey"), ("b_lineitem", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(4, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    # the fixture tables are broadcast-size; disable broadcast so the plan
+    # must choose the co-located bucketed SMJ (the at-scale shape)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        plan = _plan(joined)
+        assert ") SortMergeJoin" in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "Exchange hashpartitioning" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_flagship_no_global_sort_or_cartesian(spark, sf_dir):
     """The flagship plan keeps its documented shape: no range-sampling
     global sort (re-executes upstream 2x) and no cartesian product other
