@@ -63,16 +63,34 @@ def run_merge_job(spark: SparkSession, output_dir: str, merged_dir: str) -> Data
 
 
 def validate_tsv_output(spark: SparkSession, path: str) -> None:
-    """S7: read-back validation — header arity vs data arity, rows > 0."""
+    """S7: read-back validation — header arity vs data arity, rows > 0.
+
+    Both metrics ride ONE pass via the Observation API (accumulator-backed
+    side metrics on the scan itself) instead of separate count jobs — the
+    pattern for data-quality counters on 100 TB writes, where a second
+    validation scan is a real cost."""
+    from pyspark.sql import Observation
+
     back = read_tsv_directory(spark, path)
     n_cols = len(back.columns)
     if n_cols == 0:
         raise ValueError(f"no columns in written output at {path}")
-    bad = back.filter(
+    all_null = (
         sum((F.col(c).isNull().cast("int") for c in back.columns), F.lit(0)) == n_cols
-    ).count()
-    if bad:
-        raise ValueError(f"{bad} fully-null rows in {path} (arity mismatch?)")
+    )
+    obs = Observation("tsv_validation")
+    back.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(all_null.cast("int")).alias("n_allnull"),
+    ).write.mode("overwrite").format("noop").save()
+    metrics = obs.get
+    if metrics["n_rows"] == 0:
+        raise ValueError(f"written output at {path} is empty")
+    if metrics["n_allnull"]:
+        raise ValueError(
+            f"{metrics['n_allnull']} fully-null rows in {path} (arity mismatch?)"
+        )
 
 
 def main() -> None:  # pragma: no cover - thin CLI

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from monthly_report_etl_spark.functions.text import fingerprint
+from monthly_report_etl_spark.functions.text import fingerprint, whitespace_tokens
 
 SAMPLE_MOD = 10  # keep ~1/10 of documents
 TFIDF_TOP_K = 3
@@ -239,10 +239,148 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# content-keyed split: fingerprint mod 100 → 80/10/10. Re-ingested copies
+# of a document always land in the same split (no train/test leakage via
+# duplicates), unlike RNG sampling.
+SPLIT_ORACLE = """
+WITH fp AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(text, ''),
+                                           c -> CAST(ascii(c) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 1000000000007
+           ) % 100 AS slot
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN slot < 80 THEN 'train'
+            WHEN slot < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM fp
+"""
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on the content fingerprint — deterministic,
+    duplicate-consistent (exact dupes share a split), pure projection."""
+    d = _docs(spark, sf_dir)
+    slot = fingerprint(F.col("text")) % 100
+    split = (
+        F.when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (context-window filling)
+# ---------------------------------------------------------------------------
+
+PACK_TARGET_TOKENS = 512
+
+PACK_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_tokens
+    FROM t
+)
+SELECT doc_id, n_tokens, running_tokens,
+       CAST(FLOOR((running_tokens - 1) / {PACK_TARGET_TOKENS}) AS BIGINT) AS bin_id
+FROM runs
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents in doc_id order fill
+    PACK_TARGET_TOKENS-sized bins by running token count — the
+    context-window packing step of an LLM data pipeline, expressed as one
+    global running-sum window.
+
+    SCALE NOTE: the ORDER BY over everything funnels through one
+    partition; at 100 TB you first assign coarse ranges (e.g. by
+    repartitionByRange on doc_id), pack within ranges in parallel, and
+    accept one partially-filled bin per range boundary. The single-window
+    form here is the oracle-exact semantics those variants approximate.
+    """
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    runs = t.withColumn("running_tokens", F.sum("n_tokens").over(w))
+    return runs.select(
+        "doc_id",
+        "n_tokens",
+        "running_tokens",
+        F.floor((F.col("running_tokens") - 1) / PACK_TARGET_TOKENS)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (text → sparse bag-of-words vector, relational form)
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 64
+
+# Per-token polynomial hash mod HASH_DIM — portable arithmetic, so the
+# oracle recomputes the identical buckets. The (doc_id, dim, weight) rows
+# ARE the sparse vector: the relational representation survives the
+# driver's canonicalizer (array cells don't) and is what a downstream
+# trainer joins/aggregates on anyway.
+FEATURE_HASHING_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+),
+hashed AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(term, ''),
+                                           c -> CAST(ascii(c) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 1000000000007
+           ) % {HASH_DIM} AS dim
+    FROM tok
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS weight
+FROM hashed GROUP BY doc_id, dim
+"""
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: token → fingerprint mod HASH_DIM →
+    per-(doc, dim) counts. One explode + one hash-agg shuffle; the
+    classic RNG-free featurizer for corpus-scale classical models."""
+    d = _docs(spark, sf_dir)
+    tok = d.filter(F.trim("text") != "").select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    hashed = tok.select("doc_id", (fingerprint(F.col("term")) % HASH_DIM).alias("dim"))
+    return hashed.groupBy("doc_id", "dim").agg(F.count("*").alias("weight"))
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_sample_hash_mod": (sample_hash_mod, SAMPLE_HASH_MOD_ORACLE),
     "corpus_pii_flags": (pii_flags, PII_FLAGS_ORACLE),
     "corpus_tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
     "corpus_bigram_top": (bigram_top, BIGRAM_ORACLE),
     "corpus_length_buckets": (length_buckets, LENGTH_BUCKETS_ORACLE),
+    "corpus_train_val_test_split": (train_val_test_split, SPLIT_ORACLE),
+    "corpus_pack_sequences": (pack_sequences, PACK_ORACLE),
+    "corpus_feature_hashing": (feature_hashing, FEATURE_HASHING_ORACLE),
 }

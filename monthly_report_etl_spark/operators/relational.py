@@ -566,3 +566,148 @@ def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CATALOG["upsert_full_outer"] = (upsert_full_outer, UPSERT_ORACLE)
 CATALOG["window_fill_forward"] = (window_fill_forward, FILL_FORWARD_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history building (change detection → validity intervals)
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH marked AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS changed
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, event_type, ts,
+           SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+    FROM marked
+),
+intervals AS (
+    SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+           CAST(MIN(ts) AS TIMESTAMP) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, event_type, version
+)
+SELECT user_id, event_type, version, valid_from, n_events,
+       CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+            AS TIMESTAMP) AS valid_to
+FROM intervals
+"""
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse each user's
+    event_type stream into validity intervals (valid_from / valid_to /
+    version), NULL valid_to marking the open current version.
+
+    lag → change flag → running-sum version → per-version MIN/COUNT →
+    lead for the closing timestamp. All four window/agg passes share the
+    ONE user_id shuffle (same partitioning key throughout)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    numbered = ev.withColumn(
+        "version",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    intervals = numbered.groupBy("user_id", "event_type", "version").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return intervals.select(
+        "user_id",
+        "event_type",
+        "version",
+        "valid_from",
+        "n_events",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps and islands (consecutive-run detection)
+# ---------------------------------------------------------------------------
+
+ISLANDS_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m
+    FROM orders
+),
+r AS (
+    SELECT o_custkey, m,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS BIGINT) AS rn
+    FROM d
+),
+g AS (
+    SELECT o_custkey, m,
+           m - to_months(CAST(rn AS INTEGER)) AS grp
+    FROM r
+)
+SELECT o_custkey,
+       CAST(MIN(m) AS TIMESTAMP) AS island_start,
+       CAST(MAX(m) AS TIMESTAMP) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS months_active
+FROM g GROUP BY o_custkey, grp
+"""
+
+
+def islands_active_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active months per
+    customer via the row_number-difference trick (month - rn months is
+    constant within a run). distinct → window → hash-agg, all on the one
+    o_custkey shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    g = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp", F.add_months(F.col("m"), -F.col("rn"))
+    )
+    return g.groupBy("o_custkey", "grp").agg(
+        F.min("m").alias("island_start"),
+        F.max("m").alias("island_end"),
+        F.count("*").alias("months_active"),
+    ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# explicit join-strategy hints (planner control; result identical)
+# ---------------------------------------------------------------------------
+
+JOIN_HINTS_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def join_hints_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fact-fact join with an explicit SHUFFLE_HASH hint: skips
+    the sort phases of sort-merge when one side's per-partition share
+    fits in memory — the planner-control knob for when the optimizer's
+    default is wrong at a known data shape. Result is hint-invariant
+    (the oracle is the plain join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+CATALOG["scd2_history"] = (scd2_history, SCD2_ORACLE)
+CATALOG["islands_active_months"] = (islands_active_months, ISLANDS_ORACLE)
+CATALOG["join_hints_shuffle_hash"] = (join_hints_shuffle_hash, JOIN_HINTS_ORACLE)

@@ -367,6 +367,75 @@ def run_interval_join_once(
 CATALOG["streaming_interval_join_batch"] = (interval_join_batch, INTERVAL_JOIN_ORACLE)
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state v2 API)
+# ---------------------------------------------------------------------------
+
+try:  # the v2 state API speaks protobuf to the JVM; gate on the package
+    from google.protobuf import descriptor  # noqa: F401
+
+    HAS_TWS_DEPS = True
+except Exception:  # pragma: no cover - container lacks python-protobuf
+    HAS_TWS_DEPS = False
+
+
+def _running_agg_processor():
+    """StatefulProcessor: per-user running (count, sum) via ValueState —
+    the transformWithState twin of stateful_user_counts, on the v2 API
+    (typed state handles, timers, TTL support)."""
+    import pandas as pd  # noqa: F811 - local import keeps module import light
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                prev = self._state.get()
+                n, total = int(prev[0]), float(prev[1])
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].dropna().sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningAgg()
+
+
+def transform_with_state_counts(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Per-user running aggregates via ``transformWithStateInPandas``.
+
+    Requires the python ``protobuf`` package (HAS_TWS_DEPS) and the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) set BEFORE the session's
+    first streaming query."""
+    if not HAS_TWS_DEPS:  # pragma: no cover
+        raise ImportError("transformWithState needs the python protobuf package")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_running_agg_processor(),
+        outputStructType="user_id LONG, n_events LONG, sum_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def session_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming sessionization via the native ``session_window`` — the
     streaming twin of ``sessionize_batch`` (same 30-minute gap): state per

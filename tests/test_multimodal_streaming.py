@@ -100,6 +100,43 @@ def test_stateful_user_counts(spark, sf_dir):
     assert got == expected
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas running aggregates == batch groupBy.
+    Skips where the python protobuf package (required by the v2 state
+    API) is absent; the operator itself import-guards identically."""
+    import pytest
+
+    if not events_stream.HAS_TWS_DEPS:
+        pytest.skip("python protobuf not installed (transformWithState dependency)")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = events_stream._stage_events_dir(sf_dir)
+    q = (
+        events_stream.transform_with_state_counts(spark, src)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_ct")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in spark.table("tws_ct").collect()}
+    from monthly_report_etl_spark.catalog import _events
+
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_sessionize_properties(spark, sf_dir):
     sessions = events_stream.sessionize_batch(spark, sf_dir)
     from monthly_report_etl_spark.catalog import _events

@@ -122,6 +122,19 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_join_hint_respected(spark, sf_dir):
+    """The SHUFFLE_HASH hint must actually flip the physical strategy
+    (ShuffledHashJoin, not SortMergeJoin) — planner-control regression."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["join_hints_shuffle_hash"](spark, sf_dir))
+        assert "ShuffledHashJoin" in plan, plan
+        assert ") SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_flagship_no_global_sort_or_cartesian(spark, sf_dir):
     """The flagship plan keeps its documented shape: no range-sampling
     global sort (re-executes upstream 2x) and no cartesian product other
