@@ -111,7 +111,10 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 (
                     int(doc_id),
                     int(px.size),
-                    float(px.mean()) if px.size else 0.0,
+                    # byte values are ints → the sum is exact in float64,
+                    # so mean == oracle AVG bit-for-bit; round(6) pins the
+                    # comparison form on both sides
+                    round(float(px.mean()), 6) if px.size else 0.0,
                     int(hist[0]),
                     int(hist[1]),
                     int(hist[2]),
@@ -138,7 +141,7 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             px = _decode_payload(bytes(payload), str(mt))
             for i in range(0, px.size, FRAME_SIZE):
                 frame = px[i : i + FRAME_SIZE]
-                rows.append((int(doc_id), i // FRAME_SIZE, float(frame.mean())))
+                rows.append((int(doc_id), i // FRAME_SIZE, round(float(frame.mean()), 6)))
         yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_mean"])
 
 
@@ -166,8 +169,41 @@ def byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver corpus is pure ASCII (verified at every SF), so the UTF-8
+# byte stream the Pandas UDFs decode equals the character stream — the
+# decode/frame paths become fully oracle-checkable in SQL. Byte values
+# are ints, so AVG sums exactly in float64: numpy mean == SQL AVG
+# bit-for-bit, and ROUND(_, 6) on both sides is purely cosmetic.
+DECODE_FEATURES_ORACLE = f"""
+WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+b AS (
+    SELECT doc_id, ascii(cs[i]) AS byte
+    FROM c, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bytes,
+       ROUND(AVG(byte), 6) AS mean_byte,
+       CAST(count(*) FILTER (WHERE byte < 64) AS BIGINT) AS hist_bin0,
+       CAST(count(*) FILTER (WHERE byte >= 64 AND byte < 128) AS BIGINT) AS hist_bin1,
+       CAST(count(*) FILTER (WHERE byte >= 128 AND byte < 192) AS BIGINT) AS hist_bin2,
+       CAST(count(*) FILTER (WHERE byte >= 192) AS BIGINT) AS hist_bin3
+FROM b GROUP BY doc_id
+"""
+
+FRAME_SAMPLE_ORACLE = f"""
+WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+b AS (
+    SELECT doc_id,
+           CAST(FLOOR((i - 1) / {FRAME_SIZE}) AS BIGINT) AS frame_idx,
+           ascii(cs[i]) AS byte
+    FROM c, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g
+)
+SELECT doc_id, frame_idx, ROUND(AVG(byte), 6) AS frame_mean
+FROM b GROUP BY doc_id, frame_idx
+"""
+
 CATALOG: dict[str, tuple] = {
     "multimodal_byte_stats": (byte_stats, BYTE_STATS_ORACLE),
-    "multimodal_decode_features": (decode_features, None),  # Pandas-UDF path: rows-only
-    "multimodal_frame_sample": (frame_sample, None),  # Pandas-UDF fan-out: rows-only
+    "multimodal_decode_features": (decode_features, DECODE_FEATURES_ORACLE),
+    "multimodal_frame_sample": (frame_sample, FRAME_SAMPLE_ORACLE),
 }

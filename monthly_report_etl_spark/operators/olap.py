@@ -149,6 +149,47 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REGIONAL_REVENUE_ORACLE = """
+SELECT r.r_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY r.r_name
+"""
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dimension chain region→nation→customer joined into the fact
+    side (completes coverage of every testdata table). The three dims
+    broadcast as one chained lookup; lineitem⋈orders is the only
+    shuffle."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
 UNPIVOT_ORACLE = """
 SELECT p_partkey, metric, val FROM (
     SELECT p_partkey,
@@ -189,6 +230,7 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CATALOG: dict[str, tuple] = {
+    "olap_regional_revenue": (regional_revenue, REGIONAL_REVENUE_ORACLE),
     "olap_shipping_priority": (shipping_priority, SHIPPING_PRIORITY_ORACLE),
     "olap_local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_VOLUME_ORACLE),
     "olap_returned_items": (returned_items, RETURNED_ITEMS_ORACLE),

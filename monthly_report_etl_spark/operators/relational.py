@@ -711,3 +711,79 @@ def join_hints_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["scd2_history"] = (scd2_history, SCD2_ORACLE)
 CATALOG["islands_active_months"] = (islands_active_months, ISLANDS_ORACLE)
 CATALOG["join_hints_shuffle_hash"] = (join_hints_shuffle_hash, JOIN_HINTS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates (corr / covar / stddev — sample semantics)
+# ---------------------------------------------------------------------------
+
+STATS_CORR_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS corr_price_cust,
+       ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS covar_pc,
+       ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
+       ROUND(var_samp(o_totalprice), 4) AS var_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (Pearson corr, sample covariance /
+    stddev / variance) — single hash-agg with map-side partials; both
+    engines use sample (n-1) semantics for the _samp forms."""
+    o = _t(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.corr("o_totalprice", ck), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", ck), 4).alias("covar_pc"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding standardization (per-dimension z-score, relational form)
+# ---------------------------------------------------------------------------
+
+STANDARDIZE_ORACLE = """
+WITH u AS (
+    SELECT vec_id, i - 1 AS dim, e[i] AS x
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v,
+         LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+),
+m AS (
+    SELECT dim, AVG(x) AS mu, stddev_samp(x) AS sd FROM u GROUP BY dim
+)
+SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim,
+       ROUND((u.x - m.mu) / m.sd, 6) AS z
+FROM u JOIN m ON u.dim = m.dim
+WHERE u.vec_id < 50
+"""
+
+
+def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus —
+    the feature-scaling prep step before distance-based ML. posexplode →
+    per-dim moments (64-row broadcast model) → normalized values in
+    relational (vec, dim, z) form. Output limited to vec_id < 50 to keep
+    the gate result small; the moments aggregate over ALL vectors."""
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    u = v.select("vec_id", F.posexplode("e").alias("dim", "x"))
+    m = u.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    return (
+        u.filter(F.col("vec_id") < 50)
+        .join(F.broadcast(m), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+    )
+
+
+CATALOG["stats_corr"] = (stats_corr, STATS_CORR_ORACLE)
+CATALOG["embeddings_standardize"] = (embeddings_standardize, STANDARDIZE_ORACLE)
