@@ -436,6 +436,72 @@ def transform_with_state_counts(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on the event key under a
+    watermark — state holds one entry per key only within the lateness
+    horizon, so memory is bounded by arrival skew, not stream length (the
+    streaming twin of the batch dedup_exact/dedup_latest family)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def run_dedup_stream_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_stream"
+) -> DataFrame:
+    src = _stage_events_dir(sf_dir)
+    q = (
+        dedup_stream(spark, src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def run_windowed_counts_to_tsv(
+    spark: SparkSession, sf_dir: str, out_dir: str, query_name: str = "windowed_to_tsv"
+) -> None:
+    """Streaming aggregation → reference TSV sink via ``foreachBatch``:
+    each micro-batch's updated result lands through the SAME sink
+    contract (tab/QUOTE_ALL/BOM) the batch jobs use — the pattern for
+    pointing an existing batch sink at a stream without a new writer.
+    Complete output mode: every batch rewrites the (small, aggregated)
+    result — idempotent against replays."""
+    from monthly_report_etl_spark.sources.csv import write_tsv
+
+    src = _stage_events_dir(sf_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_tsv(batch_df, out_dir, single_file=True, bom=True)
+
+    q = (
+        windowed_counts_stream(spark, src)
+        .writeStream.outputMode("complete")
+        .foreachBatch(_sink)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def session_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming sessionization via the native ``session_window`` — the
     streaming twin of ``sessionize_batch`` (same 30-minute gap): state per

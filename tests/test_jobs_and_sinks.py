@@ -78,6 +78,28 @@ def test_skip_bad_files_drops_whole_file(spark, tmp_path):
     assert permissive.count() >= skipped.count()
 
 
+def test_python_datasource_synthetic_docs(spark):
+    """Custom source via the Spark 4 Python Data Source API: declared
+    schema, planned partitions, per-partition deterministic reads."""
+    from monthly_report_etl_spark.sources.synthetic import _make_doc, register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("numDocs", 120)
+        .option("numPartitions", 5)
+        .load()
+    )
+    assert df.count() == 120
+    assert df.rdd.getNumPartitions() == 5
+    assert dict(df.dtypes) == {"doc_id": "bigint", "text": "string", "n_words": "int"}
+    got = {r["doc_id"]: (r["text"], r["n_words"]) for r in df.collect()}
+    assert len(got) == 120  # doc_ids unique across partitions
+    for i in (0, 61, 119):
+        did, text, n = _make_doc(i)
+        assert got[i] == (text, n)
+
+
 def test_merged_time_reinference(spark, fixture_dir, tmp_path):
     """merge job re-infers `time` (merge_all_lenders.py:58-59): the merged
     frame's time parses to timestamps, nulls only where source was null."""

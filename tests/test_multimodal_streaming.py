@@ -100,6 +100,42 @@ def test_stateful_user_counts(spark, sf_dir):
     assert got == expected
 
 
+def test_dedup_stream_one_row_per_key(spark, sf_dir):
+    """Watermarked streaming dropDuplicates: exactly one surviving event
+    per (user_id, event_type) key, and every batch key is represented."""
+    res = events_stream.run_dedup_stream_once(spark, sf_dir, "ds_test")
+    from monthly_report_etl_spark.catalog import _events
+
+    keys = res.groupBy("user_id", "event_type").count()
+    assert keys.filter(F.col("count") > 1).count() == 0
+    expected = _events(spark, sf_dir).select("user_id", "event_type").distinct().count()
+    assert res.count() == expected
+
+
+def test_foreach_batch_tsv_sink(spark, sf_dir, tmp_path):
+    """foreachBatch → the reference TSV contract: the streamed aggregate
+    written through write_tsv equals the batch aggregation read back."""
+    out = str(tmp_path / "stream_tsv")
+    events_stream.run_windowed_counts_to_tsv(spark, sf_dir, out, "fb_test")
+    from monthly_report_etl_spark.sources import read_tsv_directory
+
+    back = read_tsv_directory(spark, out)
+    batch = events_stream.tumbling_window_counts(spark, sf_dir)
+    assert back.count() == batch.count()
+    got = {
+        (r["window_start"], r["event_type"]): (int(r["n_events"]), float(r["sum_value"]))
+        for r in back.collect()
+    }
+    expected = {
+        (r["window_start"].strftime("%Y-%m-%d %H:%M:%S+0000"), r["event_type"]): (
+            r["n_events"],
+            round(r["sum_value"], 2),
+        )
+        for r in batch.collect()
+    }
+    assert got == expected
+
+
 def test_transform_with_state_matches_batch(spark, sf_dir):
     """transformWithStateInPandas running aggregates == batch groupBy.
     Skips where the python protobuf package (required by the v2 state
