@@ -78,6 +78,25 @@ def test_skip_bad_files_drops_whole_file(spark, tmp_path):
     assert permissive.count() >= skipped.count()
 
 
+def test_parquet_schema_evolution(spark, tmp_path):
+    """mergeSchema: a dataset written in two schema generations (v2 adds
+    a column) reads as the union schema with nulls for missing fields —
+    the append-only schema-evolution contract a long-lived 100 TB corpus
+    depends on."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("tag")).write.parquet(f"{p}/gen=1")
+    spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("tag"), (F.col("id") * 10).alias("score")
+    ).write.parquet(f"{p}/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"id", "tag", "score", "gen"}
+    assert merged.count() == 6
+    assert merged.filter(F.col("score").isNull()).count() == 3  # v1 rows null-fill
+    assert merged.filter((F.col("gen") == 2) & F.col("score").isNotNull()).count() == 3
+
+
 def test_python_datasource_synthetic_docs(spark):
     """Custom source via the Spark 4 Python Data Source API: declared
     schema, planned partitions, per-partition deterministic reads."""
