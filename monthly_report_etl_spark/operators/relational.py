@@ -787,3 +787,71 @@ def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CATALOG["stats_corr"] = (stats_corr, STATS_CORR_ORACLE)
 CATALOG["embeddings_standardize"] = (embeddings_standardize, STANDARDIZE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality checks (expectation rules → violation counts)
+# ---------------------------------------------------------------------------
+
+DQ_ORACLE = """
+SELECT 'value_non_negative' AS rule,
+       CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS n_violations,
+       CAST(count(*) AS BIGINT) AS n_checked
+FROM events
+UNION ALL
+SELECT 'event_type_in_domain',
+       CAST(count(*) FILTER (WHERE event_type NOT IN
+            ('click','error','purchase','signup','view')) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'ts_in_range',
+       CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2023-01-01'
+                                OR ts >= TIMESTAMP '2026-01-01') AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'props_valid_json',
+       CAST(count(*) FILTER (WHERE props IS NOT NULL
+                               AND TRY_CAST(props AS JSON) IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+"""
+
+
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules evaluated in ONE scan: each rule is
+    a predicate counted via conditional aggregation, rows unpivoted to a
+    (rule, n_violations, n_checked) report — the expectations pattern
+    without a second pass per rule (one job, not len(rules) jobs)."""
+    ev = _t(spark, sf_dir, "events")
+    rules = {
+        "value_non_negative": F.col("value") < 0,
+        "event_type_in_domain": ~F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"
+        ),
+        "ts_in_range": (F.col("ts") < F.lit("2023-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2026-01-01").cast("timestamp")),
+        "props_valid_json": F.col("props").isNotNull()
+        & F.get_json_object("props", "$").isNull(),
+    }
+    agg = ev.agg(
+        F.count("*").alias("n_checked"),
+        *[
+            F.count(F.when(pred, 1)).alias(f"v_{name}")
+            for name, pred in rules.items()
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) as (rule, n_violations)".format(
+                n=len(rules),
+                args=", ".join(f"'{name}', v_{name}" for name in rules),
+            )
+        ),
+        "n_checked",
+    )
+    return stacked.select("rule", "n_violations", "n_checked")
+
+
+CATALOG["dq_violations"] = (dq_violations, DQ_ORACLE)

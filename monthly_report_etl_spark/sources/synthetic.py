@@ -18,7 +18,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = [
@@ -74,5 +80,69 @@ class SyntheticDocsSource(DataSource):
         return SyntheticDocsReader(self.options)
 
 
+class _CommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    """Per-partition task writer for the manifest sink.
+
+    Each task writes its rows to a uniquely-named part file and returns a
+    commit message; only the DRIVER's commit() publishes the manifest —
+    readers that respect the manifest never see half-written output
+    (the two-phase commit shape every distributed sink needs)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _CommitMessage(part, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(os.path.basename(m.path) for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ManifestJsonlSink(DataSource):
+    """``df.write.format("manifest_jsonl").option("path", ...)`` — JSONL
+    files plus a driver-committed ``_MANIFEST.json`` naming exactly the
+    files (and row count) of the successful write."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return ManifestJsonlWriter(self.options["path"])
+
+
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsSource)
+    spark.dataSource.register(ManifestJsonlSink)

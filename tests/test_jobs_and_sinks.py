@@ -119,6 +119,36 @@ def test_python_datasource_synthetic_docs(spark):
         assert got[i] == (text, n)
 
 
+def test_python_datasource_manifest_sink(spark, tmp_path):
+    """Custom sink via the Python Data Source API: per-task part files,
+    driver-side commit publishing a manifest of exactly the committed
+    files and total row count."""
+    import json
+
+    from monthly_report_etl_spark.sources.synthetic import register
+
+    register(spark)
+    out = str(tmp_path / "mj")
+    (
+        spark.range(100)
+        .selectExpr("id", "id * 2 AS twice")
+        .repartition(4)
+        .write.format("manifest_jsonl")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["n_rows"] == 100 and len(man["files"]) == 4
+    rows = []
+    for f in man["files"]:
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == 100
+    assert sum(r["id"] for r in rows) == 4950
+    assert all(r["twice"] == 2 * r["id"] for r in rows)
+
+
 def test_merged_time_reinference(spark, fixture_dir, tmp_path):
     """merge job re-infers `time` (merge_all_lenders.py:58-59): the merged
     frame's time parses to timestamps, nulls only where source was null."""
