@@ -374,7 +374,74 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id", "dim").agg(F.count("*").alias("weight"))
 
 
+# ---------------------------------------------------------------------------
+# document chunking (RAG-style fixed-token windows) via Python UDTF
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+
+CHUNK_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents WHERE doc_id < 50 AND trim(text) <> ''
+),
+ch AS (
+    SELECT doc_id,
+           CAST(g.c AS BIGINT) AS chunk_idx,
+           array_to_string(toks[(g.c * {CHUNK_TOKENS} + 1):((g.c + 1) * {CHUNK_TOKENS})], ' ')
+               AS chunk_text
+    FROM tok, LATERAL (
+        SELECT unnest(generate_series(0,
+            CAST(CEIL(len(toks) * 1.0 / {CHUNK_TOKENS}) AS INTEGER) - 1)) AS c
+    ) g
+)
+SELECT doc_id, chunk_idx, chunk_text,
+       CAST(CASE WHEN trim(chunk_text) = '' THEN 0
+                 ELSE len(string_split_regex(chunk_text, '\s+')) END AS BIGINT)
+           AS n_chunk_tokens
+FROM ch
+"""
+
+
+def _chunk_udtf():
+    """UDTF: one input document → one row per CHUNK_TOKENS-token window.
+
+    Python User-Defined Table Functions (Spark 3.5+) are the lateral
+    fan-out API: ``eval`` yields any number of rows per input, usable
+    from SQL as ``LATERAL chunk(...)`` — the natural shape for document
+    chunking, where per-doc output cardinality is data-dependent."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx BIGINT, chunk_text STRING, n_chunk_tokens BIGINT")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split() if text is not None else []
+            for i in range(0, len(toks), CHUNK_TOKENS):
+                window = toks[i : i + CHUNK_TOKENS]
+                yield i // CHUNK_TOKENS, " ".join(window), len(window)
+
+    return ChunkDoc
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking of documents into fixed-token windows via a
+    Python UDTF lateral join — the chunker every retrieval/training
+    pipeline puts in front of embedding; whitespace tokens stand in for
+    a real tokenizer (same seam as the multimodal codec stub)."""
+    chunker = _chunk_udtf()
+    spark.udtf.register("chunk_doc", chunker)
+    d = _docs(spark, sf_dir).filter((F.col("doc_id") < 50) & (F.trim("text") != ""))
+    d.createOrReplaceTempView("_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens
+        FROM _chunk_docs d, LATERAL chunk_doc(d.text) c
+        """
+    )
+
+
 CATALOG: dict[str, tuple] = {
+    "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
     "corpus_sample_hash_mod": (sample_hash_mod, SAMPLE_HASH_MOD_ORACLE),
     "corpus_pii_flags": (pii_flags, PII_FLAGS_ORACLE),
     "corpus_tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),
