@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -276,14 +278,41 @@ _CHUNKS = HAMMING_THRESHOLD + 1
 _CHUNK_BITS = SIMHASH_BITS // _CHUNKS
 
 
+def _simhash_udf():
+    """Arrow-vectorized SimHash packing: per doc, the 64 per-bit +/-1 vote
+    sums over the token xxhash64s as one numpy broadcast, sign bits packed
+    into a two's-complement int64.
+
+    Replaces a nested higher-order ``aggregate`` expression (interpreted:
+    generator/HOF trees never compile — SCALE.md §2) that measured 11.5s
+    at sf0.1; bit-identical output (arithmetic-shift bit extraction ==
+    uint64 bit extraction for bits 0..63)."""
+    import numpy as np
+
+    bits = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def simhash(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            votes = (((h[:, None] >> bits) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(
+                axis=0
+            )
+            sig = int(((votes > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="int64")
+
+    return simhash
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document from token xxhash64s.
 
-    One hash aggregation collects the token hashes per doc; the 64
-    per-bit +/-1 vote sums and the sign-bit packing run as nested
-    higher-order ``aggregate`` expressions (a flat 64-column aggregate
-    would exceed the JVM method-size limit and kick the whole stage out
-    of codegen). Work per doc is O(64 x tokens), embarrassingly parallel.
+    One hash aggregation collects the token hashes per doc (JVM-side,
+    map-side partials); the 64-bit vote/pack step is a vectorized Arrow
+    batch (see _simhash_udf). Work per doc is O(64 x tokens) in one numpy
+    broadcast, embarrassingly parallel.
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hs = (
@@ -292,18 +321,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_list("th").alias("hs"))
     )
-    simhash = F.expr(
-        """
-        aggregate(
-            sequence(0, 63),
-            CAST(0 AS BIGINT),
-            (acc, bit) -> acc | IF(
-                aggregate(hs, 0, (a, h) -> a + IF(((h >> bit) & 1) = 1, 1, -1)) > 0,
-                shiftleft(CAST(1 AS BIGINT), bit),
-                CAST(0 AS BIGINT)))
-        """
-    )
-    return hs.select("doc_id", simhash.alias("simhash"))
+    return hs.select("doc_id", _simhash_udf()(F.col("hs")).alias("simhash"))
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
