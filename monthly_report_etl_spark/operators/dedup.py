@@ -12,8 +12,8 @@ Scale design (100 TB):
   candidate generation shuffles by (band, band-hash) — data volume per
   shuffle is #docs x #bands tiny keys, independent of document length;
   candidates are verified with exact Jaccard before reporting;
-* SimHash gives hamming-distance near-dup with 4x16-bit chunk banding
-  (pigeonhole: hamming <= 3 → at least one equal chunk).
+* SimHash gives hamming-distance near-dup with 8x8-bit chunk banding
+  (pigeonhole: hamming <= 7 → at least one equal chunk).
 
 Engine-native hashes (xxhash64) are used inside MinHash/SimHash sketches —
 deterministic per engine but not portable to DuckDB, so those two are
@@ -326,7 +326,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= HAMMING_THRESHOLD, found by
-    16-bit chunk banding (pigeonhole-complete for <= 3 bit flips)."""
+    8-bit chunk banding (pigeonhole-complete: <= 7 flips leave at least
+    one of the 8 chunks untouched)."""
     sigs = simhash_signatures(spark, sf_dir)
     chunks = sigs.select(
         "doc_id",
