@@ -58,6 +58,7 @@ def read_tsv_directory(
     path: str,
     columns: list[str] | None = None,
     skip_bad_files: bool = False,
+    multi_line: bool = False,
 ) -> DataFrame:
     """S4/U1: union-by-directory of per-lender TSVs, every column string.
 
@@ -70,6 +71,13 @@ def read_tsv_directory(
     records with their source file, only the tiny bad-FILE list crosses
     the driver, and every row from a bad file is excluded. With the flag
     off, PERMISSIVE null-fills malformed rows in place.
+
+    ``multi_line=True`` makes QUOTED EMBEDDED NEWLINES roundtrip like the
+    reference's pandas reader (which handles them natively). It is off by
+    default because multiLine parsing sacrifices byte-range splittability
+    (one task per file — wrong at 100 TB); in-contract data never needs
+    it, since the reference strips ``\\t\\n\\r`` before writing (F16) and
+    this engine's clean_for_export does the same.
     """
     reader = (
         spark.read.option("header", True)
@@ -78,6 +86,8 @@ def read_tsv_directory(
         .option("mode", "PERMISSIVE")
         .option("escape", "\\")
     )
+    if multi_line:
+        reader = reader.option("multiLine", True)
     if not skip_bad_files:
         if columns is not None:
             schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])

@@ -78,6 +78,27 @@ def test_skip_bad_files_drops_whole_file(spark, tmp_path):
     assert permissive.count() >= skipped.count()
 
 
+def test_tsv_roundtrip_hostile_strings(spark, tmp_path):
+    """Sink-contract fuzz: tabs, quotes, backslashes, and (with
+    multi_line=True, the pandas-fidelity mode) embedded newlines all
+    survive write_tsv → read_tsv_directory byte-exact."""
+    from monthly_report_etl_spark.sources import read_tsv_directory, write_tsv
+
+    nasty = [
+        ("tab", "a\tb"),
+        ("quote", 'say "hi"'),
+        ("backslash", "c:\\path\\x"),
+        ("newline", "line1\nline2"),
+        ("quote_tab", '"\t"'),
+        ("trailing_bs", "ends with \\"),
+    ]
+    df = spark.createDataFrame(nasty, ["k", "v"])
+    out = str(tmp_path / "hostile")
+    write_tsv(df, out, single_file=True, bom=True)
+    back = {r["k"]: r["v"] for r in read_tsv_directory(spark, out, multi_line=True).collect()}
+    assert back == dict(nasty)
+
+
 def test_parquet_schema_evolution(spark, tmp_path):
     """mergeSchema: a dataset written in two schema generations (v2 adds
     a column) reads as the union schema with nulls for missing fields —
