@@ -944,6 +944,73 @@ def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "date_funcs_extended",
+    """
+    SELECT event_id,
+           CAST(last_day(ts) AS TIMESTAMP) AS month_end,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+           CAST(quarter(ts) AS BIGINT) AS q,
+           CAST(dayofyear(ts) AS BIGINT) AS doy,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS days_since,
+           CAST(ts + INTERVAL 10 DAYS AS TIMESTAMP) AS ts_plus_10d
+    FROM events
+    """,
+)
+def date_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended temporal family. Cross-engine normalization notes:
+    Spark's dayofweek is Sunday=1 while DuckDB's is Sunday=0 — both sides
+    pin the ISO numbering (Monday=1) instead; last_day returns DATE in
+    Spark, TIMESTAMP in DuckDB — cast both; date_add truncates to DATE, so
+    day arithmetic uses an INTERVAL."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.last_day("ts").cast("timestamp").alias("month_end"),
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("long").alias("iso_dow"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        F.quarter("ts").cast("long").alias("q"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.datediff("ts", F.lit("2024-01-01").cast("timestamp")).cast("long").alias(
+            "days_since"
+        ),
+        (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts_plus_10d"),
+    )
+
+
+@_register(
+    "order_nulls_handling",
+    """
+    SELECT event_id,
+           CAST(rank() OVER (PARTITION BY event_type
+                             ORDER BY value DESC NULLS LAST, event_id) AS BIGINT)
+               AS rnk_desc_nulls_last,
+           CAST(rank() OVER (PARTITION BY event_type
+                             ORDER BY value ASC NULLS FIRST, event_id) AS BIGINT)
+               AS rnk_asc_nulls_first
+    FROM events
+    """,
+)
+def order_nulls_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL placement in orderings is a classic silent cross-engine
+    divergence (Spark defaults NULLS FIRST ascending, DuckDB NULLS LAST)
+    — every ordering on a nullable key must pin it explicitly, as here
+    on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc_nulls_last(), "event_id"
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
+    return ev.select(
+        "event_id",
+        F.rank().over(w1).cast("long").alias("rnk_desc_nulls_last"),
+        F.rank().over(w2).cast("long").alias("rnk_asc_nulls_first"),
+    )
+
+
+@_register(
     "jsonl_roundtrip_docs",
     """
     SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
