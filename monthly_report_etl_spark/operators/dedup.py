@@ -112,9 +112,12 @@ WHERE common * 1.0 / (na + nb - common) >= {JACCARD_THRESHOLD}
 """
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the form every consumer
-    (inverted-index join, MinHash) actually wants.
+def _shingle_rows(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct by default (the inverted-index
+    join and set-verification need sets); ``distinct=False`` skips the
+    dedup EXCHANGE for duplicate-insensitive consumers (MinHash MINs),
+    whose aggregation then reuses the window's doc_id partitioning with
+    no further shuffle.
 
     Built WITHOUT higher-order lambdas: posexplode tokens, then two window
     ``lead``s concatenate the 3-gram. HOF expressions (``transform`` +
@@ -137,6 +140,8 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         F.lead("tok", 2).over(w).alias("_t2"),
     ).filter(F.col("_t2").isNotNull())
+    if not distinct:
+        return grams.select("doc_id", "s")
     return grams.select("doc_id", "s").distinct()
 
 
@@ -200,7 +205,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     get map-side partial aggregation (the shuffle carries one 32-long row
     per doc per partition — the 100 TB-safe shape).
     """
-    ex = _shingle_rows(spark, sf_dir)
+    # MIN is duplicate-insensitive, so the shingle-dedup EXCHANGE is pure
+    # cost here — the non-distinct rows arrive already partitioned by
+    # doc_id from the shingle window, and the groupBy reuses that
+    # partitioning with no further shuffle
+    ex = _shingle_rows(spark, sf_dir, distinct=False)
     h = F.xxhash64("s")
     mins = ex.groupBy("doc_id").agg(
         *[
