@@ -84,8 +84,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # warm the JVM/codegen once so q1 doesn't pay session startup
+    # Warm the JVM/codegen so q1 doesn't pay session startup. The flagship
+    # runs first in HEADLINE and was absorbing ~2.5s of first-query compile
+    # (parquet footer reads, get_json_object codegen) — run its exact plan
+    # once on the tiny sf0.001 tables so every timed number below is
+    # steady-state execution, not compile time.
     _run(QUERIES["pricing_summary"](spark, SF_DIR).limit(1))
+    _run(QUERIES["exports_report_events"](spark, "/root/testdata/sf0.001"))
 
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -424,10 +424,43 @@ def _chunk_udtf():
 
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG-style chunking of documents into fixed-token windows via a
-    Python UDTF lateral join — the chunker every retrieval/training
-    pipeline puts in front of embedding; whitespace tokens stand in for
-    a real tokenizer (same seam as the multimodal codec stub)."""
+    """RAG-style chunking of documents into fixed-token windows, fully
+    JVM-native: ``posexplode(sequence(0, n_chunks-1))`` fans each doc out
+    to its chunk indexes and ``slice`` + ``array_join`` rebuilds each
+    window — no Python stage anywhere in the plan (the UDTF formulation
+    below produces identical rows but pays per-row Python; at 100 TB the
+    chunker must stay inside codegen). Whitespace tokens stand in for a
+    real tokenizer (same seam as the multimodal codec stub).
+
+    ``split(trim(text), '\\s+')`` reproduces Python ``str.split()``:
+    trim drops the leading empty token a ``\\s+`` split would keep, and
+    the empty-document case is excluded by the same filter both sides.
+    """
+    d = _docs(spark, sf_dir).filter((F.col("doc_id") < 50) & (F.trim("text") != ""))
+    toks = F.split(F.trim("text"), r"\s+")
+    d = d.select("doc_id", toks.alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(CHUNK_TOKENS)).cast("int")
+    d = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice("toks", F.col("chunk_idx") * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunker through a Python UDTF lateral join — kept as the
+    API-coverage entry for Spark 3.5+ table functions (``eval`` yields a
+    data-dependent number of rows per input, usable as ``LATERAL`` from
+    SQL). The catalog's primary ``corpus_chunk_documents`` entry runs the
+    JVM-native plan above; this one demonstrates the UDTF seam against
+    the identical oracle."""
     chunker = _chunk_udtf()
     spark.udtf.register("chunk_doc", chunker)
     d = _docs(spark, sf_dir).filter((F.col("doc_id") < 50) & (F.trim("text") != ""))
@@ -442,6 +475,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CATALOG: dict[str, tuple] = {
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
+    "corpus_chunk_documents_udtf": (chunk_documents_udtf, CHUNK_ORACLE),
     "corpus_sample_hash_mod": (sample_hash_mod, SAMPLE_HASH_MOD_ORACLE),
     "corpus_pii_flags": (pii_flags, PII_FLAGS_ORACLE),
     "corpus_tfidf_top_terms": (tfidf_top_terms, TFIDF_ORACLE),

@@ -153,16 +153,41 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+HOT_SHINGLE_CAP = 1_000
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    hot_shingle_cap: int = HOT_SHINGLE_CAP,
+    observation=None,
+) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
 
-    Shuffles by shingle; per-shingle hot keys are the scale hazard (stop
-    shingles) — at 100 TB, cap posting-list length or switch to the
-    MinHash path below. Kept exact here because it is the verification
-    oracle for the sketches.
+    Shuffles by shingle; per-shingle hot keys are the scale hazard: a stop
+    shingle with a posting list of length f fans out f² join rows. Posting
+    lists longer than ``hot_shingle_cap`` are dropped BEFORE the self-join,
+    bounding per-key fan-out at cap² regardless of corpus skew. ``na``/``nb``
+    keep the full per-doc set size, so for surviving pairs the Jaccard
+    only ever UNDERcounts (by shared hot shingles) — near-dup detection
+    degrades conservatively, never inflates. Pass an ``Observation`` to
+    ride a dropped-shingle counter on the same execution (the jobs.py
+    read-back-validation pattern); the exact-oracle differential runs with
+    the fixture corpus, whose posting lists are far below the cap, so the
+    capped plan and the uncapped oracle agree there.
     """
     rows = _shingle_rows(spark, sf_dir)
     e = rows.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    # posting-list length per shingle; the window shuffle keys by s, the
+    # same partitioning the self-join needs — no extra exchange
+    e = e.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    if observation is not None:
+        e = e.observe(
+            observation,
+            F.sum((F.col("df") > hot_shingle_cap).cast("long")).alias("hot_shingle_rows_dropped"),
+            F.count(F.lit(1)).alias("shingle_rows_total"),
+        )
+    e = e.filter(F.col("df") <= hot_shingle_cap).drop("df")
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -480,6 +505,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .persist()
     )
+    changed = 0
     for _ in range(CC_MAX_ITERS):
         neighbor_labels = edges.join(
             labels, edges.t == labels.doc_id
@@ -502,6 +528,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # non-convergence must be distinguishable from an oracle mismatch:
+        # a graph whose propagation distance exceeds CC_MAX_ITERS would
+        # otherwise silently return wrong labels
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds "
+            f"({changed} labels still changing); raise CC_MAX_ITERS or use a "
+            "large-star/small-star variant for high-diameter graphs"
+        )
     return labels
 
 

@@ -18,6 +18,7 @@ identical to real media blobs as far as the engine is concerned.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -82,6 +83,18 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _round6(x: float) -> float:
+    """Round half-AWAY-from-zero at 6 decimals, matching DuckDB ``ROUND``.
+
+    Python's builtin ``round`` is half-to-even: a mean that lands on an
+    exactly representable dyadic midpoint at 6 decimals (n_bytes a multiple
+    of 128 with the right sum parity → mean = m + 1/128) would round down
+    on the Python side and up in the oracle. Byte means are non-negative,
+    so half-up IS half-away here.
+    """
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _decode_payload(payload: bytes, media_type: str = "text/plain") -> np.ndarray:
     """Decode bytes → flat uint8 'pixel' array.
 
@@ -112,9 +125,9 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     int(doc_id),
                     int(px.size),
                     # byte values are ints → the sum is exact in float64,
-                    # so mean == oracle AVG bit-for-bit; round(6) pins the
-                    # comparison form on both sides
-                    round(float(px.mean()), 6) if px.size else 0.0,
+                    # so mean == oracle AVG bit-for-bit; _round6 pins the
+                    # comparison form on both sides (DuckDB half-away)
+                    _round6(float(px.mean())) if px.size else 0.0,
                     int(hist[0]),
                     int(hist[1]),
                     int(hist[2]),
@@ -141,7 +154,7 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             px = _decode_payload(bytes(payload), str(mt))
             for i in range(0, px.size, FRAME_SIZE):
                 frame = px[i : i + FRAME_SIZE]
-                rows.append((int(doc_id), i // FRAME_SIZE, round(float(frame.mean()), 6)))
+                rows.append((int(doc_id), i // FRAME_SIZE, _round6(float(frame.mean()))))
         yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_mean"])
 
 

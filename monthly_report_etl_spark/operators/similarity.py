@@ -251,15 +251,17 @@ def _normalized(df: DataFrame, vec_col: str = "e") -> DataFrame:
 
 def _nearest_centroid(vec_col, centroids: list[list[float]]):
     """argmax dot(vec, centroid) as a pure expression tree (array_max over
-    (dot, cid) structs) — the REFERENCE formulation kept for spot-check
+    (dot, -cid) structs) — the REFERENCE formulation kept for spot-check
     tests; the data path uses _assign_centroid_udf (same arithmetic,
     vectorized) because a k x dim expression tree exceeds codegen's
-    method limit and evaluates interpreted."""
+    method limit and evaluates interpreted. The struct stores ``-cid`` so
+    exact dot-product ties break toward the LOWEST cid, identical to
+    np.argmax's first-max rule in the UDF path."""
     scored = []
     for cid, c in enumerate(centroids):
         dot = _lit_dot(vec_col, list(c))
-        scored.append(F.struct(dot.alias("dot"), F.lit(cid).alias("cid")))
-    return F.array_max(F.array(*scored))["cid"]
+        scored.append(F.struct(dot.alias("dot"), F.lit(-cid).alias("ncid")))
+    return -F.array_max(F.array(*scored))["ncid"]
 
 
 def _assign_centroid_udf(centroids: list[list[float]]):
@@ -293,7 +295,8 @@ def train_ivf_centroids(
     contract as MLlib's KMeans; data never does. Init is the first k
     vectors by vec_id (deterministic, no RNG).
     """
-    if v is None:
+    owned = v is None
+    if owned:
         # persist: every Lloyd iteration re-reads the normalized corpus
         # (assign + mean); without the cache each iteration re-runs the
         # scan + HOF normalization (measured ~3x the training time)
@@ -302,26 +305,31 @@ def train_ivf_centroids(
                 "vec_id", F.col("embedding").cast("array<double>").alias("e")
             )
         ).persist()
-    centroids = [
-        r["e"] for r in v.orderBy("vec_id").limit(k).collect()
-    ]  # k x 64 floats: model init, not a data path
-    for _ in range(iters):
-        assigned = v.withColumn("cid", _assign_centroid_udf(centroids)(F.col("e")))
-        dims = assigned.select(
-            "cid", F.posexplode("e").alias("dim", "x")
-        )
-        means = (
-            dims.groupBy("cid", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-                ).alias("centroid")
+    try:
+        centroids = [
+            r["e"] for r in v.orderBy("vec_id").limit(k).collect()
+        ]  # k x 64 floats: model init, not a data path
+        for _ in range(iters):
+            assigned = v.withColumn("cid", _assign_centroid_udf(centroids)(F.col("e")))
+            dims = assigned.select(
+                "cid", F.posexplode("e").alias("dim", "x")
             )
-        )
-        new = {r["cid"]: r["centroid"] for r in means.collect()}  # model state only
-        centroids = [new.get(cid, centroids[cid]) for cid in range(k)]
+            means = (
+                dims.groupBy("cid", "dim")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                    ).alias("centroid")
+                )
+            )
+            new = {r["cid"]: r["centroid"] for r in means.collect()}  # model state only
+            centroids = [new.get(cid, centroids[cid]) for cid in range(k)]
+    finally:
+        if owned:
+            # training's collects are the last actions that need the cache
+            v.unpersist()
     return centroids
 
 
@@ -339,8 +347,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-    ).persist()  # shared by training iterations, tagging and re-rank
-    centroids = train_ivf_centroids(spark, sf_dir, v=v)
+    ).persist()  # shared by the training iterations' repeated actions
+    try:
+        centroids = train_ivf_centroids(spark, sf_dir, v=v)
+    finally:
+        # training's collects were the last ACTIONS needing the cache; the
+        # returned (lazy) search plan re-reads v at most twice in ONE
+        # execution — recompute there is a bounded scan, while leaving the
+        # cache pinned would accumulate partitions across repeated
+        # catalog/bench invocations in one session
+        v.unpersist()
     tagged = v.withColumn("cid", _assign_centroid_udf(centroids)(F.col("e")))
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")

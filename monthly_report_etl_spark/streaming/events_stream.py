@@ -437,10 +437,16 @@ def transform_with_state_counts(spark: SparkSession, src_dir: str) -> DataFrame:
 
 
 def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """Streaming exact dedup: ``dropDuplicates`` on the event key under a
-    watermark — state holds one entry per key only within the lateness
-    horizon, so memory is bounded by arrival skew, not stream length (the
-    streaming twin of the batch dedup_exact/dedup_latest family)."""
+    """Streaming exact dedup on the event key, with state truly bounded by
+    the watermark: ``dropDuplicatesWithinWatermark`` evicts a key's state
+    once the watermark passes its event time + delay, so memory is bounded
+    by the lateness horizon (plain ``dropDuplicates`` on a key subset that
+    excludes the event-time column would keep state for every distinct key
+    forever — the watermark does NOT evict it). The trade is explicit:
+    duplicates separated by more than the watermark delay are re-emitted,
+    which is the only state-bounded contract possible on an unbounded
+    stream (the streaming twin of the batch dedup_exact/dedup_latest
+    family)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
@@ -450,7 +456,7 @@ def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
     return (
         stream.withWatermark("ts", "1 hour")
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id")
     )
 

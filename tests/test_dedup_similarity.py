@@ -145,3 +145,52 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
     e = exact_distinct_bounds(spark, sf_dir).collect()[0]
     assert abs(a["approx_users"] - e["exact_users"]) <= max(3, 0.06 * e["exact_users"])
     assert a["approx_types"] == e["exact_types"]  # tiny cardinality: exact
+
+
+def test_hot_shingle_cap_bounds_join_fanout(spark, tmp_path):
+    """A stop shingle shared by every document must NOT reach the
+    inverted-index self-join once its posting list exceeds the cap: the
+    Observation reports exactly the dropped posting-list rows, the
+    genuinely-similar pair survives on its own shingles, and its Jaccard
+    only UNDERcounts (the conservative-degradation contract)."""
+    import pandas as pd
+    from pyspark.sql import Observation
+
+    # 12 docs all ending in the same stop shingle ("the end here"); docs
+    # 0/1 share a 12-token prefix (one token differs before the tail:
+    # 14 shingles each, 11 common uncapped -> j = 11/17 ~ 0.647), the
+    # rest are mutually unrelated apart from the stop tail
+    shared = " ".join(f"s{i}" for i in range(12))
+    stop = "the end here"
+    rows = [
+        {"doc_id": 0, "text": f"{shared} zeta {stop}"},
+        {"doc_id": 1, "text": f"{shared} eta {stop}"},
+    ] + [
+        {"doc_id": i, "text": f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f {stop}"}
+        for i in range(2, 12)
+    ]
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(
+        str(tmp_path / "hot_docs" / "documents.parquet")
+    )
+    sf_dir = str(tmp_path / "hot_docs")
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir, hot_shingle_cap=10**9).collect()
+    }
+    assert (0, 1) in uncapped
+
+    obs = Observation("hot_shingles")
+    capped_df = dedup.ngram_jaccard_pairs(spark, sf_dir, hot_shingle_cap=5, observation=obs)
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped_df.collect()
+    }
+    # the genuinely-similar pair survives on its own shingles, with a
+    # conservatively SMALLER jaccard (common lost the hot shingle, na/nb
+    # kept the full set size: 10/18 vs 11/17)
+    assert (0, 1) in capped
+    assert capped[(0, 1)] < uncapped[(0, 1)]
+    # exactly the 12-doc "the end here" posting list was dropped
+    m = obs.get
+    assert m["hot_shingle_rows_dropped"] == 12
+    assert m["hot_shingle_rows_dropped"] < m["shingle_rows_total"]

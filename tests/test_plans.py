@@ -142,3 +142,52 @@ def test_flagship_no_global_sort_or_cartesian(spark, sf_dir):
     plan = _plan(QUERIES["exports_report_events"](spark, sf_dir))
     assert "rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunker_plan_is_jvm_native(spark, sf_dir):
+    """corpus_chunk_documents must stay inside codegen end-to-end: the
+    posexplode(sequence)+slice formulation has NO Python stage (the UDTF
+    variant exists separately as API coverage; a per-row Python chunker
+    at 100 TB is the anti-pattern VERDICT r2 #3 flagged)."""
+    plan = _plan(QUERIES["corpus_chunk_documents"](spark, sf_dir))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDTF", "MapInPandas"):
+        assert marker not in plan, f"{marker} in native chunker plan:\n{plan}"
+
+
+def test_monthly_report_plan_shape(spark, sf_dir, tmp_path):
+    """The full monthly-report plan keeps its at-scale contract: no
+    range-sampling global sort, no cartesian product, no Python stage,
+    and exactly ONE deliberate repartition — the per-lender
+    REPARTITION_BY_COL that feeds the sink's file layout. (The repeated
+    scenarioId ENSURE_REQUIREMENTS exchanges are the two report branches'
+    column-pruned recomputes — measured cheaper than persisting wide
+    rows; see operators/exports.py.)"""
+    from monthly_report_etl_spark.config import PipelineConfig
+    from monthly_report_etl_spark.fixtures import write_fixture
+    from monthly_report_etl_spark.plans import monthly_report
+    from monthly_report_etl_spark.schemas import COMPETITOR_LIST_SCHEMA
+    from monthly_report_etl_spark.sources import read_lookup_csv
+
+    out = str(tmp_path / "mr_fixture")
+    write_fixture(out, n_scenarios=200, seed=7)
+    raw = spark.read.parquet(f"{out}/exports_deals.parquet")
+    comp = read_lookup_csv(spark, f"{out}/competitor_list.csv", COMPETITOR_LIST_SCHEMA)
+    plan = _plan(monthly_report(raw, comp, PipelineConfig()))
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    reparts = _lines(plan, "REPARTITION_BY_COL")
+    assert len(reparts) == 1, f"expected exactly 1 deliberate repartition:\n{plan}"
+
+
+def test_ann_lsh_plan_shape(spark, sf_dir):
+    """similarity_ann_lsh's Python surface stays Arrow-batched and
+    confined to the bucket/score projections: no row-at-a-time
+    BatchEvalPython anywhere, at most 4 ArrowEvalPython stages (corpus +
+    query bucket projection, re-rank scoring), and the query side joins
+    broadcast (VERDICT r2 #5)."""
+    plan = _plan(QUERIES["similarity_ann_lsh"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan, plan
+    n_arrow = len({ln.strip() for ln in _lines(plan, ") ArrowEvalPython")})
+    assert n_arrow <= 4, f"{n_arrow} ArrowEvalPython stages:\n{plan}"
+    assert "BroadcastHashJoin" in plan, plan
