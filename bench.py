@@ -46,6 +46,12 @@ HEADLINE = [
     "streaming_sessionize",
     "asof_join",
     "window_family",
+    "events_funnel",
+    "events_sessionize_batch",
+    "window_distribution",
+    "olap_large_orders",
+    "corpus_repetition_stats",
+    "embeddings_quantize_int8",
 ]
 
 

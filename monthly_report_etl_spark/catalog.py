@@ -1048,6 +1048,7 @@ def _register_extension_catalogs() -> None:
     Deferred import at module bottom (the extension modules are standalone;
     catalog is the single wiring point the driver sees).
     """
+    from monthly_report_etl_spark.operators import analytics as _analytics
     from monthly_report_etl_spark.operators import corpus as _corpus
     from monthly_report_etl_spark.operators import dedup as _dedup
     from monthly_report_etl_spark.operators import multimodal as _multimodal
@@ -1066,6 +1067,7 @@ def _register_extension_catalogs() -> None:
         _relational,
         _olap,
         _corpus,
+        _analytics,
     ):
         for name, (fn, oracle) in module.CATALOG.items():
             QUERIES[name] = _engine_semantics(fn)
@@ -1135,6 +1137,20 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_feature_hashing",
     # -- new this round (never had a window slot) --
     "corpus_chunk_documents_udtf",
+    "events_funnel",
+    "events_retention_cohort",
+    "events_sessionize_batch",
+    "stats_moments_group",
+    "window_distribution",
+    "olap_promo_revenue",
+    "olap_order_priority_semijoin",
+    "olap_small_quantity_avg",
+    "olap_large_orders",
+    "corpus_repetition_stats",
+    "corpus_normalize_dedup",
+    "corpus_source_lang_rollup",
+    "embeddings_quantize_int8",
+    "dedup_cc_star",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

@@ -1,0 +1,317 @@
+"""Event-analytics operator shapes: funnel, retention cohort, batch
+sessionization, distribution moments, and the window distribution family
+(percent_rank / cume_dist / ntile).
+
+These are the product-analytics queries every events warehouse runs (the
+reference's report is one instance of the genre — exports_results.sql's
+per-month lender rollup); each is expressed as a single declarative plan
+with a DuckDB oracle.
+
+Scale notes: every operator here shuffles at most once on its natural
+key (``user_id`` for the per-user shapes, the group key for the aggs);
+window stages that share a partition key reuse one Exchange (Spark emits
+consecutive Window nodes over the same HashPartitioning), and grouped
+aggregations whose keys contain the window's partition key inherit its
+partitioning (ClusteredDistribution is satisfied by a subset
+partitioning), so sessionization is ONE shuffle end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        from monthly_report_etl_spark.catalog import _events
+
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# funnel: view -> click-after-view -> purchase-after-click
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH e1 AS (
+    SELECT user_id, ts, event_type,
+           MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+    FROM events
+),
+e2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+    FROM e1
+),
+e3 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+    FROM e2
+),
+u AS (
+    SELECT user_id, MAX(t_view) AS tv, MAX(t_click) AS tc, MAX(t_purchase) AS tp
+    FROM e3 GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(tv) AS BIGINT) AS n_view,
+       CAST(COUNT(tc) AS BIGINT) AS n_click_after_view,
+       CAST(COUNT(tp) AS BIGINT) AS n_purchase_after_click
+FROM u
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first 'view', first 'click' strictly after it,
+    first 'purchase' strictly after that — per user, then stage counts.
+
+    The three stage timestamps are nested MIN-over-user windows (each
+    references the previous), which Spark plans as three Window nodes over
+    ONE Exchange on ``user_id``; the per-user collapse and the final
+    1-row count are map-side after that. No joins, no second shuffle.
+    """
+    w = Window.partitionBy("user_id")
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    e = e.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    e = e.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max("t_view").alias("tv"),
+        F.max("t_click").alias("tc"),
+        F.max("t_purchase").alias("tp"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click_after_view"),
+        F.count("tp").alias("n_purchase_after_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohort (weekly — the events table spans one month)
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH e AS (
+    SELECT user_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week,
+           CAST(MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS TIMESTAMP)
+               AS cohort_week
+    FROM events
+)
+SELECT cohort_week, active_week,
+       CAST(datediff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_index,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e
+GROUP BY cohort_week, active_week
+ORDER BY cohort_week, active_week
+"""
+
+
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    every week they return. One window shuffle on ``user_id``, then the
+    (cohort, week) distinct-count agg — the cohort matrix is
+    weeks x weeks, tiny regardless of fact size.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    )
+    e = e.withColumn(
+        "cohort_week", F.min("active_week").over(Window.partitionBy("user_id"))
+    )
+    return (
+        e.groupBy("cohort_week", "active_week")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .withColumn(
+            "week_index",
+            (F.datediff("active_week", "cohort_week") / 7).cast("long"),
+        )
+        .select("cohort_week", "active_week", "week_index", "n_users")
+        .orderBy("cohort_week", "active_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (30-minute inactivity gap)
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_BATCH_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+f AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM o
+),
+s AS (
+    SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM f
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (the windowed-cumsum islands
+    pattern; the streaming twin is ``streaming_sessionize``'s
+    session_window). lag -> gap flag -> running sum = session id, then a
+    per-session rollup. Duration stays in exact integer microseconds (no
+    float rounding seam).
+
+    ONE shuffle: the lag and running-sum windows share the ``user_id``
+    partitioning, and the (user_id, session_seq) agg's clustering is
+    satisfied by it (subset rule) — the whole plan rides a single
+    Exchange.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    e = e.withColumn("prev_ts", F.lag("ts").over(w))
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    e = e.withColumn(
+        "new_sess",
+        F.when(F.col("prev_ts").isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    e = e.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return e.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution moments (manual power sums — identical formula both engines)
+# ---------------------------------------------------------------------------
+
+MOMENTS_ORACLE = """
+WITH m AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           AVG(o_totalprice) AS m1,
+           AVG(o_totalprice * o_totalprice) AS m2,
+           AVG(o_totalprice * o_totalprice * o_totalprice) AS m3,
+           STDDEV_SAMP(o_totalprice) AS sd,
+           MEDIAN(o_totalprice) AS med
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       ROUND(m1, 2) AS mean_price,
+       ROUND(sd, 2) AS stddev_price,
+       ROUND(med, 2) AS median_price,
+       ROUND((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+             / POWER(m2 - m1 * m1, 1.5), 3) AS skewness_price
+FROM m
+"""
+
+
+def stats_moments_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution profile: n / mean / sample stddev / exact
+    median / skewness. Skewness is computed from RAW POWER SUMS with the
+    identical formula on both engines — Spark's ``skewness`` is the
+    population g1 while DuckDB's applies the sample bias correction, so
+    the built-ins would disagree by construction; power sums sidestep the
+    semantic fork entirely. Single hash-agg shuffle with map-side
+    partials (median is exact PERCENTILE_CONT — swap for
+    ``percentile_approx`` at 100 TB).
+    """
+    x = F.col("o_totalprice")
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(x).alias("m1"),
+            F.avg(x * x).alias("m2"),
+            F.avg(x * x * x).alias("m3"),
+            F.stddev_samp(x).alias("sd"),
+            F.median(x).alias("med"),
+        )
+    )
+    m1, m2, m3 = F.col("m1"), F.col("m2"), F.col("m3")
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(m1, 2).alias("mean_price"),
+        F.round(F.col("sd"), 2).alias("stddev_price"),
+        F.round(F.col("med"), 2).alias("median_price"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(m2 - m1 * m1, F.lit(1.5)), 3
+        ).alias("skewness_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window distribution family: percent_rank / cume_dist / ntile
+# ---------------------------------------------------------------------------
+
+WINDOW_DISTRIBUTION_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window trio (the only window functions the
+    relational family didn't already cover). The ORDER BY carries
+    ``o_orderkey`` as a total tiebreak so cume_dist and ntile are
+    deterministic. One window shuffle on the partition key.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+CATALOG: dict[str, tuple] = {
+    "events_funnel": (events_funnel, FUNNEL_ORACLE),
+    "events_retention_cohort": (events_retention_cohort, RETENTION_ORACLE),
+    "events_sessionize_batch": (events_sessionize_batch, SESSIONIZE_BATCH_ORACLE),
+    "stats_moments_group": (stats_moments_group, MOMENTS_ORACLE),
+    "window_distribution": (window_distribution, WINDOW_DISTRIBUTION_ORACLE),
+}

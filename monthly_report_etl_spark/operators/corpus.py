@@ -473,6 +473,153 @@ def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules: duplicate-word fraction,
+# top-bigram mass)
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+),
+b AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM d WHERE len(toks) >= 2
+),
+bc AS (
+    SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY doc_id, bigram
+),
+bm AS (
+    SELECT doc_id, MAX(c) AS mc, SUM(c) AS nb FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       ROUND(1.0 - len(list_distinct(d.toks)) / len(d.toks), 6) AS dup_word_frac,
+       ROUND(bm.mc / bm.nb, 6) AS top_bigram_frac
+FROM d JOIN bm ON d.doc_id = bm.doc_id
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the Gopher repetition rules
+    (duplicate-word fraction, most-frequent-bigram mass) that gate
+    boilerplate and spam out of training corpora.
+
+    The duplicate fraction is pure array math in the projection
+    (``array_distinct`` is JVM-native). The top-bigram mass needs a
+    per-(doc, bigram) count, built relationally (posexplode → lead, the
+    same shape as ``corpus_bigram_top``): two hash-aggs and the stats
+    join all cluster on ``doc_id``, so the whole plan is one
+    Exchange on doc_id after the bigram count's (doc_id, bigram)
+    shuffle. No per-doc O(n^2) lambda scans.
+    """
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.trim("text") != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct("toks")) / F.size("toks"), 6
+        ).alias("dup_word_frac"),
+    )
+    tok = base.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigram_max = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"), F.sum("c").alias("nb"))
+    )
+    return stats.join(bigram_max, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        F.round(F.col("mc") / F.col("nb"), 6).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization + dedup on the canonical form
+# ---------------------------------------------------------------------------
+
+NORMALIZE_DEDUP_ORACLE = """
+WITH n AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+)
+SELECT norm_hash, CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM n GROUP BY norm_hash
+"""
+
+
+def normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED text form (lowercase, punctuation
+    stripped, whitespace collapsed) — catches trivially-reformatted
+    copies that byte-exact ``dedup_exact`` misses. Same scale shape as
+    dedup_exact: the shuffle key is the 16-byte md5 of the normalized
+    form, never the document text."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source rollup (corpus provenance profile)
+# ---------------------------------------------------------------------------
+
+SOURCE_ROLLUP_ORACLE = """
+SELECT source, lang,
+       CAST(GROUPING(source) AS BIGINT) AS g_source,
+       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+
+def source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus provenance profile: per (source, lang) doc counts and sizes
+    with ROLLUP subtotals — the mix-monitoring query a training-data
+    pipeline runs per ingest batch. One Expand + single shuffle;
+    GROUPING() separates subtotal rows from real NULLs."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("source", "lang")
+        .agg(
+            F.grouping("source").cast("long").alias("g_source"),
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .select("source", "lang", "g_source", "g_lang", "n_docs", "avg_chars")
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
     "corpus_chunk_documents_udtf": (chunk_documents_udtf, CHUNK_ORACLE),
@@ -484,4 +631,7 @@ CATALOG: dict[str, tuple] = {
     "corpus_train_val_test_split": (train_val_test_split, SPLIT_ORACLE),
     "corpus_pack_sequences": (pack_sequences, PACK_ORACLE),
     "corpus_feature_hashing": (feature_hashing, FEATURE_HASHING_ORACLE),
+    "corpus_repetition_stats": (repetition_stats, REPETITION_ORACLE),
+    "corpus_normalize_dedup": (normalize_dedup, NORMALIZE_DEDUP_ORACLE),
+    "corpus_source_lang_rollup": (source_lang_rollup, SOURCE_ROLLUP_ORACLE),
 }

@@ -540,6 +540,111 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+# ---------------------------------------------------------------------------
+# connected components, large-star/small-star variant (O(log n) rounds)
+# ---------------------------------------------------------------------------
+
+CC_STAR_MAX_ITERS = 30
+
+
+def _cc_star_core(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) over an
+    edge DataFrame with columns ``(s, t)``.
+
+    Each round rewires the edge set toward stars centered on component
+    minima:
+
+    * large-star: every node links its LARGER neighbors to its minimum
+      neighbor (or itself) — ``(v, m)`` for ``v > u``, ``m = min(N(u) + u)``;
+    * small-star: edges directed big→small; every node links its smaller
+      neighbors and itself to the smallest — ``(v, m)`` for
+      ``v in N¯(u) + u, v != m``.
+
+    Rounds are O(log n) on any graph (vs. graph DIAMETER for label
+    propagation — the win on chain-shaped dup clusters). Per round: two
+    window min-shuffles + one distinct; the driver sees only a
+    (count, hash-XOR) convergence scalar. Each round's edge set is
+    ``localCheckpoint``-ed — persist alone leaves the full iterative
+    lineage in the logical plan, and 10+ rounds of nested
+    union+window+distinct blow up planning (at cluster scale, swap for
+    a reliable ``checkpoint`` so executor loss can recompute).
+    Returns (labels, rounds)."""
+    # canonical (hi, lo) orientation; dedup once up front
+    cur = (
+        edges.select(
+            F.greatest("s", "t").alias("s"), F.least("s", "t").alias("t")
+        )
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = cur.agg(
+        F.count("*").alias("n"), F.coalesce(F.bit_xor(F.xxhash64("s", "t")), F.lit(0)).alias("h")
+    ).collect()[0]
+    rounds = 0
+    for _ in range(CC_STAR_MAX_ITERS):
+        rounds += 1
+        # large-star over the undirected adjacency
+        und = cur.unionByName(cur.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        m_large = F.least(F.min("t").over(Window.partitionBy("s")), F.col("s"))
+        large = (
+            und.withColumn("m", m_large)
+            .filter(F.col("t") > F.col("s"))
+            .select(F.col("t").alias("s"), F.col("m").alias("t"))
+        )
+        # small-star over the big→small orientation of large-star's output
+        directed = large.select(
+            F.greatest("s", "t").alias("s"), F.least("s", "t").alias("t")
+        ).filter(F.col("s") != F.col("t"))
+        m_small = F.min("t").over(Window.partitionBy("s"))
+        with_min = directed.withColumn("m", m_small)
+        small = (
+            with_min.filter(F.col("t") != F.col("m"))
+            .select(F.col("t").alias("s"), F.col("m").alias("t"))
+            .unionByName(with_min.select("s", F.col("m").alias("t")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = small.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("s", "t")), F.lit(0)).alias("h"),
+        ).collect()[0]  # scalar convergence residual — model state, not data
+        cur.unpersist()
+        cur = small
+        if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
+            break
+        sig = new_sig
+    else:
+        cur.unpersist()
+        raise RuntimeError(
+            f"star connected components did not converge in {CC_STAR_MAX_ITERS} rounds"
+        )
+    # fixpoint edge set is a union of stars rooted at component minima
+    labels = (
+        cur.select(F.col("s").alias("doc_id"), F.col("t").alias("component"))
+        .unionByName(
+            cur.select(F.col("t").alias("doc_id"), F.col("t").alias("component"))
+        )
+        .distinct()
+    )
+    return labels, rounds
+
+
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph via alternating
+    large-star/small-star — same contract as
+    ``dedup_connected_components`` (component = MIN doc_id), but round
+    count bounded by O(log n) instead of graph diameter: the variant to
+    run at 100 TB, where a chain of pairwise near-dups would force label
+    propagation through as many shuffle rounds as the chain is long."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    labels, _ = _cc_star_core(
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    )
+    return labels
+
+
 CATALOG: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
@@ -547,4 +652,5 @@ CATALOG: dict[str, tuple] = {
     "dedup_simhash": (simhash_pairs, None),  # engine-hash sketch: rows-only
     "dedup_embedding_cosine": (embedding_cosine_pairs, EMBEDDING_COSINE_ORACLE),
     "dedup_connected_components": (dedup_connected_components, CONNECTED_COMPONENTS_ORACLE),
+    "dedup_cc_star": (dedup_cc_star, CONNECTED_COMPONENTS_ORACLE),
 }

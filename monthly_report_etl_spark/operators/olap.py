@@ -229,11 +229,164 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pos", F.col("pos").cast("long"))
 
 
+PROMO_REVENUE_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-revenue ratio over one ship month. The
+    shipdate range prunes lineitem at the scan; part broadcasts at test
+    SF (at 100 TB part is fact-sized — the partkey equi-join shuffles
+    both sides, and the single-row ratio is a map-side partial
+    aggregate)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORDER_PRIORITY_SEMIJOIN_ORACLE = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS against the fact side compiled as a LEFT SEMI
+    join (no row multiplication, lineitem deduped by the join itself).
+    Both sides shuffle on orderkey; the priority rollup is a 5-row agg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SMALL_QUANTITY_AVG_ORACLE = """
+WITH brand_parts AS (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'
+),
+per_part AS (
+    SELECT l.l_partkey, AVG(l.l_quantity) AS avg_qty
+    FROM lineitem l JOIN brand_parts b ON l.l_partkey = b.p_partkey
+    GROUP BY l.l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN per_part a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+def small_quantity_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: the correlated per-part AVG subquery decorrelated into
+    an aggregate + self-join — the standard rewrite every optimizer
+    applies. The brand filter shrinks part to a broadcastable key set; the
+    per-part average is computed over the SEMI-FILTERED lineitem (same
+    result as the correlated form, since the average is per partkey), and
+    the final join is agg-to-fact on partkey, co-partitioned with the agg
+    that produced it."""
+    bp = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(
+            per_part.withColumnRenamed("l_partkey", "_pk"),
+            F.col("l_partkey") == F.col("_pk"),
+        )
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+LARGE_ORDERS_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(b.sum_qty, 2) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING over a fact-side rollup, merged back onto orders
+    and customer, top-20. The quantity rollup and the orders join share
+    the orderkey shuffle; customer broadcasts; top-k is TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "olap_regional_revenue": (regional_revenue, REGIONAL_REVENUE_ORACLE),
     "olap_shipping_priority": (shipping_priority, SHIPPING_PRIORITY_ORACLE),
     "olap_local_supplier_volume": (local_supplier_volume, LOCAL_SUPPLIER_VOLUME_ORACLE),
     "olap_returned_items": (returned_items, RETURNED_ITEMS_ORACLE),
+    "olap_promo_revenue": (promo_revenue, PROMO_REVENUE_ORACLE),
+    "olap_order_priority_semijoin": (order_priority_semijoin, ORDER_PRIORITY_SEMIJOIN_ORACLE),
+    "olap_small_quantity_avg": (small_quantity_avg, SMALL_QUANTITY_AVG_ORACLE),
+    "olap_large_orders": (large_orders, LARGE_ORDERS_ORACLE),
     "unpivot_part": (unpivot_part, UNPIVOT_ORACLE),
     "posexplode_tokens": (posexplode_tokens, POSEXPLODE_ORACLE),
 }

@@ -383,3 +383,66 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CATALOG["similarity_ivf_topk"] = (ivf_topk, None)  # iterative model: rows-only + pytest recall
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (per-vector symmetric scale)
+# ---------------------------------------------------------------------------
+
+QUANTIZE_INT8_ORACLE = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+               AS max_abs
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, e, 127.0 / max_abs AS scale FROM v WHERE max_abs > 0
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale_r,
+       CAST(list_sum(list_transform(e, x -> CAST(round(x * scale) AS BIGINT)))
+            AS BIGINT) AS q_sum,
+       ROUND(list_max(list_transform(e, x -> abs(x - round(x * scale) / scale))), 5)
+           AS max_abs_err
+FROM s
+"""
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the embedding-compression
+    pass an ANN index build runs before storage (4x size cut): scale each
+    vector by 127/max|x|, round to int8, and report the reconstruction
+    error alongside a checksum of the quantized codes.
+
+    Pure projection — array HOFs (``transform``/``aggregate``/
+    ``array_max``) run inside codegen, zero shuffles, no Python. Rounding
+    is HALF_UP on both engines (Spark ``round`` and DuckDB ``round`` both
+    round halves away from zero), and the checksum is an exact integer
+    sum, so the oracle compare has no float-summation seam. The per-DIM
+    global variant (asymmetric, corpus min/max) is
+    ``embeddings_standardize``'s aggregation shape with a quantize step.
+    """
+    e = F.col("embedding").cast("array<double>")
+    v = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            e.alias("e"),
+            F.array_max(F.transform(e, lambda x: F.abs(x))).alias("max_abs"),
+        )
+        .filter(F.col("max_abs") > 0)
+        .withColumn("scale", F.lit(127.0) / F.col("max_abs"))
+    )
+    scale = F.col("scale")
+    q = F.transform(F.col("e"), lambda x: F.round(x * scale).cast("long"))
+    err = F.transform(F.col("e"), lambda x: F.abs(x - F.round(x * scale) / scale))
+    return v.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale_r"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.round(F.array_max(err), 5).alias("max_abs_err"),
+    )
+
+
+CATALOG["embeddings_quantize_int8"] = (quantize_int8, QUANTIZE_INT8_ORACLE)

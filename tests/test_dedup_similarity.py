@@ -194,3 +194,29 @@ def test_hot_shingle_cap_bounds_join_fanout(spark, tmp_path):
     m = obs.get
     assert m["hot_shingle_rows_dropped"] == 12
     assert m["hot_shingle_rows_dropped"] < m["shingle_rows_total"]
+
+
+def test_cc_star_chain_converges_logarithmically(spark):
+    """A 64-node chain is the adversarial case for label propagation
+    (needs ~diameter rounds); the large-star/small-star alternation must
+    land the same labels in O(log n) rounds."""
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "s long, t long")
+    labels, rounds = dedup._cc_star_core(edges)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"star CC took {rounds} rounds on a 64-chain"
+
+
+def test_cc_star_matches_label_propagation(spark, sf_dir):
+    """Both CC variants must produce identical labels on the real
+    near-dup pair graph (they also share the recursive-CTE oracle)."""
+    star = {
+        (r["doc_id"], r["component"])
+        for r in dedup.dedup_cc_star(spark, sf_dir).collect()
+    }
+    prop = {
+        (r["doc_id"], r["component"])
+        for r in dedup.dedup_connected_components(spark, sf_dir).collect()
+    }
+    assert star == prop and len(star) > 0

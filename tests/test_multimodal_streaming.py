@@ -143,7 +143,13 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     import pytest
 
     if not events_stream.HAS_TWS_DEPS:
-        pytest.skip("python protobuf not installed (transformWithState dependency)")
+        pytest.skip(
+            "container-level blocker: the python protobuf package (required by "
+            "transformWithStateInPandas's v2 state protocol) is not installed "
+            "and package installs are unavailable in this environment; the "
+            "operator is import-guarded and this test runs wherever protobuf "
+            "exists"
+        )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -204,3 +210,42 @@ def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
     s = {(r["user_id"], r["session_start"]): r["n_events"] for r in sw.collect()}
     b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
     assert s == b
+
+
+def test_real_png_through_decode_features(spark):
+    """Round 1 stretch item: a REAL codec payload through the full
+    ``decode_features`` operator. The PNG is crafted with stdlib only
+    (zlib/struct), so when PIL is installed this exercises an actual
+    third-party decode — not a PIL->PIL round-trip of our own making.
+    Skips (documented container blocker) where PIL is absent."""
+    import pytest
+
+    pytest.importorskip("PIL", reason="PIL not installed in this container")
+    import struct
+    import zlib
+
+    w, h = 8, 4  # pixels 0..31 row-major
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    raw = b"".join(b"\x00" + bytes(range(r * w, r * w + w)) for r in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", len(png))],
+        "doc_id long, payload binary, media_type string, n_bytes long",
+    )
+    row = df.mapInPandas(multimodal._feature_batches, multimodal.FEATURE_SCHEMA).collect()[0]
+    assert row["n_bytes"] == w * h  # decoded pixel count, not file size
+    assert row["mean_byte"] == 15.5
+    assert [row[f"hist_bin{i}"] for i in range(4)] == [w * h, 0, 0, 0]

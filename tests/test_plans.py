@@ -191,3 +191,30 @@ def test_ann_lsh_plan_shape(spark, sf_dir):
     n_arrow = len({ln.strip() for ln in _lines(plan, ") ArrowEvalPython")})
     assert n_arrow <= 4, f"{n_arrow} ArrowEvalPython stages:\n{plan}"
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name,max_hash_exchanges",
+    [
+        # nested stage windows + per-user collapse: ONE exchange on user_id
+        ("events_funnel", 1),
+        # lag + running-sum windows + (user_id, session_seq) agg all ride
+        # the user_id partitioning (subset-clustering rule)
+        ("events_sessionize_batch", 1),
+    ],
+)
+def test_single_exchange_analytics(spark, sf_dir, name, max_hash_exchanges):
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    n = len(_lines(plan, "Exchange hashpartitioning"))
+    assert n <= max_hash_exchanges, f"{name}: {n} hash exchanges:\n{plan}"
+    assert "rangepartitioning" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_quantize_int8_no_shuffle_no_python(spark, sf_dir):
+    """embeddings_quantize_int8 is a pure projection: the array HOFs
+    (transform/aggregate/array_max) stay JVM-side — no Exchange, no
+    Python stage anywhere."""
+    plan = _plan(QUERIES["embeddings_quantize_int8"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
