@@ -1151,6 +1151,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_source_lang_rollup",
     "embeddings_quantize_int8",
     "dedup_cc_star",
+    "olap_forecast_revenue",
+    "olap_dormant_rich_customers",
+    "sketch_partial_merge",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

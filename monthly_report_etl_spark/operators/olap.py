@@ -378,6 +378,73 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORECAST_REVENUE_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-filter-aggregate — the query that measures
+    whether predicates reach the parquet scan (all three land in
+    PushedFilters) and the sum stays in one map-side partial + 1-row
+    final. No joins, no wide shuffle at any scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "forecast_revenue"
+        )
+    )
+
+
+DORMANT_RICH_CUSTOMERS_ORACLE = """
+WITH threshold AS (
+    SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       ROUND(SUM(c.c_acctbal), 2) AS total_bal
+FROM customer c, threshold t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar subquery (global average, broadcast as a 1-row
+    cross join) + NOT EXISTS decorrelated into a LEFT ANTI join against
+    the fact side, then a per-nation rollup. The anti join shuffles on
+    custkey; orders is projected to the join key only before the
+    exchange (column pruning keeps the anti side narrow)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "olap_regional_revenue": (regional_revenue, REGIONAL_REVENUE_ORACLE),
     "olap_shipping_priority": (shipping_priority, SHIPPING_PRIORITY_ORACLE),
@@ -387,6 +454,8 @@ CATALOG: dict[str, tuple] = {
     "olap_order_priority_semijoin": (order_priority_semijoin, ORDER_PRIORITY_SEMIJOIN_ORACLE),
     "olap_small_quantity_avg": (small_quantity_avg, SMALL_QUANTITY_AVG_ORACLE),
     "olap_large_orders": (large_orders, LARGE_ORDERS_ORACLE),
+    "olap_forecast_revenue": (forecast_revenue, FORECAST_REVENUE_ORACLE),
+    "olap_dormant_rich_customers": (dormant_rich_customers, DORMANT_RICH_CUSTOMERS_ORACLE),
     "unpivot_part": (unpivot_part, UNPIVOT_ORACLE),
     "posexplode_tokens": (posexplode_tokens, POSEXPLODE_ORACLE),
 }

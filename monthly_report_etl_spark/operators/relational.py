@@ -477,9 +477,58 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-sketch architecture (Apache DataSketches, built into
+    Spark 4): per-group HLL and KLL sketch PARTIALS that union to rollup
+    totals without rescanning — the pattern that makes incremental /
+    hierarchical aggregation work at 100 TB (each ingest batch keeps a
+    kilobyte sketch; totals are sketch unions, never recounts).
+
+    Here: per-priority HLL(custkey) and KLL(totalprice) partials from ONE
+    pass over orders, then a grand-total row computed by merging those 5
+    partials — the plan never touches orders twice (the second agg's
+    input is 5 sketch rows). Estimates are engine-specific binaries →
+    rows-only for the SQL gate; the error-bound differential vs the exact
+    answers is in pytest."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("hll"),
+        F.kll_sketch_agg_double("o_totalprice").alias("kll"),
+    )
+    per = per.localCheckpoint()  # one scan of orders; totals merge from 5 rows
+    detail = per.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("hll").alias("distinct_custs_est"),
+        F.round(F.kll_sketch_get_quantile_double("kll", F.lit(0.5)), 2).alias("p50_price_est"),
+    )
+    # hll_union_agg is a native aggregate; KLL's merge is a BINARY scalar
+    # (DataSketches API shape), so the 5 per-group partials fold through
+    # an array aggregate — still never rescans orders
+    merged_kll = F.aggregate(
+        F.slice(F.col("ks"), 2, F.greatest(F.size("ks") - 1, F.lit(0))),
+        F.element_at("ks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    total = (
+        per.agg(
+            F.hll_union_agg("hll").alias("hll"),
+            F.collect_list("kll").alias("ks"),
+        )
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            F.hll_sketch_estimate("hll").alias("distinct_custs_est"),
+            F.round(F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.5)), 2).alias(
+                "p50_price_est"
+            ),
+        )
+    )
+    return detail.unionByName(total)
+
+
 CATALOG["approx_aggregates"] = (approx_aggregates, None)  # sketch: rows-only
 CATALOG["exact_distinct_bounds"] = (exact_distinct_bounds, APPROX_EXACT_BOUNDS_ORACLE)
 CATALOG["map_functions"] = (map_functions, MAP_FUNCTIONS_ORACLE)
+CATALOG["sketch_partial_merge"] = (sketch_partial_merge, None)  # sketch: rows-only
 
 
 # ---------------------------------------------------------------------------

@@ -220,3 +220,73 @@ def test_cc_star_matches_label_propagation(spark, sf_dir):
         for r in dedup.dedup_connected_components(spark, sf_dir).collect()
     }
     assert star == prop and len(star) > 0
+
+
+def test_cc_star_random_graphs_match_union_find(spark):
+    """Star CC vs a driver-side union-find on random graphs — covers
+    shapes (forests, cliques, multi-component mixes) the fixture's pair
+    graph never produces."""
+    import random
+
+    def union_find_labels(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component = min node id reachable
+        comp = {}
+        for x in range(n_nodes):
+            comp.setdefault(find(x), []).append(x)
+        out = {}
+        for members in comp.values():
+            m = min(members)
+            for x in members:
+                out[x] = m
+        return out
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 40
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 60))
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        edges = spark.createDataFrame(edge_list, "s long, t long")
+        labels, _ = dedup._cc_star_core(edges)
+        got = {r["doc_id"]: r["component"] for r in labels.collect()}
+        want = union_find_labels(n, edge_list)
+        touched = {x for e in edge_list for x in e}
+        want = {x: want[x] for x in touched}  # star CC only labels non-isolated nodes
+        assert got == want, f"seed {seed}"
+
+
+def test_sketch_partial_merge_within_error_bounds(spark, sf_dir):
+    """The HLL/KLL partial-merge rollup must land near the exact answers:
+    HLL default lgK=12 keeps relative error ~1.6% (assert 5%); the merged
+    KLL median must sit between the per-group quantile extremes and
+    within a loose rank tolerance of the exact median."""
+    from monthly_report_etl_spark.operators import relational
+
+    rows = {
+        r["o_orderpriority"]: r
+        for r in relational.sketch_partial_merge(spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact_all = o.agg(
+        F.countDistinct("o_custkey").alias("d"), F.median("o_totalprice").alias("m")
+    ).collect()[0]
+    est = rows["ALL"]
+    assert abs(est["distinct_custs_est"] - exact_all["d"]) <= max(2, 0.05 * exact_all["d"])
+    assert abs(est["p50_price_est"] - exact_all["m"]) <= 0.1 * exact_all["m"]
+    # per-group estimates also sane, and ALL >= any single group's distinct
+    for k, r in rows.items():
+        if k != "ALL":
+            assert r["distinct_custs_est"] <= est["distinct_custs_est"] * 1.05
