@@ -1154,6 +1154,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "olap_forecast_revenue",
     "olap_dormant_rich_customers",
     "sketch_partial_merge",
+    "dedup_prefix_jaccard",
+    "events_sliding_window",
+    "corpus_stratified_sample",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

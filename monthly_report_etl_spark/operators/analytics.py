@@ -308,8 +308,36 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDING_WINDOW_ORACLE = """
+SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events, (SELECT unnest(range(4)) AS k) k
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows in batch: 1-hour windows every 15
+    minutes — each event lands in exactly 4 windows. Spark's ``window()``
+    expression expands the 4 assignments JVM-side before ONE hash
+    aggregation (no self-join, no 4x shuffle of the input: the explode
+    happens map-side and partial aggregation collapses it before the
+    exchange). The oracle replicates Spark's epoch-aligned window starts
+    with integer-microsecond arithmetic (``floor(us/900e6) - k``), so
+    both engines bucket sub-second timestamps identically."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "events_funnel": (events_funnel, FUNNEL_ORACLE),
+    "events_sliding_window": (events_sliding_window, SLIDING_WINDOW_ORACLE),
     "events_retention_cohort": (events_retention_cohort, RETENTION_ORACLE),
     "events_sessionize_batch": (events_sessionize_batch, SESSIONIZE_BATCH_ORACLE),
     "stats_moments_group": (stats_moments_group, MOMENTS_ORACLE),

@@ -620,8 +620,47 @@ def source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATIFIED_FRACTION = 0.2
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+WHERE r <= CEIL({STRATIFIED_FRACTION} * n)
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum counts: keep
+    ceil(f * n_lang) docs per language, chosen by ranking on a portable
+    content-independent hash (md5 of the id) — deterministic across
+    engines, runs, and partitionings, unlike ``df.sampleBy`` whose
+    per-row Bernoulli draw gives only the expected fraction and depends
+    on partition layout. The rank and count windows share one lang
+    exchange; at 100 TB the shuffle carries (id, lang, source) only.
+    Strata with fewer than 1/f docs still contribute their ceil — no
+    empty strata, the property sampleBy cannot promise."""
+    d = _docs(spark, sf_dir)
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("r", F.row_number().over(rank_w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+        .filter(F.col("r") <= F.ceil(F.lit(STRATIFIED_FRACTION) * F.col("n")))
+        .select("doc_id", "lang", "source")
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
+    "corpus_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_ORACLE),
     "corpus_chunk_documents_udtf": (chunk_documents_udtf, CHUNK_ORACLE),
     "corpus_sample_hash_mod": (sample_hash_mod, SAMPLE_HASH_MOD_ORACLE),
     "corpus_pii_flags": (pii_flags, PII_FLAGS_ORACLE),

@@ -290,3 +290,45 @@ def test_sketch_partial_merge_within_error_bounds(spark, sf_dir):
     for k, r in rows.items():
         if k != "ALL":
             assert r["distinct_custs_est"] <= est["distinct_custs_est"] * 1.05
+
+
+def test_prefix_filter_is_lossless_and_prunes(spark, sf_dir):
+    """Prefix-filtering must (a) return exactly the inverted-index join's
+    pair set — no false negatives (the AllPairs prefix theorem) — and
+    (b) generate strictly fewer candidate join rows than the full
+    posting-list self-join (the point of the technique)."""
+    from pyspark.sql import Window
+
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.prefix_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert pref == full and len(full) > 0
+
+    # candidate-volume comparison: join rows over full posting lists vs
+    # over prefix rows only
+    rows = dedup._shingle_rows(spark, sf_dir)
+    t = dedup.JACCARD_THRESHOLD
+    e = rows.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    e = e.withColumn("n", F.count("*").over(Window.partitionBy("doc_id"))).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
+    )
+    pref_rows = e.filter(F.col("r") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+    full_cand = (
+        rows.alias("a")
+        .join(rows.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .count()
+    )
+    pref_cand = (
+        pref_rows.alias("a")
+        .join(pref_rows.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .count()
+    )
+    assert pref_cand < full_cand
