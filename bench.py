@@ -52,6 +52,10 @@ HEADLINE = [
     "olap_large_orders",
     "corpus_repetition_stats",
     "embeddings_quantize_int8",
+    "dedup_prefix_jaccard",
+    "events_sliding_window",
+    "corpus_stratified_sample",
+    "olap_forecast_revenue",
 ]
 
 

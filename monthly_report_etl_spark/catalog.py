@@ -1157,6 +1157,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_prefix_jaccard",
     "events_sliding_window",
     "corpus_stratified_sample",
+    "multimodal_audio_rms",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

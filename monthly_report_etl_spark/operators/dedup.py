@@ -668,7 +668,11 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     NGRAM_JACCARD_ORACLE.
     """
     t = F.lit(JACCARD_THRESHOLD)
-    rows = _shingle_rows(spark, sf_dir)
+    # materialize the shingle rows ONCE (lineage truncation): both the
+    # candidate branch and the verification joins below read them, and
+    # without the checkpoint each branch would re-execute the whole
+    # scan + posexplode + window cascade
+    rows = _shingle_rows(spark, sf_dir).localCheckpoint()
     # set size + global shingle frequency; the df window shuffles by s,
     # the n/rank windows share one doc_id exchange
     e = rows.withColumn("df", F.count("*").over(Window.partitionBy("s")))
@@ -678,8 +682,13 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
         ),
     )
-    pref = e.filter(F.col("r") <= F.col("n") - F.ceil(t * F.col("n")) + 1).select(
-        "doc_id", "s", "n"
+    # checkpoint the prefix rows too: they feed BOTH sides of the
+    # candidate self-join, and without it the window cascade above is
+    # planned (and executed) once per side
+    pref = (
+        e.filter(F.col("r") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+        .select("doc_id", "s", "n")
+        .localCheckpoint()
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
@@ -690,28 +699,32 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("b.n") >= t * F.col("a.n")) & (F.col("a.n") >= t * F.col("b.n"))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
-    sets = _shingled(spark, sf_dir)
+    # verify by counting common shingles directly against the (already
+    # materialized) shingle rows — no per-doc collect_set over the whole
+    # corpus; the work is proportional to candidate pairs x doc size, and
+    # with a small candidate set AQE turns both joins into broadcasts so
+    # the shingle rows never re-shuffle
+    ra, rb = rows.alias("ra"), rows.alias("rb")
     verified = (
-        cand.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
+        cand.join(ra, F.col("doc_a") == F.col("ra.doc_id"))
         .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
+            rb,
+            (F.col("doc_b") == F.col("rb.doc_id")) & (F.col("ra.s") == F.col("rb.s")),
         )
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jac",
-            F.col("common")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
-        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("common"))
     )
-    return verified.filter(F.col("jac") >= t).select(
-        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return verified.filter(jac >= t).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 

@@ -215,8 +215,86 @@ SELECT doc_id, frame_idx, ROUND(AVG(byte), 6) AS frame_mean
 FROM b GROUP BY doc_id, frame_idx
 """
 
+AUDIO_WINDOW = 256  # samples per RMS window
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms_raw", T.DoubleType()),
+    ]
+)
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+            raw = _decode_payload(bytes(payload), str(mt))
+            # bytes → little-endian signed 16-bit PCM; odd trailing byte dropped
+            smp = raw[: 2 * (raw.size // 2)].view(np.uint8).tobytes()
+            pcm = np.frombuffer(smp, dtype="<i2").astype(np.float64)
+            for i in range(0, pcm.size, AUDIO_WINDOW):
+                w = pcm[i : i + AUDIO_WINDOW]
+                # squares are ints < 2^30, window sums < 2^53 → the mean is
+                # exact in float64 regardless of summation order, and IEEE
+                # sqrt is correctly rounded: bit-identical to the oracle
+                rows.append(
+                    (int(doc_id), i // AUDIO_WINDOW, int(w.size), float(np.sqrt(np.mean(w * w))))
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "window_idx", "n_samples", "rms_raw"])
+
+
+def audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (windowed RMS energy): payload bytes as
+    little-endian int16 PCM, ``AUDIO_WINDOW``-sample windows, RMS per
+    window — the silence-trim / voice-activity primitive. Same seam as
+    the image path: a real pipeline swaps ``_decode_payload`` for an
+    audio codec; the Spark plumbing (Arrow-batched ``mapInPandas``,
+    schema up front, zero shuffles) is identical either way. Rounding is
+    applied as a Spark-side ``F.round`` AFTER the UDF, never in Python
+    (half-even vs half-away divergence)."""
+    return (
+        media_table(spark, sf_dir)
+        .mapInPandas(_audio_batches, AUDIO_SCHEMA)
+        .select(
+            "doc_id",
+            "window_idx",
+            "n_samples",
+            F.round("rms_raw", 6).alias("rms"),
+        )
+    )
+
+
+# ASCII corpus → each char is one byte; sample k is cs[2k+1] + 256*cs[2k+2]
+# (ASCII high bytes < 128 keep u < 32768, but the signed fold is written out
+# on both sides so the contract is the true int16 one)
+AUDIO_RMS_ORACLE = f"""
+WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+s AS (
+    SELECT doc_id, k,
+           ascii(cs[2 * k + 1]) + 256 * ascii(cs[2 * k + 2]) AS u
+    FROM c, LATERAL (SELECT unnest(generate_series(0, CAST(len(cs) // 2 AS BIGINT) - 1)) AS k) g
+    WHERE len(cs) >= 2
+),
+v AS (
+    SELECT doc_id, k,
+           CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp
+    FROM s
+)
+SELECT doc_id,
+       CAST(FLOOR(k / {AUDIO_WINDOW}) AS BIGINT) AS window_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       ROUND(sqrt(AVG(smp * smp * 1.0)), 6) AS rms
+FROM v
+GROUP BY doc_id, 2
+"""
+
+
 CATALOG: dict[str, tuple] = {
     "multimodal_byte_stats": (byte_stats, BYTE_STATS_ORACLE),
+    "multimodal_audio_rms": (audio_rms, AUDIO_RMS_ORACLE),
     "multimodal_decode_features": (decode_features, DECODE_FEATURES_ORACLE),
     "multimodal_frame_sample": (frame_sample, FRAME_SAMPLE_ORACLE),
 }

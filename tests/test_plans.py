@@ -201,6 +201,11 @@ def test_ann_lsh_plan_shape(spark, sf_dir):
         # lag + running-sum windows + (user_id, session_seq) agg all ride
         # the user_id partitioning (subset-clustering rule)
         ("events_sessionize_batch", 1),
+        # window() expands 4 assignments map-side; ONE exchange for the
+        # (window, event_type) aggregation — no self-join, no 4x shuffle
+        ("events_sliding_window", 1),
+        # rank + stratum-count windows share the lang exchange
+        ("corpus_stratified_sample", 1),
     ],
 )
 def test_single_exchange_analytics(spark, sf_dir, name, max_hash_exchanges):
