@@ -1158,6 +1158,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_sliding_window",
     "corpus_stratified_sample",
     "multimodal_audio_rms",
+    "olap_priority_linecount",
+    "olap_order_count_distribution",
+    "olap_top_revenue_supplier",
+    "olap_disjunctive_brackets",
+    "olap_last_shipper",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -445,6 +445,223 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIORITY_LINECOUNT_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('R', 'A')
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+def priority_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: fact-to-fact equi-join + two-level conditional
+    aggregation (IN-list CASE split into high/low counters). The IN and
+    range predicates land in the lineitem scan's PushedFilters; the
+    priority CASE is evaluated post-join and folds into the map-side
+    partial aggregation."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+ORDER_COUNT_DISTRIBUTION_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey
+     AND o.o_orderpriority NOT LIKE '3%'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: LEFT OUTER join with a filter INSIDE the join
+    condition (NOT LIKE on the right side — semantically different from
+    a WHERE, which would drop zero-order customers), COUNT of the
+    nullable key per customer, then a histogram of the counts. Two
+    aggregations; the second one's input is one row per customer, so the
+    custkey exchange dominates and the c_count exchange is tiny."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & ~F.col("o_orderpriority").startswith("3"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+TOP_REVENUE_SUPPLIER_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: aggregate-then-select-the-max — the revenue rollup is
+    computed ONCE (localCheckpoint truncates the lineage so the scalar
+    MAX branch and the equality filter both read the materialized 100-row
+    aggregate instead of re-scanning lineitem), the 1-row MAX is
+    broadcast back, and the supplier dimension joins by broadcast. No
+    single-partition window, no second fact scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .localCheckpoint()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+DISJUNCTIVE_BRACKETS_ORACLE = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive multi-bracket predicates spanning BOTH join
+    sides. Catalyst splits the OR into single-side conjuncts it can push
+    (each bracket's part-side and lineitem-side ranges OR-folded per
+    side) and evaluates the cross-side residual post-join; the dimension
+    side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+LAST_SHIPPER_ORACLE = """
+SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+"""
+
+
+def last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (adapted to the reduced schema): per multi-supplier
+    finished order, the supplier(s) whose latest line no other supplier
+    shipped after — EXISTS + correlated NOT EXISTS double self-join in
+    the oracle. The Spark plan DECORRELATES both into window aggregates
+    over one l_orderkey exchange: per (order, supplier) max shipdate,
+    then the order-level max / tie-count / second-max trio decides
+    "no other supplier shipped later" without ever self-joining lineitem
+    (the top-2 trick — at 100 TB the double correlated join is quadratic
+    in per-order lines; this is one shuffle)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    li = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_os = per_os.withColumn("n_sup", F.count("*").over(w)).withColumn(
+        "max1", F.max("smax").over(w)
+    )
+    # qualifies iff another supplier exists and none shipped strictly
+    # later — i.e. this supplier's latest line sits AT the order maximum
+    # (ties qualify on both sides: '>' is strict in the NOT EXISTS)
+    keep = per_os.filter((F.col("n_sup") >= 2) & (F.col("smax") == F.col("max1")))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        keep.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "olap_regional_revenue": (regional_revenue, REGIONAL_REVENUE_ORACLE),
     "olap_shipping_priority": (shipping_priority, SHIPPING_PRIORITY_ORACLE),
@@ -456,6 +673,11 @@ CATALOG: dict[str, tuple] = {
     "olap_large_orders": (large_orders, LARGE_ORDERS_ORACLE),
     "olap_forecast_revenue": (forecast_revenue, FORECAST_REVENUE_ORACLE),
     "olap_dormant_rich_customers": (dormant_rich_customers, DORMANT_RICH_CUSTOMERS_ORACLE),
+    "olap_priority_linecount": (priority_linecount, PRIORITY_LINECOUNT_ORACLE),
+    "olap_order_count_distribution": (order_count_distribution, ORDER_COUNT_DISTRIBUTION_ORACLE),
+    "olap_top_revenue_supplier": (top_revenue_supplier, TOP_REVENUE_SUPPLIER_ORACLE),
+    "olap_disjunctive_brackets": (disjunctive_brackets, DISJUNCTIVE_BRACKETS_ORACLE),
+    "olap_last_shipper": (last_shipper, LAST_SHIPPER_ORACLE),
     "unpivot_part": (unpivot_part, UNPIVOT_ORACLE),
     "posexplode_tokens": (posexplode_tokens, POSEXPLODE_ORACLE),
 }
