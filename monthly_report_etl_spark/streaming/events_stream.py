@@ -89,6 +89,44 @@ def windowed_counts_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream → watermark(10 min) → 1-hour windows every 15 minutes —
+    the streaming twin of ``analytics.events_sliding_window`` (each event
+    in exactly 4 windows; state = open windows inside the watermark
+    horizon, so 4 window-groups per key at steady state)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def run_sliding_window_once(
+    spark: SparkSession, sf_dir: str, query_name: str = "sliding_counts"
+) -> DataFrame:
+    src = _stage_events_dir(sf_dir)
+    q = (
+        sliding_window_stream(spark, src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def run_windowed_counts_once(spark: SparkSession, sf_dir: str, query_name: str = "windowed_counts") -> DataFrame:
     """Drive the streaming query to completion over the staged fixture
     (memory sink + processAllAvailable) and return the materialized result."""

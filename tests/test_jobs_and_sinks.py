@@ -180,3 +180,34 @@ def test_merged_time_reinference(spark, fixture_dir, tmp_path):
     merged = run_merge_job(spark, out_dir, merged_dir)
     assert dict(merged.dtypes)["time"] == "timestamp"
     assert merged.filter(F.col("time").isNull()).count() == 0
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, sf_dir, tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite that writes only one
+    lang's rows replaces THAT partition directory and leaves every other
+    partition byte-identical — the idempotent-daily-rerun contract (a
+    static overwrite would wipe the whole table first)."""
+    out = str(tmp_path / "docs_parted")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    d.write.partitionBy("lang").parquet(out)
+    before = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            d.filter(F.col("lang") == "en")
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    after = {r["lang"]: r["n"] for r in back.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert after == before  # same row counts everywhere
+    assert back.filter((F.col("lang") == "en") & (F.col("doc_id") < 10_000_000)).count() == 0
+    assert back.filter((F.col("lang") != "en") & (F.col("doc_id") >= 10_000_000)).count() == 0

@@ -249,3 +249,22 @@ def test_real_png_through_decode_features(spark):
     assert row["n_bytes"] == w * h  # decoded pixel count, not file size
     assert row["mean_byte"] == 15.5
     assert [row[f"hist_bin{i}"] for i in range(4)] == [w * h, 0, 0, 0]
+
+
+def test_streaming_sliding_window_matches_batch(spark, sf_dir):
+    """The hopping-window streaming query must equal the batch
+    events_sliding_window entry exactly (replay has no late data)."""
+    from monthly_report_etl_spark.operators import analytics
+
+    streamed = events_stream.run_sliding_window_once(spark, sf_dir, "sw_test")
+    batch = analytics.events_sliding_window(spark, sf_dir)
+    s = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert s == b
+    assert len(s) > 0

@@ -223,3 +223,44 @@ def test_quantize_int8_no_shuffle_no_python(spark, sf_dir):
     plan = _plan(QUERIES["embeddings_quantize_int8"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: a sort-merge join with one hot key must get
+    its oversized partition SPLIT by AQE's OptimizeSkewedJoin (the
+    'skew=true' marker in the final adaptive plan) — the mechanism the
+    salted-join operator documents as the manual alternative."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        rest = spark.range(0, 30_000).select(
+            (F.col("id") % 3_000 + 1).alias("k"), F.col("id").alias("v")
+        )
+        left = hot.unionAll(rest)
+        right = spark.range(0, 3_001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        assert joined.collect()[0]["n"] == 330_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:4000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
