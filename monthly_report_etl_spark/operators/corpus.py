@@ -297,7 +297,8 @@ runs AS (
                AS running_tokens
     FROM t
 )
-SELECT doc_id, n_tokens, running_tokens,
+SELECT doc_id, n_tokens,
+       CAST(running_tokens AS BIGINT) AS running_tokens,
        CAST(FLOOR((running_tokens - 1) / {PACK_TARGET_TOKENS}) AS BIGINT) AS bin_id
 FROM runs
 """

@@ -13,8 +13,9 @@ fixture, BASELINE.json north star).
   ``applyInPandasWithState`` (running per-user counters with timeout) —
   the custom-stateful-operator template.
 
-events.parquet carries TIMESTAMP(NANOS) (see catalog._events); streaming
-schemas must declare ``ts`` as LongType under ``nanosAsLong`` and convert.
+events.parquet has shipped with ``ts`` as TIMESTAMP(NANOS) (rounds 1-4)
+and TIMESTAMP(MICROS) (round 5+); ``_read_events_stream`` probes the
+footer and normalizes both to session-TZ TIMESTAMP (see catalog._events).
 """
 
 from __future__ import annotations
@@ -31,16 +32,58 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (catalog._events)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# nanos-as-long layout (rounds 1-4: TIMESTAMP(NANOS) physical type)
+EVENTS_STREAM_SCHEMA = _events_stream_schema(T.LongType())
+# micros layout (round 5+: TIMESTAMP(MICROS) physical type → NTZ)
+EVENTS_STREAM_SCHEMA_MICROS = _events_stream_schema(T.TimestampNTZType())
+
+
+def _ts_is_nanos(src_dir: str) -> bool:
+    """Probe the physical ``ts`` type of the parquet files in ``src_dir``
+    (driver-side footer read of one file, not a data pass)."""
+    import pyarrow.parquet as pq
+
+    for name in sorted(os.listdir(src_dir)):
+        if name.endswith(".parquet"):
+            t = pq.read_schema(os.path.join(src_dir, name)).field("ts").type
+            return str(t) == "timestamp[ns]"
+    raise FileNotFoundError(f"no parquet files in {src_dir}")
+
+
+def _read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """readStream over the staged events directory, normalizing ``ts`` to
+    session-TZ TIMESTAMP across both physical layouts the fixture has
+    shipped with (see catalog._events). Streaming sources need an explicit
+    schema, so the probe picks which one matches the files on disk."""
+    if _ts_is_nanos(src_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .format("parquet")
+            .load(src_dir)
+            # integer DIV: epoch-nanos exceed double's 2^53 exact range
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+        return stream
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
 
 SESSION_GAP_MINUTES = 30
 
@@ -74,13 +117,7 @@ def _stage_events_dir(sf_dir: str) -> str:
 def windowed_counts_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """readStream → watermark(10 min) → 1-hour tumbling windows per
     event_type: count + sum(value)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _read_events_stream(spark, src_dir)
     return (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -94,13 +131,7 @@ def sliding_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     the streaming twin of ``analytics.events_sliding_window`` (each event
     in exactly 4 windows; state = open windows inside the watermark
     horizon, so 4 window-groups per key at steady state)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _read_events_stream(spark, src_dir)
     return (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
@@ -225,13 +256,7 @@ def _count_events(
 def stateful_user_counts(spark: SparkSession, src_dir: str) -> DataFrame:
     """Custom stateful streaming operator: running per-user event counts
     via ``applyInPandasWithState`` (update mode, no timeout)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _read_events_stream(spark, src_dir)
     return stream.groupBy("user_id").applyInPandasWithState(
         _count_events,
         outputStructType=_STATEFUL_OUTPUT_SCHEMA,
@@ -346,15 +371,8 @@ def interval_join_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     time-interval join condition. The watermarks bound the buffered state
     to the attribution window (+ lateness) — without them a stream-stream
     join's state grows with the stream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _stream():
-        return (
-            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-            .format("parquet")
-            .load(src_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        return _read_events_stream(spark, src_dir)
 
     c = (
         _stream()
@@ -459,13 +477,7 @@ def transform_with_state_counts(spark: SparkSession, src_dir: str) -> DataFrame:
     first streaming query."""
     if not HAS_TWS_DEPS:  # pragma: no cover
         raise ImportError("transformWithState needs the python protobuf package")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _read_events_stream(spark, src_dir)
     return stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_running_agg_processor(),
         outputStructType="user_id LONG, n_events LONG, sum_value DOUBLE",
@@ -485,13 +497,7 @@ def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     which is the only state-bounded contract possible on an unbounded
     stream (the streaming twin of the batch dedup_exact/dedup_latest
     family)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _read_events_stream(spark, src_dir)
     return (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -550,13 +556,7 @@ def session_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming sessionization via the native ``session_window`` — the
     streaming twin of ``sessionize_batch`` (same 30-minute gap): state per
     open session, closed by the watermark, merged on overlap."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _read_events_stream(spark, src_dir)
     return (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(
