@@ -30,7 +30,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from monthly_report_etl_spark.functions.text import whitespace_tokens
+from monthly_report_etl_spark.functions.text import (
+    FINGERPRINT_MOD,
+    fingerprint,
+    whitespace_tokens,
+)
 from monthly_report_etl_spark.functions.vectors import cosine_similarity
 
 # ---------------------------------------------------------------------------
@@ -282,6 +286,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    return _verify_jaccard(spark, sf_dir, candidates)
+
+
+def _verify_jaccard(spark: SparkSession, sf_dir: str, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
+    array_intersect over the distinct shingle sets, thresholded. The
+    quadratic step touches candidates only."""
     sh = _shingled(spark, sf_dir)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -296,6 +307,211 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# portable-hash MinHash + LSH (oracle-checkable end to end)
+# ---------------------------------------------------------------------------
+#
+# Same banding architecture as minhash_lsh_pairs, but every hash is plain
+# int64 arithmetic both engines compute identically (VERDICT r3 item #3):
+#
+#   token fingerprint  tf = polynomial(chars) % M            (M ~ 2^40)
+#   shingle hash       h  = ((tf0*R + tf1) % M * R + tf2) % M
+#   permutation j      p  = (h*Aj + Bj) % M,  Aj < 2^22
+#   band key           k  = fold(31*k + m_j) % M over the band's 4 mins
+#
+# Bounds: h*Aj <= 2^40 * 2^22 = 2^62 < 2^63 — no int64 overflow anywhere,
+# so ANSI-mode-independent and expressible in DuckDB BIGINT arithmetic
+# (overflow would RAISE there, not wrap — staying in-range is what makes
+# the oracle portable, not wrap-compatibility).
+
+_SHINGLE_R = 1_000_003
+_PERM_A_MAX = 1 << 22
+
+
+def _portable_permutations(n: int, seed: int) -> list[tuple[int, int]]:
+    """(a, b) pairs with a coprime to FINGERPRINT_MOD (bijective affine
+    maps mod M) and small enough that a*h stays inside int64."""
+    import math
+
+    rng = random.Random(seed)
+    out: list[tuple[int, int]] = []
+    while len(out) < n:
+        a = rng.randrange(1, _PERM_A_MAX)
+        if math.gcd(a, FINGERPRINT_MOD) != 1:
+            continue
+        out.append((a, rng.randrange(0, FINGERPRINT_MOD)))
+    return out
+
+
+PORTABLE_PERMUTATIONS = _portable_permutations(NUM_PERM, seed=20250813)
+
+
+def _shingle_hash_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) rows: 3-gram shingle hashes combined from per-token
+    fingerprints — the token fingerprint (the one interpreted HOF) is
+    computed ONCE per token row; the 3-gram combine is window leads +
+    codegen'd arithmetic, never building shingle strings at all."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("doc_id", whitespace_tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    ex = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    ex = ex.select("doc_id", "pos", fingerprint(F.col("tok")).alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1 = F.lead("tf", 1).over(w)
+    t2 = F.lead("tf", 2).over(w)
+    m = F.lit(FINGERPRINT_MOD)
+    h = ((F.col("tf") * _SHINGLE_R + t1) % m * _SHINGLE_R + t2) % m
+    return (
+        ex.select("doc_id", h.alias("h"), t2.alias("_t2"))
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "h")
+    )
+
+
+def minhash_signature_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _m0.._m31): per-permutation MIN over portable shingle
+    hashes — explode → 32-MIN hash-agg with map-side partials; the
+    shuffle carries one 32-long row per doc per partition. The window in
+    _shingle_hash_rows keys by doc_id, and the groupBy reuses that
+    partitioning — no second exchange."""
+    hs = _shingle_hash_rows(spark, sf_dir)
+    m = F.lit(FINGERPRINT_MOD)
+    return hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % m).alias(f"_m{j}")
+            for j, (a, b) in enumerate(PORTABLE_PERMUTATIONS)
+        ]
+    )
+
+
+def _portable_band_key(i: int):
+    """Codegen'd fold of band i's 4 signature mins into one int64 key."""
+    k = None
+    for j in range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND):
+        v = F.col(f"_m{j}")
+        k = v if k is None else (k * 31 + v) % F.lit(FINGERPRINT_MOD)
+    return k
+
+
+def minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via portable-hash MinHash banding + exact-Jaccard
+    verification — hash-checkable against MINHASH_LSH_ORACLE, which
+    recomputes the identical signature → band → candidate → verify chain
+    in DuckDB. Same shuffle shape as minhash_lsh_pairs: candidate
+    generation moves (doc_id, band, key) triples only."""
+    sigs = minhash_signature_columns(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        _portable_band_key(i).alias("key"),
+                    )
+                    for i in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(spark, sf_dir, candidates)
+
+
+def _duckdb_fingerprint(expr: str) -> str:
+    """DuckDB rendering of functions.text.fingerprint (identical
+    arithmetic — see FEATURE_HASHING_ORACLE)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, c) -> (a * 31 + c) % {FINGERPRINT_MOD})"
+    )
+
+
+def _minhash_oracle() -> str:
+    m = FINGERPRINT_MOD
+    mins = ",\n           ".join(
+        f"min((h * {a} + {b}) % {m}) AS m{j}"
+        for j, (a, b) in enumerate(PORTABLE_PERMUTATIONS)
+    )
+    band_selects = []
+    for i in range(NUM_BANDS):
+        k = None
+        for j in range(i * _ROWS_PER_BAND, (i + 1) * _ROWS_PER_BAND):
+            k = f"m{j}" if k is None else f"(({k}) * 31 + m{j}) % {m}"
+        band_selects.append(f"SELECT doc_id, {i} AS band, {k} AS key FROM sig")
+    bands = "\n    UNION ALL\n    ".join(band_selects)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+tf AS (
+    SELECT doc_id,
+           list_transform(toks, t -> {_duckdb_fingerprint('t')}) AS fs
+    FROM tok
+),
+hs AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(fs) - 1),
+               i -> ((fs[i] * {_SHINGLE_R} + fs[i+1]) % {m} * {_SHINGLE_R}
+                     + fs[i+2]) % {m})) AS h
+    FROM tf
+),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hs GROUP BY doc_id
+),
+bands AS (
+    {bands}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS sh
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+el AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sets),
+ver AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS common,
+           any_value(ea.n) AS na, any_value(eb.n) AS nb
+    FROM cand c
+    JOIN el ea ON ea.doc_id = c.doc_a
+    JOIN el eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (na + nb - common), 6) AS jaccard
+FROM ver
+WHERE common * 1.0 / (na + nb - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+MINHASH_LSH_ORACLE = _minhash_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -402,6 +618,165 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# portable-hash SimHash (oracle-checkable end to end)
+# ---------------------------------------------------------------------------
+#
+# Same 8x8-bit chunk-banding architecture as simhash_pairs, with every
+# hash replaced by int64 arithmetic both engines compute identically
+# (VERDICT r3 item #4): bit k's vote for a token with fingerprint tf is
+# the parity of the DOUBLE affine map ((tf*Ck + Dk) % M * C2k + D2k) % M.
+# One affine stage is measurably degenerate here: frequent tokens are
+# short, their polynomial fingerprints tiny (a 3-char token is < 2^17),
+# so Ck*tf + Dk < M for most k — the quotient is 0, the parity collapses
+# to low-bit structure, and the hottest tokens vote near-identically on
+# every bit (measured 9,010 hamming<=7 pairs at sf0.001 vs 446 for
+# xxhash64). The second stage multiplies a value that includes the
+# ~uniform Dk offset, so its quotient is ~2^22 and well-mixed for ALL
+# token lengths (measured 705 pairs — in line with xxhash64). The 8
+# chunk values are carried as separate non-negative columns (0..255), so
+# banding keys, the pigeonhole join and the hamming distance never touch
+# a sign bit.
+
+SIMHASH_PERMS = _portable_permutations(SIMHASH_BITS, seed=20250814)
+SIMHASH_PERMS2 = _portable_permutations(SIMHASH_BITS, seed=20250815)
+
+
+def simhash_chunk_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, c0..c7): the 64 bit-votes as one hash aggregation (64
+    SUM columns, map-side partials — the shuffle carries one 64-long row
+    per doc per partition), then bits packed into 8 chunk columns."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.select("doc_id", fingerprint(F.col("tok")).alias("tf"))
+    m = F.lit(FINGERPRINT_MOD)
+    votes = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (
+                    ((F.col("tf") * F.lit(c1) + F.lit(d1)) % m * F.lit(c2) + F.lit(d2))
+                    % m
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias(f"_v{k}")
+            for k, ((c1, d1), (c2, d2)) in enumerate(
+                zip(SIMHASH_PERMS, SIMHASH_PERMS2)
+            )
+        ]
+    )
+    chunk_cols = []
+    for c in range(_CHUNKS):
+        bits = [
+            (F.col(f"_v{c * _CHUNK_BITS + j}") > 0).cast("long") * (1 << j)
+            for j in range(_CHUNK_BITS)
+        ]
+        expr = bits[0]
+        for b in bits[1:]:
+            expr = expr + b
+        chunk_cols.append(expr.alias(f"c{c}"))
+    return votes.select("doc_id", *chunk_cols)
+
+
+def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup (doc_a, doc_b, hamming) pairs with hamming <= 7, found by
+    8-bit chunk banding (pigeonhole-complete) over the portable simhash —
+    hash-checkable against SIMHASH_ORACLE."""
+    sigs = simhash_chunk_columns(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        *[F.col(f"c{c}") for c in range(_CHUNKS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("key"))
+                    for c in range(_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", *[f"c{c}" for c in range(_CHUNKS)], "ck.chunk", "ck.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.c{c}").alias(f"ca{c}") for c in range(_CHUNKS)],
+            *[F.col(f"b.c{c}").alias(f"cb{c}") for c in range(_CHUNKS)],
+        )
+        .distinct()
+    )
+    hamming = None
+    for c in range(_CHUNKS):
+        h = F.bit_count(F.col(f"ca{c}").bitwiseXOR(F.col(f"cb{c}")))
+        hamming = h if hamming is None else hamming + h
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_oracle() -> str:
+    m = FINGERPRINT_MOD
+    votes = ",\n           ".join(
+        f"sum((((tf * {c1} + {d1}) % {m} * {c2} + {d2}) % {m} % 2) * 2 - 1) AS v{k}"
+        for k, ((c1, d1), (c2, d2)) in enumerate(zip(SIMHASH_PERMS, SIMHASH_PERMS2))
+    )
+    chunk_exprs = []
+    for c in range(_CHUNKS):
+        parts = " + ".join(
+            f"(CASE WHEN v{c * _CHUNK_BITS + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_CHUNK_BITS)
+        )
+        chunk_exprs.append(f"CAST({parts} AS BIGINT) AS c{c}")
+    chunks = ",\n           ".join(chunk_exprs)
+    band_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {', '.join(f'c{i}' for i in range(_CHUNKS))}, "
+        f"{c} AS chunk, c{c} AS key FROM sig"
+        for c in range(_CHUNKS)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(_CHUNKS))
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, {_duckdb_fingerprint('t')} AS tf FROM tok),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM tf GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id,
+           {chunks}
+    FROM votes
+),
+bands AS (
+    {band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({hamming} AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {HAMMING_THRESHOLD}
+"""
+
+
+SIMHASH_ORACLE = _simhash_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -732,8 +1107,12 @@ CATALOG: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
     "dedup_prefix_jaccard": (prefix_jaccard_pairs, NGRAM_JACCARD_ORACLE),
-    "dedup_minhash_lsh": (minhash_lsh_pairs, None),  # engine-hash sketch: rows-only
-    "dedup_simhash": (simhash_pairs, None),  # engine-hash sketch: rows-only
+    # portable-hash variants: the full signature → band → candidate →
+    # verify chain is recomputed by the DuckDB oracle (hash-checkable);
+    # the xxhash64 twins (minhash_lsh_pairs / simhash_pairs) stay as the
+    # raw-throughput path, differentially tested in pytest
+    "dedup_minhash_lsh": (minhash_lsh_pairs_portable, MINHASH_LSH_ORACLE),
+    "dedup_simhash": (simhash_pairs_portable, SIMHASH_ORACLE),
     "dedup_embedding_cosine": (embedding_cosine_pairs, EMBEDDING_COSINE_ORACLE),
     "dedup_connected_components": (dedup_connected_components, CONNECTED_COMPONENTS_ORACLE),
     "dedup_cc_star": (dedup_cc_star, CONNECTED_COMPONENTS_ORACLE),

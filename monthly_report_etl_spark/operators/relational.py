@@ -525,10 +525,133 @@ def sketch_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detail.unionByName(total)
 
 
-CATALOG["approx_aggregates"] = (approx_aggregates, None)  # sketch: rows-only
+# ---------------------------------------------------------------------------
+# hash-checkable sketch claims (VERDICT r3 item #5)
+# ---------------------------------------------------------------------------
+#
+# Sketch binaries/estimates are engine-specific, so the driver-gate form
+# emits (group, exact_value, within_bounds BOOLEAN): the exact values are
+# SQL-recomputable, and the oracle asserts them plus literal TRUE — a
+# sketch drifting outside its error bound flips the boolean and fails the
+# value hash. The raw-estimate twins above stay for pytest's numeric
+# error-bound differentials and as the pure-sketch (single-scan) path.
+
+SKETCH_CHECKED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct_custs,
+       TRUE AS hll_ok, TRUE AS p50_ok
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE, TRUE
+FROM orders
+"""
+
+HLL_REL_TOL = 0.05  # lgK=12 keeps rsd ~1.6%; 5% is a 3-sigma-ish bound
+KLL_RANK_TOL = 0.05  # merged KLL median must sit within rank 0.5 +/- 5%
+
+
+def sketch_partial_merge_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(priority, exact_distinct_custs, hll_ok, p50_ok) — exact values the
+    oracle recomputes, plus booleans holding the sketch estimates to
+    their error bounds (HLL relative error; KLL median by EXACT rank of
+    the estimate, the bound KLL actually guarantees)."""
+    o = _t(spark, sf_dir, "orders")
+    est = sketch_partial_merge(spark, sf_dir)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct_custs")
+    )
+    exact_all = o.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct_custs")
+    ).select(F.lit("ALL").alias("o_orderpriority"), "exact_distinct_custs")
+    exact = exact.unionByName(exact_all)
+    # exact rank of each group's KLL median estimate (ALL ranks against
+    # the whole table): one broadcast of the 6 estimate rows
+    keyed = est.select(
+        F.col("o_orderpriority").alias("grp"),
+        "distinct_custs_est",
+        "p50_price_est",
+    )
+    o_tagged = o.select("o_orderpriority", "o_totalprice")
+    ranks = (
+        o_tagged.join(
+            F.broadcast(keyed.select("grp", "p50_price_est")),
+            (F.col("o_orderpriority") == F.col("grp")) | (F.col("grp") == "ALL"),
+        )
+        .groupBy("grp")
+        .agg(
+            (
+                F.sum((F.col("o_totalprice") <= F.col("p50_price_est")).cast("long"))
+                / F.count("*")
+            ).alias("est_rank")
+        )
+    )
+    joined = (
+        keyed.join(exact, keyed["grp"] == exact["o_orderpriority"])
+        .join(ranks, "grp")
+    )
+    return joined.select(
+        F.col("grp").alias("o_orderpriority"),
+        "exact_distinct_custs",
+        (
+            F.abs(F.col("distinct_custs_est") - F.col("exact_distinct_custs"))
+            <= F.greatest(F.lit(2.0), HLL_REL_TOL * F.col("exact_distinct_custs"))
+        ).alias("hll_ok"),
+        (
+            (F.col("est_rank") >= 0.5 - KLL_RANK_TOL)
+            & (F.col("est_rank") <= 0.5 + KLL_RANK_TOL)
+        ).alias("p50_ok"),
+    )
+
+
+APPROX_CHECKED_ORACLE = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS exact_types,
+       TRUE AS users_ok, TRUE AS types_ok, TRUE AS median_ok
+FROM events
+"""
+
+
+def approx_aggregates_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(exact_users, exact_types, users_ok, types_ok, median_ok) — the
+    HLL++/t-digest estimates held to their bounds: distinct counts by
+    relative error (3x rsd), the approx median by the EXACT rank of the
+    estimate (percentile_approx guarantees rank accuracy 1/N_buckets)."""
+    ev = _t(spark, sf_dir, "events")
+    est = approx_aggregates(spark, sf_dir)
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_type").alias("exact_types"),
+        F.count("*").alias("n"),
+    )
+    both = est.crossJoin(F.broadcast(exact))
+    med_rank = (
+        ev.select("value")
+        .crossJoin(F.broadcast(est.select("approx_median_value")))
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("approx_median_value")).cast("long"))
+                / F.count("*")
+            ).alias("est_rank")
+        )
+    )
+    return both.crossJoin(F.broadcast(med_rank)).select(
+        "exact_users",
+        "exact_types",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(3.0), 0.06 * F.col("exact_users"))
+        ).alias("users_ok"),
+        (F.col("approx_types") == F.col("exact_types")).alias("types_ok"),
+        (
+            (F.col("est_rank") >= 0.5 - 0.02) & (F.col("est_rank") <= 0.5 + 0.02)
+        ).alias("median_ok"),
+    )
+
+
+CATALOG["approx_aggregates"] = (approx_aggregates_checked, APPROX_CHECKED_ORACLE)
 CATALOG["exact_distinct_bounds"] = (exact_distinct_bounds, APPROX_EXACT_BOUNDS_ORACLE)
 CATALOG["map_functions"] = (map_functions, MAP_FUNCTIONS_ORACLE)
-CATALOG["sketch_partial_merge"] = (sketch_partial_merge, None)  # sketch: rows-only
+CATALOG["sketch_partial_merge"] = (sketch_partial_merge_checked, SKETCH_CHECKED_ORACLE)
 
 
 # ---------------------------------------------------------------------------

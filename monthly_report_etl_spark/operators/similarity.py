@@ -225,9 +225,169 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# portable-hash ANN-LSH (oracle-checkable end to end)
+# ---------------------------------------------------------------------------
+#
+# Same bucket architecture as ann_lsh_topk, with the two float hazards
+# removed (VERDICT r3 item #4):
+#
+# * hyperplanes are ±1 INTEGER vectors (sin()'s last ulp may differ
+#   across libm builds — ±1 literals are exact everywhere);
+# * each vector is quantized q_d = floor(e_d * 1e6) BEFORE the plane
+#   dots. floor and one multiply are single IEEE ops (bit-deterministic),
+#   and the ±1 dot over int64 is ORDER-INDEPENDENT — so the Arrow numpy
+#   matmul, a codegen fold and DuckDB's list_reduce all agree exactly,
+#   which float dots cannot guarantee near a sign boundary.
+#
+# The exact-cosine re-rank was already portable: cosine_similarity's
+# sequential HOF fold is the same order as the oracle's list_reduce
+# (proven by the hash-green similarity_knn_brute_force entry).
+
+QUANT_SCALE = 1_000_000
+
+
+def _pm1_weights() -> list[list[int]]:
+    """(tables*bits) x dim deterministic ±1 hyperplanes (seeded draw at
+    import, no RNG state in the plan)."""
+    import random as _random
+
+    rng = _random.Random(20250816)
+    return [
+        [rng.choice((-1, 1)) for _ in range(_DIM)]
+        for _ in range(LSH_TABLES * LSH_BITS)
+    ]
+
+
+PM1_WEIGHTS = _pm1_weights()
+
+
+def _bucket_array_udf_int():
+    """All LSH_TABLES bucket ids per vector as ONE Arrow-vectorized int64
+    matmul over the quantized vector (see module comment: integer dots
+    make the matmul bit-equal to the oracle's sequential fold)."""
+    import numpy as np
+
+    w = np.array(PM1_WEIGHTS, dtype=np.int64).T  # dim x (tables*bits)
+    powers = 1 << np.arange(LSH_BITS)
+
+    @F.pandas_udf("array<int>")
+    def buckets(e: pd.Series) -> pd.Series:
+        m = np.stack(e.to_numpy())  # batch x dim (float64)
+        q = np.floor(m * QUANT_SCALE).astype(np.int64)
+        bits = (q @ w > 0).astype(np.int64).reshape(len(e), LSH_TABLES, LSH_BITS)
+        vals = (bits * powers).sum(axis=2)
+        return pd.Series([row.tolist() for row in vals])
+
+    return buckets
+
+
+def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via ±1-integer-hyperplane LSH over quantized
+    vectors, exact cosine re-rank — hash-checkable against
+    ANN_LSH_ORACLE, which recomputes bucket ids, candidates and the
+    re-rank in DuckDB. Plan shape identical to ann_lsh_topk."""
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucket_udf = _bucket_array_udf_int()
+    proj = v.select("vec_id", bucket_udf(F.col("e")).alias("bs"))
+    buckets = proj.select("vec_id", F.posexplode("bs").alias("table", "bucket"))
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cand = cand_ids.join(v, "vec_id").join(F.broadcast(qv), "query_id")
+    scored = cand.withColumn("cos", cosine_similarity(F.col("qe"), F.col("e")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    dim = _DIM
+    table_selects = []
+    for t in range(LSH_TABLES):
+        bit_terms = []
+        for b in range(LSH_BITS):
+            wlist = "[" + ", ".join(str(x) for x in PM1_WEIGHTS[t * LSH_BITS + b]) + "]"
+            dot = (
+                "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(range(1, {dim} + 1), "
+                f"i -> q[i] * ({wlist})[i])), (a, x) -> a + x)"
+            )
+            bit_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(bit_terms)} AS bucket FROM qz"
+        )
+    buckets = "\n    UNION ALL\n    ".join(table_selects)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qz AS (
+    SELECT vec_id, e,
+           list_transform(e, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS q
+    FROM v
+),
+buckets AS (
+    {buckets}
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+       WHERE vec_id < {N_QUERIES}),
+cand AS (
+    SELECT DISTINCT b.query_id, c.vec_id
+    FROM buckets c JOIN qb b
+      ON c.tbl = b.tbl AND c.bucket = b.bucket AND c.vec_id <> b.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, {dim} + 1), i -> qv.e[i] * cv.e[i])),
+               (acc, x) -> acc + x)
+           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, {dim} + 1), i -> qv.e[i] * qv.e[i])),
+                  (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(range(1, {dim} + 1), i -> cv.e[i] * cv.e[i])),
+                  (acc, x) -> acc + x))) AS cos
+    FROM cand
+    JOIN v qv ON qv.vec_id = cand.query_id
+    JOIN v cv ON cv.vec_id = cand.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+ANN_LSH_ORACLE = _ann_lsh_oracle()
+
+
 CATALOG: dict[str, tuple] = {
     "similarity_knn_brute_force": (knn_brute_force, KNN_ORACLE),
-    "similarity_ann_lsh": (ann_lsh_topk, None),  # approximate: rows-only + pytest recall
+    # portable variant is the oracle-checked catalog entry; the sin()-
+    # hyperplane twin (ann_lsh_topk) stays as the float path, recall-
+    # tested in pytest
+    "similarity_ann_lsh": (ann_lsh_topk_portable, ANN_LSH_ORACLE),
 }
 
 
@@ -382,7 +542,45 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CATALOG["similarity_ivf_topk"] = (ivf_topk, None)  # iterative model: rows-only + pytest recall
+# Driver-gate form (VERDICT r3 item #5): an iteratively-trained float
+# model can't be recomputed in SQL, so the hash-checkable claim is
+# restructured as (exact rows, within-bounds boolean): the entry emits
+# the EXACT brute-force top-k (portable, same chain as the hash-green
+# similarity_knn_brute_force) plus a per-query recall_ok flag comparing
+# the IVF result against it. The oracle recomputes the exact rows and
+# asserts literal TRUE — IVF recall drifting below the floor flips the
+# flag and fails the value hash, making the sketch claim hash-checked.
+
+IVF_RECALL_FLOOR = 0.6
+
+IVF_CHECKED_ORACLE = f"""
+SELECT query_id, neighbor_id, cosine, rn, TRUE AS recall_ok
+FROM ({KNN_ORACLE}) t
+"""
+
+
+def ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k rows + per-query boolean asserting IVF recall@k >=
+    IVF_RECALL_FLOOR against them (see IVF_CHECKED_ORACLE)."""
+    exact = knn_brute_force(spark, sf_dir)
+    ivf = ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_q = exact.join(hits, "query_id", "left").na.fill({"n_hit": 0})
+    return per_q.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rn",
+        (F.col("n_hit") >= math.ceil(IVF_RECALL_FLOOR * TOP_K)).alias("recall_ok"),
+    )
+
+
+CATALOG["similarity_ivf_topk"] = (ivf_topk_checked, IVF_CHECKED_ORACLE)
 
 
 # ---------------------------------------------------------------------------

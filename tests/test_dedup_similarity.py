@@ -72,6 +72,41 @@ def test_simhash_signature_deterministic(spark, sf_dir):
     assert [r["simhash"] for r in a] == [r["simhash"] for r in b]
 
 
+def test_minhash_portable_matches_exact(spark, sf_dir):
+    """The portable-hash MinHash (the oracle-checkable catalog entry) has
+    the same near-certain-candidate property as the xxhash64 twin: its
+    verified pair set must equal the exact-Jaccard ground truth."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs_portable(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_simhash_portable_pigeonhole_complete(spark, sf_dir):
+    """Chunk banding over the portable simhash finds EVERY pair within
+    the hamming threshold (recomputed driver-side from the chunk
+    columns)."""
+    rows = dedup.simhash_chunk_columns(spark, sf_dir).collect()
+    sigs = {r["doc_id"]: [r[f"c{c}"] for c in range(dedup._CHUNKS)] for r in rows}
+    ids = sorted(sigs)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+        <= dedup.HAMMING_THRESHOLD
+    }
+    found = _pairs(dedup.simhash_pairs_portable(spark, sf_dir))
+    assert found == truth
+    assert len(truth) > 0, "fixture should contain simhash near-dups"
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     """Recall@5 of the LSH ANN against the exact brute force — with 4
     OR'd tables of 8 bits each, recall must be well above chance; we
@@ -86,6 +121,22 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"ANN recall too low: {recall:.2f}"
+
+
+def test_ann_lsh_portable_recall_vs_brute_force(spark, sf_dir):
+    """The ±1-integer-hyperplane portable ANN (the oracle-checked catalog
+    entry) must clear the same recall floor as the sin()-hyperplane
+    twin."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_brute_force(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk_portable(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"portable ANN recall too low: {recall:.2f}"
 
 
 def test_dedup_exact_removes_duplicates(spark, sf_dir):

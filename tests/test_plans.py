@@ -244,18 +244,31 @@ def test_aqe_splits_skewed_join_partition(spark):
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
-        hot = spark.range(0, 300_000).select(
-            F.lit(0).alias("k"), F.col("id").alias("v")
+        # The payload must be (a) consumed ABOVE the join so Catalyst
+        # can't prune it out of the shuffle, and (b) incompressible —
+        # skew detection reads COMPRESSED map-output sizes, and a pruned
+        # constant-key partition lz4-compresses below any threshold (the
+        # original form of this test: 300k rows shrank to a few KB and
+        # the split never fired). 200k sha2 strings ≈ 14 MB in the hot
+        # partition — orders of magnitude over both the 64KB threshold
+        # and median×factor, deterministic in any environment.
+        payload = F.sha2(F.col("id").cast("string"), 256)
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), payload.alias("payload")
         )
         rest = spark.range(0, 30_000).select(
-            (F.col("id") % 3_000 + 1).alias("k"), F.col("id").alias("v")
+            (F.col("id") % 3_000 + 1).alias("k"), payload.alias("payload")
         )
         left = hot.unionAll(rest)
         right = spark.range(0, 3_001).select(
             F.col("id").alias("k"), (F.col("id") * 2).alias("w")
         )
-        joined = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
-        assert joined.collect()[0]["n"] == 330_000
+        joined = left.join(right, "k").groupBy().agg(
+            F.count("*").alias("n"), F.max(F.length("payload")).alias("max_len")
+        )
+        row = joined.collect()[0]
+        assert row["n"] == 230_000
+        assert row["max_len"] == 64
         final_plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in final_plan, final_plan[:4000]
     finally:
