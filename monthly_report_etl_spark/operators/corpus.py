@@ -332,6 +332,70 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale-safe variant (VERDICT r3 item #6): the single global window above
+# funnels the whole corpus through ONE partition — exact semantics, used
+# as the oracle twin, but a scale-killer. The ranged form packs within
+# deterministic doc_id ranges IN PARALLEL (the window exchange hashes on
+# range_id, so each range is one bounded task), accepting one
+# partially-filled bin per range boundary — the standard trade for
+# distributed context-window packing. Range ids are arithmetic
+# (doc_id DIV PACK_RANGE_DOCS), not sampled repartitionByRange
+# boundaries, so the oracle recomputes them exactly.
+
+PACK_RANGE_DOCS = 128
+
+PACK_RANGED_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(doc_id // {PACK_RANGE_DOCS} AS BIGINT) AS range_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, range_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY range_id ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_tokens
+    FROM t
+)
+SELECT doc_id, range_id, n_tokens,
+       CAST(running_tokens AS BIGINT) AS running_tokens,
+       CAST(FLOOR((running_tokens - 1) / {PACK_TARGET_TOKENS}) AS BIGINT) AS bin_id
+FROM runs
+"""
+
+
+def pack_sequences_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing within deterministic doc_id ranges — the
+    100 TB path: every range packs independently under a PARTITIONED
+    window (parallel, bounded state), at the cost of at most one partial
+    bin per range boundary. bin_id is per-range; (range_id, bin_id) is
+    the global bin key."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / PACK_RANGE_DOCS).cast("long").alias("range_id"),
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("range_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = t.withColumn("running_tokens", F.sum("n_tokens").over(w))
+    return runs.select(
+        "doc_id",
+        "range_id",
+        "n_tokens",
+        "running_tokens",
+        F.floor((F.col("running_tokens") - 1) / PACK_TARGET_TOKENS)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # feature hashing (text → sparse bag-of-words vector, relational form)
 # ---------------------------------------------------------------------------
@@ -670,6 +734,7 @@ CATALOG: dict[str, tuple] = {
     "corpus_length_buckets": (length_buckets, LENGTH_BUCKETS_ORACLE),
     "corpus_train_val_test_split": (train_val_test_split, SPLIT_ORACLE),
     "corpus_pack_sequences": (pack_sequences, PACK_ORACLE),
+    "corpus_pack_sequences_ranged": (pack_sequences_ranged, PACK_RANGED_ORACLE),
     "corpus_feature_hashing": (feature_hashing, FEATURE_HASHING_ORACLE),
     "corpus_repetition_stats": (repetition_stats, REPETITION_ORACLE),
     "corpus_normalize_dedup": (normalize_dedup, NORMALIZE_DEDUP_ORACLE),

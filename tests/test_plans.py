@@ -206,6 +206,9 @@ def test_ann_lsh_plan_shape(spark, sf_dir):
         ("events_sliding_window", 1),
         # rank + stratum-count windows share the lang exchange
         ("corpus_stratified_sample", 1),
+        # ranged packing: ONE hash exchange on range_id — the parallel
+        # form of the single-partition global window (scale fix)
+        ("corpus_pack_sequences_ranged", 1),
     ],
 )
 def test_single_exchange_analytics(spark, sf_dir, name, max_hash_exchanges):
@@ -214,6 +217,41 @@ def test_single_exchange_analytics(spark, sf_dir, name, max_hash_exchanges):
     assert n <= max_hash_exchanges, f"{name}: {n} hash exchanges:\n{plan}"
     assert "rangepartitioning" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_pack_sequences_ranged_window_is_partitioned(spark, sf_dir):
+    """The ranged packing variant must never fall into the global
+    single-partition WindowExec the exact twin documents as its scale
+    hazard: its one window is partitioned by range_id and fed by a hash
+    exchange, not a SinglePartition exchange."""
+    plan = _plan(QUERIES["corpus_pack_sequences_ranged"](spark, sf_dir))
+    assert "hashpartitioning(range_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_driver_window_rotation_covers_every_entry():
+    """Regression guard on the rotation logic itself (VERDICT r3 item
+    #8): every catalog entry must either already have a recorded driver
+    check (it appears in some round's CORRECTNESS_r*.json) or sit inside
+    the CURRENT first-50 window awaiting this round's check. An entry
+    that is neither recorded nor scheduled can never earn a green row."""
+    import glob
+    import json
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    recorded: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            recorded |= set(json.load(f))
+    window = set(list(QUERIES)[:50])
+    uncovered = set(QUERIES) - recorded - window
+    assert not uncovered, (
+        f"catalog entries with no recorded driver row and no slot in the "
+        f"current 50-entry window: {sorted(uncovered)}"
+    )
 
 
 def test_quantize_int8_no_shuffle_no_python(spark, sf_dir):
