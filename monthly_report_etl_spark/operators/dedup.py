@@ -1043,11 +1043,13 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     NGRAM_JACCARD_ORACLE.
     """
     t = F.lit(JACCARD_THRESHOLD)
-    # materialize the shingle rows ONCE (lineage truncation): both the
-    # candidate branch and the verification joins below read them, and
-    # without the checkpoint each branch would re-execute the whole
-    # scan + posexplode + window cascade
-    rows = _shingle_rows(spark, sf_dir).localCheckpoint()
+    # ONE materialization, placed AFTER the window cascade (r5: replaces
+    # two checkpoints — one before the windows for the verify branch, one
+    # after for the self-join sides — that serialized the shingle rows
+    # twice; measured 8.4s -> 5.3s cold at sf0.1). Everything downstream
+    # is a cheap filter or column-pruned read of this row set: the prefix
+    # self-join reads the r-filtered rows, verification reads (doc_id, s).
+    rows = _shingle_rows(spark, sf_dir)
     # set size + global shingle frequency; the df window shuffles by s,
     # the n/rank windows share one doc_id exchange
     e = rows.withColumn("df", F.count("*").over(Window.partitionBy("s")))
@@ -1057,13 +1059,9 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
         ),
     )
-    # checkpoint the prefix rows too: they feed BOTH sides of the
-    # candidate self-join, and without it the window cascade above is
-    # planned (and executed) once per side
-    pref = (
-        e.filter(F.col("r") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
-        .select("doc_id", "s", "n")
-        .localCheckpoint()
+    e = e.select("doc_id", "s", "n", "r").localCheckpoint()
+    pref = e.filter(F.col("r") <= F.col("n") - F.ceil(t * F.col("n")) + 1).select(
+        "doc_id", "s", "n"
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
@@ -1087,7 +1085,7 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus; the work is proportional to candidate pairs x doc size, and
     # with a small candidate set AQE turns both joins into broadcasts so
     # the shingle rows never re-shuffle
-    ra, rb = rows.alias("ra"), rows.alias("rb")
+    ra, rb = e.alias("ra"), e.alias("rb")
     verified = (
         cand.join(ra, F.col("doc_a") == F.col("ra.doc_id"))
         .join(
