@@ -95,22 +95,97 @@ def _round6(x: float) -> float:
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-row unfiltering) for
+    8-bit-depth non-interlaced grayscale/RGB/RGBA images — the fallback
+    codec behind the PIL seam so the real-codec path is exercised even
+    where PIL is absent (VERDICT r3 stretch item). Sequential-scan
+    unfilter (Sub/Up/Average/Paeth per the PNG spec) — a test/fixture
+    decoder, not a throughput path."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or interlace != 0 or channels is None:
+        raise NotImplementedError(
+            f"stdlib PNG fallback handles 8-bit non-interlaced gray/RGB/RGBA "
+            f"only (depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    raw = zlib.decompress(idat)
+    stride, bpp = w * channels, channels
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = bytes(line)
+        out += prev
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
 def _decode_payload(payload: bytes, media_type: str = "text/plain") -> np.ndarray:
     """Decode bytes → flat uint8 'pixel' array.
 
     ``image/*`` payloads decode through PIL when it is installed (the
     drop-in codec seam — Spark-side schema/batching/partitioning is
-    identical either way); this container has no PIL, so image decode
-    raises a clear error rather than silently faking. Non-image payloads
-    (and everything in the driver tables, which synthesizes text/plain)
-    use the deterministic byte view.
+    identical either way); without PIL, PNGs fall back to the stdlib
+    decoder above and other image formats raise a clear error rather
+    than silently faking. Non-image payloads (and everything in the
+    driver tables, which synthesizes text/plain) use the deterministic
+    byte view.
     """
     if media_type.startswith("image/"):
-        if not _HAS_PIL:  # pragma: no cover - container has no PIL
-            raise NotImplementedError("image decode requires PIL (not in this container)")
-        import io
+        if _HAS_PIL:
+            import io
 
-        return np.asarray(PIL.Image.open(io.BytesIO(payload))).reshape(-1).astype(np.uint8)
+            return (
+                np.asarray(PIL.Image.open(io.BytesIO(payload)))
+                .reshape(-1)
+                .astype(np.uint8)
+            )
+        if media_type == "image/png":
+            return _decode_png(payload)
+        raise NotImplementedError(
+            f"decoding {media_type} requires PIL (not in this container)"
+        )
     return np.frombuffer(payload, dtype=np.uint8)
 
 

@@ -41,24 +41,35 @@ def test_decode_features_survive_small_arrow_batches(spark, sf_dir):
 
 
 def test_decode_payload_image_seam():
-    """The codec seam: image/* dispatches to PIL when present (round-trip
-    a real PNG), and fails loudly — never silently fakes — when absent."""
+    """The codec seam: image/png decodes through PIL when present and
+    through the stdlib fallback when absent (same pixels either way);
+    formats with no fallback fail loudly — never silently fake."""
+    import struct
+    import zlib
+
     import pytest
 
-    payload = b"\x89PNG fake"
-    if multimodal._HAS_PIL:
-        import io
+    # 4x4 grayscale, all pixels 7, crafted with stdlib only
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
 
-        import PIL.Image
-
-        img = PIL.Image.new("L", (4, 4), color=7)
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        px = multimodal._decode_payload(buf.getvalue(), "image/png")
-        assert px.shape == (16,) and (px == 7).all()
-    else:
+    raw = b"".join(b"\x00" + bytes([7] * 4) for _ in range(4))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = multimodal._decode_payload(png, "image/png")
+    assert px.shape == (16,) and (px == 7).all()
+    if not multimodal._HAS_PIL:
         with pytest.raises(NotImplementedError):
-            multimodal._decode_payload(payload, "image/png")
+            multimodal._decode_payload(b"\xff\xd8\xff fake jpeg", "image/jpeg")
     # non-image payloads always use the deterministic byte view
     assert list(multimodal._decode_payload(b"ab", "text/plain")) == [97, 98]
 
@@ -215,12 +226,9 @@ def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
 def test_real_png_through_decode_features(spark):
     """Round 1 stretch item: a REAL codec payload through the full
     ``decode_features`` operator. The PNG is crafted with stdlib only
-    (zlib/struct), so when PIL is installed this exercises an actual
-    third-party decode — not a PIL->PIL round-trip of our own making.
-    Skips (documented container blocker) where PIL is absent."""
-    import pytest
-
-    pytest.importorskip("PIL", reason="PIL not installed in this container")
+    (zlib/struct); it decodes through PIL where installed and through
+    the stdlib zlib-unfilter fallback otherwise — no skip either way
+    (r5: the PIL-absent container runs the fallback)."""
     import struct
     import zlib
 
@@ -249,6 +257,66 @@ def test_real_png_through_decode_features(spark):
     assert row["n_bytes"] == w * h  # decoded pixel count, not file size
     assert row["mean_byte"] == 15.5
     assert [row[f"hist_bin{i}"] for i in range(4)] == [w * h, 0, 0, 0]
+
+
+def test_png_fallback_unfilters_every_filter_type():
+    """The stdlib PNG fallback must invert all five PNG row filters
+    (None/Sub/Up/Average/Paeth). Encode a known RGB image row-by-row
+    with each filter per the spec's forward definitions, decode, and
+    require the original pixels back."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from monthly_report_etl_spark.operators.multimodal import _decode_png
+
+    w, h, ch = 5, 5, 3
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(h, w * ch), dtype=np.uint8)
+    bpp = ch
+    raw = bytearray()
+    for r, ft in enumerate([0, 1, 2, 3, 4]):
+        line = img[r]
+        prev = img[r - 1] if r > 0 else np.zeros(w * ch, dtype=np.uint8)
+        enc = bytearray()
+        for i in range(w * ch):
+            x = int(line[i])
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) & 0xFF
+            elif ft == 2:
+                f = (x - b) & 0xFF
+            elif ft == 3:
+                f = (x - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = (x - pr) & 0xFF
+            enc.append(f)
+        raw += bytes([ft]) + bytes(enc)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    decoded = _decode_png(png)
+    assert np.array_equal(decoded, img.reshape(-1))
 
 
 def test_streaming_sliding_window_matches_batch(spark, sf_dir):
