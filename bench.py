@@ -56,6 +56,10 @@ HEADLINE = [
     "events_sliding_window",
     "corpus_stratified_sample",
     "olap_forecast_revenue",
+    "olap_nation_pair_volume",
+    "olap_market_share",
+    "olap_product_profit",
+    "corpus_pack_sequences_ranged",
 ]
 
 

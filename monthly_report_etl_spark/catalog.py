@@ -1131,6 +1131,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "similarity_ivf_topk",
     # -- new in r5 --
     "corpus_pack_sequences_ranged",
+    "olap_nation_pair_volume",
+    "olap_market_share",
+    "olap_product_profit",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",
