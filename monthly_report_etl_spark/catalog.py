@@ -1134,6 +1134,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "olap_nation_pair_volume",
     "olap_market_share",
     "olap_product_profit",
+    "corpus_decontaminate",
+    "corpus_ngram_novelty",
+    "dedup_canonical_selection",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

@@ -723,6 +723,139 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+BENCHMARK_MAX_DOC_ID = 25  # doc_id < 25 plays the held-out eval set
+CONTAMINATION_THRESHOLD = 0.5
+
+_SHINGLE_SETS_CTE = """
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS sh
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+"""
+
+DECONTAMINATE_ORACLE = f"""
+WITH sets AS ({_SHINGLE_SETS_CTE}),
+el AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sets),
+bench AS (SELECT DISTINCT s FROM el WHERE doc_id < {BENCHMARK_MAX_DOC_ID}),
+hits AS (
+    SELECT el.doc_id, any_value(el.n) AS n_shingles,
+           count(bench.s) AS n_contaminated
+    FROM el LEFT JOIN bench ON el.s = bench.s
+    WHERE el.doc_id >= {BENCHMARK_MAX_DOC_ID}
+    GROUP BY el.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       ROUND(n_contaminated * 1.0 / n_shingles, 6) AS contamination_frac,
+       n_contaminated * 1.0 / n_shingles >= {CONTAMINATION_THRESHOLD}
+           AS is_contaminated
+FROM hits
+"""
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its distinct 3-gram shingles that appear anywhere in the
+    held-out eval set (doc_id < BENCHMARK_MAX_DOC_ID) — the standard
+    eval-overlap filter of an LLM data pipeline.
+
+    Scale shape: eval sets are small, so the benchmark shingle set
+    BROADCASTS (distinct shingle strings only); the corpus side streams
+    through one left join + one per-doc aggregation keyed by doc_id —
+    which reuses the shingle window's partitioning, no extra exchange."""
+    from monthly_report_etl_spark.operators.dedup import _shingle_rows
+
+    rows = _shingle_rows(spark, sf_dir)
+    bench = (
+        rows.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
+        .select("s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = rows.filter(F.col("doc_id") >= BENCHMARK_MAX_DOC_ID)
+    hits = (
+        corpus.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    frac = F.col("n_contaminated") / F.col("n_shingles")
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(frac, 6).alias("contamination_frac"),
+        (frac >= CONTAMINATION_THRESHOLD).alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (first-seen attribution in doc_id order)
+# ---------------------------------------------------------------------------
+
+NOVELTY_ORACLE = f"""
+WITH sets AS ({_SHINGLE_SETS_CTE}),
+el AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sets),
+first_seen AS (SELECT s, min(doc_id) AS first_doc FROM el GROUP BY s)
+SELECT el.doc_id,
+       CAST(any_value(el.n) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = el.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       ROUND(sum(CASE WHEN f.first_doc = el.doc_id THEN 1 ELSE 0 END) * 1.0
+             / any_value(el.n), 6) AS novelty_frac
+FROM el JOIN first_seen f ON el.s = f.s
+GROUP BY el.doc_id
+"""
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    shingles whose FIRST occurrence (min doc_id over the corpus) is this
+    document — the incremental-ingest view of near-dup mass, and the
+    cheap data-valuation signal (a doc with novelty ~0 adds nothing the
+    corpus hasn't seen).
+
+    Scale shape: one min-aggregation keyed by shingle (map-side
+    partials), re-joined to the shingle rows on the same shingle key —
+    the partitioning from the window is reused; the per-doc rollup is
+    the only other exchange. A window MIN OVER (PARTITION BY s) would
+    fuse the two but shuffles the full rows twice; the agg+join form
+    moves (s, min) pairs only."""
+    from monthly_report_etl_spark.operators.dedup import _shingle_rows
+
+    rows = _shingle_rows(spark, sf_dir)
+    n = rows.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    first_seen = rows.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        rows.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            )
+        )
+    )
+    return (
+        n.join(novel, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty_frac"),
+        )
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
     "corpus_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_ORACLE),
@@ -735,6 +868,8 @@ CATALOG: dict[str, tuple] = {
     "corpus_train_val_test_split": (train_val_test_split, SPLIT_ORACLE),
     "corpus_pack_sequences": (pack_sequences, PACK_ORACLE),
     "corpus_pack_sequences_ranged": (pack_sequences_ranged, PACK_RANGED_ORACLE),
+    "corpus_decontaminate": (decontaminate, DECONTAMINATE_ORACLE),
+    "corpus_ngram_novelty": (ngram_novelty, NOVELTY_ORACLE),
     "corpus_feature_hashing": (feature_hashing, FEATURE_HASHING_ORACLE),
     "corpus_repetition_stats": (repetition_stats, REPETITION_ORACLE),
     "corpus_normalize_dedup": (normalize_dedup, NORMALIZE_DEDUP_ORACLE),

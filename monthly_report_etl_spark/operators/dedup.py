@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from monthly_report_etl_spark.functions.text import (
     FINGERPRINT_MOD,
     fingerprint,
+    stopword_regex,
     whitespace_tokens,
 )
 from monthly_report_etl_spark.functions.vectors import cosine_similarity
@@ -1101,6 +1102,80 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# canonical selection: which documents SURVIVE near-dup clustering
+# ---------------------------------------------------------------------------
+
+CANONICAL_SELECTION_ORACLE = f"""
+WITH RECURSIVE {_NGRAM_PAIR_CTES},
+edges AS (
+    SELECT doc_a AS s, doc_b AS t FROM good
+    UNION
+    SELECT doc_b AS s, doc_a AS t FROM good
+),
+reach(s, t) AS (
+    SELECT s, t FROM edges
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+comp AS (
+    SELECT s AS doc_id, CAST(LEAST(MIN(t), s) AS BIGINT) AS component
+    FROM reach GROUP BY s
+),
+q AS (
+    SELECT doc_id,
+           ROUND(0.4 * least(
+                     CAST(len(regexp_extract_all(lower(text), '{stopword_regex("en")}')) AS BIGINT)
+                     * 1.0 / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT), 1), 1.0)
+               + 0.3 * (1.0 - least(
+                     CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+                     * 1.0 / greatest(CAST(length(text) AS BIGINT), 1), 1.0))
+               + 0.3 * least(CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                     / 100.0, 1.0), 6) AS quality_score
+    FROM documents
+),
+labeled AS (
+    SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component,
+           q.quality_score
+    FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
+)
+SELECT doc_id, component,
+       ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY quality_score DESC, doc_id) = 1 AS keep
+FROM labeled
+"""
+
+
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT: cluster near-dups (connected components over the
+    exact-Jaccard pair graph), then keep ONE canonical document per
+    cluster — the highest 6-dec-rounded quality score, doc_id as the
+    tie-break (rounding first makes the ranking identical across
+    engines; raw float ordering would not be). Isolated documents form
+    their own singleton component and survive.
+
+    Composes three already-oracle-checked operators (pair graph, CC
+    labels, quality score); the per-component window rides the component
+    exchange and the quality join is the only other shuffle."""
+    from monthly_report_etl_spark.operators.text import quality_score
+
+    labels = dedup_connected_components(spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    labeled = q.join(labels, "doc_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.col("doc_id")
+    )
+    return labeled.select(
+        "doc_id", "component", (F.row_number().over(w) == 1).alias("keep")
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
@@ -1114,4 +1189,5 @@ CATALOG: dict[str, tuple] = {
     "dedup_embedding_cosine": (embedding_cosine_pairs, EMBEDDING_COSINE_ORACLE),
     "dedup_connected_components": (dedup_connected_components, CONNECTED_COMPONENTS_ORACLE),
     "dedup_cc_star": (dedup_cc_star, CONNECTED_COMPONENTS_ORACLE),
+    "dedup_canonical_selection": (dedup_canonical_selection, CANONICAL_SELECTION_ORACLE),
 }

@@ -139,6 +139,21 @@ def test_ann_lsh_portable_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"portable ANN recall too low: {recall:.2f}"
 
 
+def test_canonical_selection_keeps_one_per_component(spark, sf_dir):
+    """Exactly one survivor per near-dup component, every document
+    labeled, and survivors are the per-component quality argmax."""
+    rows = dedup.dedup_canonical_selection(spark, sf_dir).collect()
+    docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs_total
+    from collections import defaultdict
+
+    by_comp = defaultdict(list)
+    for r in rows:
+        by_comp[r["component"]].append(r)
+    assert all(sum(r["keep"] for r in v) == 1 for v in by_comp.values())
+    assert any(len(v) > 1 for v in by_comp.values()), "fixture has near-dups"
+
+
 def test_dedup_exact_removes_duplicates(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
