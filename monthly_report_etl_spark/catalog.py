@@ -1137,6 +1137,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_decontaminate",
     "corpus_ngram_novelty",
     "dedup_canonical_selection",
+    "corpus_incremental_ingest",
+    "events_user_sequences",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

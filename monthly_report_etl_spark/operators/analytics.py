@@ -335,8 +335,52 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# per-user behavioral sequences (event-stream → training-sequence corpus)
+# ---------------------------------------------------------------------------
+
+USER_SEQUENCES_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-corpus construction: each user's chronological
+    event-type sequence as one training string ('view>click>...'),
+    (ts, event_id) as the total order so the string is deterministic
+    under any partitioning.
+
+    One hash aggregation keyed by user_id: collect structs, array_sort
+    (struct order = field order, so ts then event_id), transform to the
+    type, join — all JVM-side expressions. The shuffle carries event
+    type + two keys, never the full rows."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("seq"),
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "events_funnel": (events_funnel, FUNNEL_ORACLE),
+    "events_user_sequences": (events_user_sequences, USER_SEQUENCES_ORACLE),
     "events_sliding_window": (events_sliding_window, SLIDING_WINDOW_ORACLE),
     "events_retention_cohort": (events_retention_cohort, RETENTION_ORACLE),
     "events_sessionize_batch": (events_sessionize_batch, SESSIONIZE_BATCH_ORACLE),

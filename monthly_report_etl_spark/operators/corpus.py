@@ -856,7 +856,50 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# incremental-ingest dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+INGEST_SOURCE = "src19"  # plays the incoming batch; the rest is the corpus
+
+INCREMENTAL_INGEST_ORACLE = f"""
+WITH incoming AS (
+    SELECT doc_id, text FROM documents WHERE source = '{INGEST_SOURCE}'
+),
+survivors AS (
+    SELECT min(i.doc_id) AS doc_id
+    FROM incoming i
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents d
+        WHERE d.source <> '{INGEST_SOURCE}' AND d.text = i.text
+    )
+    GROUP BY i.text
+)
+SELECT doc_id FROM survivors
+"""
+
+
+def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest shape: dedup an incoming batch against the
+    existing corpus (LEFT ANTI on the exact-content key) and within
+    itself (min doc_id per text). Keys are (sha2, length) — 33 bytes per
+    row through both the anti join and the in-batch dedup, never the
+    documents themselves; at 100 TB the existing side would be a bucketed
+    key table so repeated ingests never re-shuffle it."""
+    d = _docs(spark, sf_dir)
+    key = [F.sha2(F.col("text"), 256).alias("k"), F.length("text").alias("klen")]
+    incoming = d.filter(F.col("source") == INGEST_SOURCE).select("doc_id", *key)
+    existing = d.filter(F.col("source") != INGEST_SOURCE).select(*key)
+    fresh = incoming.join(existing, ["k", "klen"], "left_anti")
+    return (
+        fresh.groupBy("k", "klen")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 CATALOG: dict[str, tuple] = {
+    "corpus_incremental_ingest": (incremental_ingest, INCREMENTAL_INGEST_ORACLE),
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
     "corpus_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_ORACLE),
     "corpus_chunk_documents_udtf": (chunk_documents_udtf, CHUNK_ORACLE),
