@@ -33,8 +33,9 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     assert_frames_match(actual, expected)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_query_without_oracle_runs(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema) > 0
+def test_every_query_has_an_oracle():
+    """r5 invariant: the catalog carries no rows-only entries — every
+    ``queries()`` name has an ``oracle_sql()`` twin (the former
+    engine-hash sketches were made portable or restructured as
+    exact-value + within-bounds rows)."""
+    assert set(QUERIES) == set(ORACLES)
