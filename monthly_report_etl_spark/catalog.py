@@ -1139,6 +1139,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_canonical_selection",
     "corpus_incremental_ingest",
     "events_user_sequences",
+    "olap_cheapest_supplier",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

@@ -872,6 +872,52 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHEAPEST_SUPPLIER_ORACLE = """
+WITH sc AS (
+    SELECT l.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                 ORDER BY s_acctbal, s_suppkey) AS rn
+    FROM sc
+)
+SELECT p.p_partkey, p.p_name, r.s_suppkey, r.s_name,
+       ROUND(r.s_acctbal, 2) AS s_acctbal
+FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
+WHERE r.rn = 1 AND p.p_type = 'PROMO'
+"""
+
+
+def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per-part argmin supplier (the correlated MIN subquery),
+    decorrelated to ONE aggregation — ``min(struct(acctbal, suppkey,
+    name))`` is the lexicographic argmin with the suppkey tie-break, so
+    the whole query is broadcast-join → single hash-agg → broadcast part
+    attach. The oracle keeps the faithful ROW_NUMBER form; no distinct
+    pre-pass is needed because MIN is duplicate-insensitive."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_name")
+    )
+    j = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    agg = j.groupBy("l_partkey").agg(
+        F.min(F.struct("s_acctbal", "s_suppkey", "s_name")).alias("m")
+    )
+    return agg.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.col("m.s_suppkey").alias("s_suppkey"),
+        F.col("m.s_name").alias("s_name"),
+        F.round("m.s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "olap_regional_revenue": (regional_revenue, REGIONAL_REVENUE_ORACLE),
     "olap_shipping_priority": (shipping_priority, SHIPPING_PRIORITY_ORACLE),
@@ -891,6 +937,7 @@ CATALOG: dict[str, tuple] = {
     "olap_nation_pair_volume": (nation_pair_volume, NATION_PAIR_VOLUME_ORACLE),
     "olap_market_share": (market_share, MARKET_SHARE_ORACLE),
     "olap_product_profit": (product_profit, PRODUCT_PROFIT_ORACLE),
+    "olap_cheapest_supplier": (cheapest_supplier, CHEAPEST_SUPPLIER_ORACLE),
     "unpivot_part": (unpivot_part, UNPIVOT_ORACLE),
     "posexplode_tokens": (posexplode_tokens, POSEXPLODE_ORACLE),
 }
