@@ -209,6 +209,11 @@ def test_ann_lsh_plan_shape(spark, sf_dir):
         # ranged packing: ONE hash exchange on range_id — the parallel
         # form of the single-partition global window (scale fix)
         ("corpus_pack_sequences_ranged", 1),
+        # one user_id hash-agg builds the ordered sequence string
+        ("events_user_sequences", 1),
+        # broadcast supplier + min(struct) agg + broadcast part: the
+        # l_partkey aggregation is the only exchange
+        ("olap_cheapest_supplier", 1),
     ],
 )
 def test_single_exchange_analytics(spark, sf_dir, name, max_hash_exchanges):
@@ -216,6 +221,15 @@ def test_single_exchange_analytics(spark, sf_dir, name, max_hash_exchanges):
     n = len(_lines(plan, "Exchange hashpartitioning"))
     assert n <= max_hash_exchanges, f"{name}: {n} hash exchanges:\n{plan}"
     assert "rangepartitioning" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    """The eval-set shingle table must BROADCAST (eval sets are small by
+    definition); the corpus side streams through one left join + one
+    doc_id rollup that reuses the shingle window's partitioning."""
+    plan = _plan(QUERIES["corpus_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
     assert "Python" not in plan, plan
 
 
