@@ -41,3 +41,36 @@ def read_exports_deals(spark: SparkSession, path: str) -> DataFrame:
     a mismatched schema would disable vectorized reading for nested columns.
     """
     return spark.read.parquet(path)
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    target_file_mb: float = 128,
+    partition_by: str | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with files sized toward ``target_file_mb`` — the
+    small-files guard every 100 TB pipeline needs (a 1000-executor job
+    writing its default shuffle partitioning produces tens of thousands
+    of KB-sized files; listing + opening them then dominates downstream
+    scans).
+
+    File count is derived from the PLANNED logical size
+    (``queryExecution.optimizedPlan().stats().sizeInBytes()`` — the same
+    estimate AQE coalescing uses, available without executing the query;
+    for a plain scan it is exactly the source's on-disk footprint), then
+    the write is repartitioned to that many output tasks. Returns the
+    file count used. With ``partition_by``, files are sized per written
+    task but routed into partition directories (repartition on the
+    partition column first keeps one writer per directory)."""
+    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    target = target_file_mb * 1024 * 1024
+    n_files = max(1, int(-(-est_bytes // target)))
+    if partition_by is not None:
+        out = df.repartition(n_files, partition_by)
+        out.write.mode(mode).partitionBy(partition_by).parquet(path)
+    else:
+        out = df.repartition(n_files)
+        out.write.mode(mode).parquet(path)
+    return n_files

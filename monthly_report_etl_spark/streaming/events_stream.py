@@ -552,6 +552,39 @@ def run_windowed_counts_to_tsv(
         q.stop()
 
 
+def run_windowed_counts_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "windowed_to_parquet",
+) -> None:
+    """Streaming aggregation → parquet files in APPEND mode with a
+    CHECKPOINT — the exactly-once file-sink contract: offsets + window
+    state live in the checkpoint, finalized windows (watermark passed)
+    are written once, and a RESTARTED query resumes from the checkpoint
+    instead of re-reading and re-emitting (the restart test drives this
+    twice and asserts zero duplicate rows). Append mode means rows land
+    only when their window is final — the tail windows inside the
+    watermark horizon stay in state, which is the correct unbounded-
+    stream behavior (complete/foreachBatch is the finite-replay form
+    above)."""
+    src = _stage_events_dir(sf_dir)
+    q = (
+        windowed_counts_stream(spark, src)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def session_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming sessionization via the native ``session_window`` — the
     streaming twin of ``sessionize_batch`` (same 30-minute gap): state per

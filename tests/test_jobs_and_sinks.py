@@ -211,3 +211,35 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, sf_d
     assert after == before  # same row counts everywhere
     assert back.filter((F.col("lang") == "en") & (F.col("doc_id") < 10_000_000)).count() == 0
     assert back.filter((F.col("lang") != "en") & (F.col("doc_id") >= 10_000_000)).count() == 0
+
+
+def test_write_parquet_sized_targets_file_count(spark, sf_dir, tmp_path):
+    """The small-files guard: file count follows the planned input size /
+    target ratio — a 3x-unioned input at a 1 MB target writes 3 files, a
+    huge target writes exactly 1, and both read back complete."""
+    import glob
+    import os
+
+    from monthly_report_etl_spark.sources.parquet import (
+        read_table,
+        write_parquet_sized,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    n_rows = li.count()
+    tri = li.union(li).union(li)
+
+    one = str(tmp_path / "one")
+    n_big = write_parquet_sized(li, one, target_file_mb=10_000)
+    assert n_big == 1
+    assert len(glob.glob(os.path.join(one, "*.parquet"))) == 1
+
+    multi = str(tmp_path / "multi")
+    # sf0.001 lineitem is ~100 KB on disk; at sf0.01 it is ~1 MB — pick
+    # the target so the 3x union lands above one file either way
+    target = 1.0 if n_rows > 30_000 else 0.1
+    n_multi = write_parquet_sized(tri, multi, target_file_mb=target)
+    files = glob.glob(os.path.join(multi, "*.parquet"))
+    assert n_multi >= 2
+    assert len(files) == n_multi
+    assert spark.read.parquet(multi).count() == 3 * n_rows
