@@ -1140,6 +1140,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_incremental_ingest",
     "events_user_sequences",
     "olap_cheapest_supplier",
+    "corpus_length_trim",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

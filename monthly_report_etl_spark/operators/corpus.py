@@ -898,8 +898,58 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# per-source length-outlier trimming
+# ---------------------------------------------------------------------------
+
+TRIM_LO = 0.05
+TRIM_HI = 0.95
+
+LENGTH_TRIM_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, n_tokens,
+           PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+               AS pr
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       pr >= {TRIM_LO} AND pr <= {TRIM_HI} AS keep
+FROM ranked
+"""
+
+
+def length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-outlier trimming: drop each source's shortest
+    5% and longest 5% by token count (truncation pre-filter — very short
+    docs are noise, very long ones skew packing). percent_rank over
+    (n_tokens, doc_id) makes the boundary total-ordered and identical
+    across engines; one window exchange keyed by source."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    pr = F.percent_rank().over(w)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        ((pr >= TRIM_LO) & (pr <= TRIM_HI)).alias("keep"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_incremental_ingest": (incremental_ingest, INCREMENTAL_INGEST_ORACLE),
+    "corpus_length_trim": (length_trim, LENGTH_TRIM_ORACLE),
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
     "corpus_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_ORACLE),
     "corpus_chunk_documents_udtf": (chunk_documents_udtf, CHUNK_ORACLE),
