@@ -362,3 +362,65 @@ def test_streaming_sliding_window_matches_batch(spark, sf_dir):
     }
     assert s == b
     assert len(s) > 0
+
+
+def test_events_reader_handles_both_ts_layouts(spark, tmp_path):
+    """The events fixture has shipped with ts as TIMESTAMP(NANOS)
+    (rounds 1-4) and TIMESTAMP(MICROS) (round 5+). Both the batch reader
+    and the streaming schema probe must normalize the two physical
+    layouts to identical session-TZ timestamps (nanos truncated to
+    micros)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monthly_report_etl_spark.catalog import _events
+
+    ts = pd.to_datetime(
+        [
+            "2025-01-01 00:00:00.123456789",
+            "2025-01-01 01:00:00.000000001",
+            "2025-01-01 02:00:00.5",
+        ],
+        format="mixed",
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(3, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.array([1, 2, 3], dtype=np.int64),
+            "event_type": ["view", "click", "view"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    nanos_dir.mkdir()
+    micros_dir.mkdir()
+    # NANOS physical type needs parquet format 2.6 and no coercion
+    pq.write_table(
+        pa.Table.from_pandas(df),
+        str(nanos_dir / "events.parquet"),
+        coerce_timestamps=None,
+        version="2.6",
+    )
+    df_us = df.assign(ts=df["ts"].dt.floor("us").astype("datetime64[us]"))
+    pq.write_table(pa.Table.from_pandas(df_us), str(micros_dir / "events.parquet"))
+    assert (
+        str(pq.read_schema(str(nanos_dir / "events.parquet")).field("ts").type)
+        == "timestamp[ns]"
+    )
+
+    a = {r["event_id"]: r["ts"] for r in _events(spark, str(nanos_dir)).collect()}
+    b = {r["event_id"]: r["ts"] for r in _events(spark, str(micros_dir)).collect()}
+    assert a == b and len(a) == 3
+    assert a[0].microsecond == 123456  # nanos truncated, not rounded
+
+    from monthly_report_etl_spark.streaming import events_stream
+
+    sa = events_stream._read_events_stream(spark, str(nanos_dir))
+    sb = events_stream._read_events_stream(spark, str(micros_dir))
+    assert sa.isStreaming and sb.isStreaming
+    assert sa.schema["ts"].dataType.typeName() == sb.schema["ts"].dataType.typeName() == "timestamp"
