@@ -1141,6 +1141,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_user_sequences",
     "olap_cheapest_supplier",
     "corpus_length_trim",
+    "text_lang_mismatch",
+    "text_unigram_logprob",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

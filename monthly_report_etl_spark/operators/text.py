@@ -184,9 +184,97 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("doc_fingerprint"))
 
 
+# ---------------------------------------------------------------------------
+# label-noise detection: predicted vs labeled language
+# ---------------------------------------------------------------------------
+
+LANG_MISMATCH_ORACLE = f"""
+WITH pred AS ({LANGUAGE_ID_ORACLE})
+SELECT p.doc_id, d.lang AS labeled_lang, p.predicted_lang,
+       d.lang <> p.predicted_lang AS mismatch
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+"""
+
+
+def lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection: flag documents whose predicted language
+    (stopword argmax) disagrees with the stored ``lang`` label — the
+    standard audit before trusting provenance metadata in a training
+    mix. Pure projection on top of language_id; no extra shuffle."""
+    d = _docs(spark, sf_dir)
+    pred = language_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "labeled_lang",
+            "predicted_lang",
+            (F.col("labeled_lang") != F.col("predicted_lang")).alias("mismatch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram log-probability scoring (CCNet-style LM filter, corpus as its own LM)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+),
+freq AS (
+    SELECT term,
+           count(*) * 1.0 / (SELECT count(*) FROM tok) AS p
+    FROM tok GROUP BY term
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(f.p)), 6) AS mean_logprob
+FROM tok t JOIN freq f ON t.term = f.term
+GROUP BY t.doc_id
+"""
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with the corpus as its own unigram
+    LM: per-document mean ln p(token) under corpus token frequencies —
+    gibberish and boilerplate both score low, which is the filter
+    signal.
+
+    Scale shape: one token-frequency aggregation (map-side partials on
+    the term key), re-joined to the token rows on the same key — the
+    frequency table is vocabulary-sized, so at 100 TB it broadcasts;
+    the per-doc rollup is the only other exchange. Both engines compute
+    AVG(ln(p)) on identical doubles; ROUND(,6) absorbs the last-ulp
+    libm/summation-order difference."""
+    d = _docs(spark, sf_dir)
+    tok = d.filter(F.trim("text") != "").select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("c"))
+    # total = sum over the vocabulary-sized count table — one lazy plan,
+    # no separate driver-side count action scanning the corpus twice
+    total = counts.agg(F.sum("c").alias("t"))
+    freq = counts.crossJoin(F.broadcast(total)).select(
+        "term", (F.col("c") / F.col("t")).alias("p")
+    )
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log("p")), 6).alias("mean_logprob"),
+        )
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "text_token_stats": (token_stats, TOKEN_STATS_ORACLE),
     "text_language_id": (language_id, LANGUAGE_ID_ORACLE),
     "text_quality_score": (quality_score, QUALITY_SCORE_ORACLE),
     "text_fingerprint": (doc_fingerprint, FINGERPRINT_ORACLE),
+    "text_lang_mismatch": (lang_mismatch, LANG_MISMATCH_ORACLE),
+    "text_unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
 }
