@@ -60,6 +60,8 @@ HEADLINE = [
     "olap_market_share",
     "olap_product_profit",
     "corpus_pack_sequences_ranged",
+    "corpus_decontaminate",
+    "text_unigram_logprob",
 ]
 
 
