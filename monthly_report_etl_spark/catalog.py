@@ -1143,6 +1143,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_length_trim",
     "text_lang_mismatch",
     "text_unigram_logprob",
+    "olap_yearly_growth",
+    "corpus_mix_weights",
+    "events_last_touch_attribution",
     # -- checked exactly once (r1 xor r2) --
     "grouping_sets_orders",
     "window_range_frame",

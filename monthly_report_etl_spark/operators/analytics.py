@@ -378,9 +378,82 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# last-touch attribution (purchase ← latest click within the window)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_HOURS = 1
+
+LAST_TOUCH_ORACLE = f"""
+WITH clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+    SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL {ATTRIBUTION_WINDOW_HOURS} HOUR
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                 ORDER BY click_ts DESC, click_id DESC) AS rn
+    FROM joined
+)
+SELECT purchase_id, user_id, purchase_ts, click_id AS attributed_click_id,
+       click_ts AS attributed_click_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the LATEST click by
+    the same user within the attribution window — the interval join +
+    per-purchase argmax, collapsed to one aggregation with
+    ``max_by(struct)`` ((click_ts, click_id) lexicographic max == the
+    ORDER BY DESC tie-break) instead of a window over the joined rows.
+    The interval join shuffles both sides on user_id; everything after
+    rides that partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = purchases.join(clicks, "user_id").filter(
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_HOURS} HOUR")
+        )
+    )
+    best = joined.groupBy("purchase_id", "user_id", "purchase_ts").agg(
+        F.max(F.struct("click_ts", "click_id")).alias("m")
+    )
+    return best.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("m.click_id").alias("attributed_click_id"),
+        F.col("m.click_ts").alias("attributed_click_ts"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "events_funnel": (events_funnel, FUNNEL_ORACLE),
     "events_user_sequences": (events_user_sequences, USER_SEQUENCES_ORACLE),
+    "events_last_touch_attribution": (
+        events_last_touch_attribution,
+        LAST_TOUCH_ORACLE,
+    ),
     "events_sliding_window": (events_sliding_window, SLIDING_WINDOW_ORACLE),
     "events_retention_cohort": (events_retention_cohort, RETENTION_ORACLE),
     "events_sessionize_batch": (events_sessionize_batch, SESSIONIZE_BATCH_ORACLE),

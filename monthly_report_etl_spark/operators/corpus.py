@@ -947,9 +947,52 @@ def length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-mix weights (sqrt-proportional source rebalancing)
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS_ORACLE = r"""
+WITH per_source AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END)
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(sqrt(n_tokens)) AS z FROM per_source)
+SELECT source, n_docs, n_tokens,
+       ROUND(sqrt(n_tokens) / (SELECT z FROM tot), 6) AS mix_weight
+FROM per_source
+"""
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing weights: sample each source proportional
+    to sqrt(its token count), normalized — the standard compromise
+    between natural frequency (overweights crawl) and uniform
+    (overweights tiny curated sets). One rollup keyed by source; the
+    normalizer folds in as a broadcast scalar, all in one lazy plan."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(whitespace_tokens(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    z = per.agg(F.sum(F.sqrt("n_tokens")).alias("z"))
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt("n_tokens") / F.col("z"), 6).alias("mix_weight"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_incremental_ingest": (incremental_ingest, INCREMENTAL_INGEST_ORACLE),
     "corpus_length_trim": (length_trim, LENGTH_TRIM_ORACLE),
+    "corpus_mix_weights": (mix_weights, MIX_WEIGHTS_ORACLE),
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
     "corpus_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_ORACLE),
     "corpus_chunk_documents_udtf": (chunk_documents_udtf, CHUNK_ORACLE),

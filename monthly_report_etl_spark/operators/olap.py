@@ -918,6 +918,57 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+YEARLY_GROWTH_ORACLE = """
+WITH yearly AS (
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+)
+SELECT nation, o_year, revenue,
+       ROUND(revenue - LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year),
+             2) AS yoy_delta
+FROM yearly
+"""
+
+
+def yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue delta per supplier nation: the
+    window-over-aggregate shape — LAG runs on the tiny aggregated frame
+    (nations x years), so the window exchange moves a few hundred rows
+    no matter how large the fact table is. The lag consumes the ROUNDED
+    revenue so the delta arithmetic is identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    yearly = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    return yearly.select(
+        "nation",
+        "o_year",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("yoy_delta"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "olap_regional_revenue": (regional_revenue, REGIONAL_REVENUE_ORACLE),
     "olap_shipping_priority": (shipping_priority, SHIPPING_PRIORITY_ORACLE),
@@ -938,6 +989,7 @@ CATALOG: dict[str, tuple] = {
     "olap_market_share": (market_share, MARKET_SHARE_ORACLE),
     "olap_product_profit": (product_profit, PRODUCT_PROFIT_ORACLE),
     "olap_cheapest_supplier": (cheapest_supplier, CHEAPEST_SUPPLIER_ORACLE),
+    "olap_yearly_growth": (yearly_growth, YEARLY_GROWTH_ORACLE),
     "unpivot_part": (unpivot_part, UNPIVOT_ORACLE),
     "posexplode_tokens": (posexplode_tokens, POSEXPLODE_ORACLE),
 }
