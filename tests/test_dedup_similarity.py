@@ -398,3 +398,35 @@ def test_prefix_filter_is_lossless_and_prunes(spark, sf_dir):
         .count()
     )
     assert pref_cand < full_cand
+
+
+def test_portable_hash_constants_stay_inside_int64():
+    """The portability contract of every oracle-checked sketch: all hash
+    arithmetic must stay inside int64 (DuckDB RAISES on BIGINT overflow;
+    Spark would wrap) — so the multiplier caps and modulus bounds are
+    load-bearing constants, not style. Guards against someone widening a
+    multiplier without re-deriving the bounds."""
+    import math
+
+    from monthly_report_etl_spark.functions.text import FINGERPRINT_MOD
+    from monthly_report_etl_spark.operators.dedup import (
+        _PERM_A_MAX,
+        _SHINGLE_R,
+        PORTABLE_PERMUTATIONS,
+        SIMHASH_PERMS,
+        SIMHASH_PERMS2,
+    )
+
+    M = FINGERPRINT_MOD
+    h_max = M - 1
+    # shingle combine: ((tf*R + t1) % M * R + t2) % M
+    assert (h_max * _SHINGLE_R + h_max) < 2**63
+    for perms in (PORTABLE_PERMUTATIONS, SIMHASH_PERMS, SIMHASH_PERMS2):
+        for a, b in perms:
+            assert 1 <= a < _PERM_A_MAX
+            assert 0 <= b < M
+            assert (h_max * a + b) < 2**63, "permutation overflows int64"
+    for a, _ in PORTABLE_PERMUTATIONS:
+        assert math.gcd(a, M) == 1, "non-bijective minhash permutation"
+    # band-key fold: (k*31 + m) % M with k, m < M
+    assert (h_max * 31 + h_max) < 2**63
