@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "similarity_knn_brute_force",
     "similarity_ann_lsh",
+    "similarity_ivf_topk",
     "text_quality_score",
     "corpus_tfidf_top_terms",
     "corpus_bigram_top",

@@ -339,13 +339,31 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-user behavioral sequences (event-stream → training-sequence corpus)
 # ---------------------------------------------------------------------------
 
-USER_SEQUENCES_ORACLE = """
+# Deterministic history cap (VERDICT r5 #2): real sequence pipelines
+# truncate — an unbounded per-user collect is a single-row OOM at 100 TB
+# the moment one hot key (bot, SDK retry storm) accumulates 10^8 events.
+# The cap keeps the LATEST MAX_SEQ_EVENTS events per user, selected by
+# row_number over (ts DESC, event_id DESC) so the boundary is
+# total-ordered and identical across engines/partitionings; the emitted
+# sequence stays chronological. n_events_total preserves the uncapped
+# count (it rides the same user_id exchange as a count window).
+MAX_SEQ_EVENTS = 64
+
+USER_SEQUENCES_ORACLE = f"""
+WITH ranked AS (
+    SELECT user_id, event_id, event_type, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_total
+    FROM events
+)
 SELECT user_id,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
        CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ANY_VALUE(n_total) AS BIGINT) AS n_events_total,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts
-FROM events
+FROM ranked WHERE rn <= {MAX_SEQ_EVENTS}
 GROUP BY user_id
 """
 
@@ -353,14 +371,24 @@ GROUP BY user_id
 def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-corpus construction: each user's chronological
     event-type sequence as one training string ('view>click>...'),
+    capped at the latest MAX_SEQ_EVENTS events (see cap note above),
     (ts, event_id) as the total order so the string is deterministic
     under any partitioning.
 
-    One hash aggregation keyed by user_id: collect structs, array_sort
-    (struct order = field order, so ts then event_id), transform to the
-    type, join — all JVM-side expressions. The shuffle carries event
-    type + two keys, never the full rows."""
+    One user_id exchange end-to-end: the truncation row_number, the
+    total-count window, and the final aggregation all key by user_id
+    (subset-clustering — asserted by test_single_exchange_analytics).
+    The shuffle carries event type + two keys, never the full rows; no
+    per-user state ever exceeds MAX_SEQ_EVENTS collected structs."""
     ev = _t(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    w_all = Window.partitionBy("user_id")
+    kept = (
+        ev.select("user_id", "event_id", "event_type", "ts")
+        .withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("n_total", F.count("*").over(w_all))
+        .filter(F.col("rn") <= MAX_SEQ_EVENTS)
+    )
     seq = F.array_join(
         F.transform(
             F.array_sort(
@@ -370,9 +398,10 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ">",
     )
-    return ev.groupBy("user_id").agg(
+    return kept.groupBy("user_id").agg(
         seq.alias("seq"),
         F.count("*").alias("n_events"),
+        F.first("n_total").alias("n_events_total"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )

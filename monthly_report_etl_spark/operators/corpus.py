@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from monthly_report_etl_spark.functions.text import fingerprint, whitespace_tokens
+from monthly_report_etl_spark.operators.dedup import TOKS_SQL as _DEDUP_TOKS_SQL
 
 SAMPLE_MOD = 10  # keep ~1/10 of documents
 TFIDF_TOP_K = 3
@@ -730,15 +731,17 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCHMARK_MAX_DOC_ID = 25  # doc_id < 25 plays the held-out eval set
 CONTAMINATION_THRESHOLD = 0.5
 
-_SHINGLE_SETS_CTE = """
+# Tokenization matches dedup.TOKS_SQL == whitespace_tokens (ADVICE r5:
+# regex \s+ on trimmed text, not string_split on a single space).
+_SHINGLE_SETS_CTE = f"""
     SELECT doc_id,
            list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-               i -> string_split(text, ' ')[i] || ' ' ||
-                    string_split(text, ' ')[i+1] || ' ' ||
-                    string_split(text, ' ')[i+2])) AS sh
+               range(1, greatest(len({_DEDUP_TOKS_SQL}) - 1, 1)),
+               i -> {_DEDUP_TOKS_SQL}[i] || ' ' ||
+                    {_DEDUP_TOKS_SQL}[i+1] || ' ' ||
+                    {_DEDUP_TOKS_SQL}[i+2])) AS sh
     FROM documents
-    WHERE len(string_split(text, ' ')) >= 3
+    WHERE len({_DEDUP_TOKS_SQL}) >= 3
 """
 
 DECONTAMINATE_ORACLE = f"""

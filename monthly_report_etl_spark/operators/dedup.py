@@ -83,17 +83,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 
+# DuckDB rendering of functions.text.whitespace_tokens (regex \s+ on
+# trimmed text) — ADVICE r5: every shingle oracle tokenizes exactly like
+# the Spark side, so repeated/leading/trailing whitespace can't silently
+# diverge signatures or candidates (string_split on ' ' only agreed on
+# strictly single-spaced fixture text).
+TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
 # Shared CTE chain: thresholded near-dup pairs (used by the Jaccard oracle
 # and the connected-components oracle below).
 _NGRAM_PAIR_CTES = f"""d AS (
     SELECT doc_id,
            list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-               i -> string_split(text, ' ')[i] || ' ' ||
-                    string_split(text, ' ')[i+1] || ' ' ||
-                    string_split(text, ' ')[i+2])) AS sh
+               range(1, greatest(len({TOKS_SQL}) - 1, 1)),
+               i -> {TOKS_SQL}[i] || ' ' ||
+                    {TOKS_SQL}[i+1] || ' ' ||
+                    {TOKS_SQL}[i+2])) AS sh
     FROM documents
-    WHERE len(string_split(text, ' ')) >= 3
+    WHERE len({TOKS_SQL}) >= 3
 ),
 e AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM d),
 pairs AS (
@@ -458,8 +465,8 @@ def _minhash_oracle() -> str:
     bands = "\n    UNION ALL\n    ".join(band_selects)
     return f"""
 WITH tok AS (
-    SELECT doc_id, string_split(text, ' ') AS toks
-    FROM documents WHERE len(string_split(text, ' ')) >= 3
+    SELECT doc_id, {TOKS_SQL} AS toks
+    FROM documents WHERE len({TOKS_SQL}) >= 3
 ),
 tf AS (
     SELECT doc_id,
@@ -489,12 +496,12 @@ cand AS (
 sets AS (
     SELECT doc_id,
            list_distinct(list_transform(
-               range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-               i -> string_split(text, ' ')[i] || ' ' ||
-                    string_split(text, ' ')[i+1] || ' ' ||
-                    string_split(text, ' ')[i+2])) AS sh
+               range(1, greatest(len({TOKS_SQL}) - 1, 1)),
+               i -> {TOKS_SQL}[i] || ' ' ||
+                    {TOKS_SQL}[i+1] || ' ' ||
+                    {TOKS_SQL}[i+2])) AS sh
     FROM documents
-    WHERE len(string_split(text, ' ')) >= 3
+    WHERE len({TOKS_SQL}) >= 3
 ),
 el AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sets),
 ver AS (

@@ -53,14 +53,25 @@ EVENTS_STREAM_SCHEMA_MICROS = _events_stream_schema(T.TimestampNTZType())
 
 def _ts_is_nanos(src_dir: str) -> bool:
     """Probe the physical ``ts`` type of the parquet files in ``src_dir``
-    (driver-side footer read of one file, not a data pass)."""
+    (driver-side footer reads, not a data pass). ALL files are probed and
+    must agree (ADVICE r5): a staged directory mixing nanos- and
+    micros-layout files would otherwise read the remainder with the wrong
+    schema (long vs timestamp) and fail or mis-decode."""
     import pyarrow.parquet as pq
 
-    for name in sorted(os.listdir(src_dir)):
-        if name.endswith(".parquet"):
-            t = pq.read_schema(os.path.join(src_dir, name)).field("ts").type
-            return str(t) == "timestamp[ns]"
-    raise FileNotFoundError(f"no parquet files in {src_dir}")
+    types = {
+        str(pq.read_schema(os.path.join(src_dir, name)).field("ts").type)
+        for name in sorted(os.listdir(src_dir))
+        if name.endswith(".parquet")
+    }
+    if not types:
+        raise FileNotFoundError(f"no parquet files in {src_dir}")
+    if len(types) > 1:
+        raise ValueError(
+            f"mixed physical ts types in {src_dir}: {sorted(types)} — "
+            "stage nanos- and micros-layout files in separate directories"
+        )
+    return types.pop() == "timestamp[ns]"
 
 
 def _read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:

@@ -255,11 +255,16 @@ def test_driver_window_rotation_covers_every_entry():
 
     from monthly_report_etl_spark.catalog import QUERIES
 
+    # only GREEN rows count as recorded (ADVICE r5): a red row that then
+    # rotates out of the window would otherwise escape the guard without
+    # ever earning a passing driver check
     recorded: set[str] = set()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         with open(path) as f:
-            recorded |= set(json.load(f))
+            for name, row in json.load(f).items():
+                if row.get("hash_match") and not row.get("err"):
+                    recorded.add(name)
     window = set(list(QUERIES)[:50])
     uncovered = set(QUERIES) - recorded - window
     assert not uncovered, (
