@@ -1108,64 +1108,73 @@ _register_extension_catalogs()
 # ---------------------------------------------------------------------------
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of ``queries()``
-# in registration order. Registration order is ours to choose, so rotate the
-# window each round until every entry has at least one green driver row:
-# flagship first (``entry()`` references it by name), then entries without a
-# green driver row through r4 (olap_last_shipper sat at position 51 every
-# round; corpus_pack_sequences was hash-red on a HUGEINT canonicalization
-# now fixed; the sketch/minhash/simhash/ann entries gained real oracles in
-# r5), then entries new this round, then the once-checked remainder. New
-# queries registered after this list is frozen keep their natural position
-# unless added here.
+# in registration order. Registration order is ours to choose. After r5
+# every one of the 126 entries has at least one green (rows+schema+hash)
+# driver row, so the window policy switched from coverage to FRESHNESS
+# (VERDICT r5 #6): flagship first (``entry()`` references it by name), then
+# entries that are NEW or whose implementation/oracle CHANGED this round
+# (a green row from an earlier round proves nothing about edited code),
+# then the entries whose last green row is OLDEST (r2 cohort — their
+# modules' shared helpers drift under refactors even when the entries
+# themselves don't change), then the oldest of the r4 cohort until the
+# window holds exactly 50. Recompute each round from CORRECTNESS_r*.json
+# (green rows only — tests/test_plans.py pins both coverage and the
+# 50-slot fill).
 
 _DRIVER_WINDOW_PRIORITY = [
     "exports_report_events",
-    # -- no green driver row through r4 (VERDICT r3 items #1-#5) --
-    "olap_last_shipper",
-    "corpus_pack_sequences",
-    "sketch_partial_merge",
-    "approx_aggregates",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # -- new or semantics/oracle changed in r6 --
+    "corpus_incremental_ingest_bucketed",  # new: bucketed anti-join ingest
+    "events_user_sequences",  # capped at MAX_SEQ_EVENTS (result changed)
+    "similarity_ivf_topk",  # recall gate now aggregate; training rewritten
+    "dedup_minhash_lsh",  # oracle tokenization unified on \s+
+    "dedup_ngram_jaccard",  # ditto (shared _NGRAM_PAIR_CTES)
+    "dedup_connected_components",  # ditto
+    "corpus_decontaminate",  # ditto (_SHINGLE_SETS_CTE)
+    "corpus_ngram_novelty",  # ditto
+    # -- last green row is r2 (the stalest cohort) --
+    "case_classifier",
+    "collect_types_sorted",
+    "cube_orders",
+    "date_ops",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_latest_maxby",
+    "global_denominators",
+    "json_extract_props",
+    "multimodal_byte_stats",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "numeric_coercion",
+    "pricing_summary",
+    "rank_in_segment_month",
+    "rank_pivot_merge_back",
+    "regex_clean_strings",
+    "rollup_lineitem",
+    "set_ops",
+    "similarity_knn_brute_force",
+    "streaming_sessionize",
+    "streaming_tumbling_window_batch",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_orders",
+    "union_by_name",
+    # -- r4 cohort, modules touched most recently first --
     "similarity_ann_lsh",
-    "similarity_ivf_topk",
-    # -- new in r5 --
-    "corpus_pack_sequences_ranged",
-    "olap_nation_pair_volume",
-    "olap_market_share",
-    "olap_product_profit",
-    "corpus_decontaminate",
-    "corpus_ngram_novelty",
-    "dedup_canonical_selection",
-    "corpus_incremental_ingest",
-    "events_user_sequences",
-    "olap_cheapest_supplier",
-    "corpus_length_trim",
-    "text_lang_mismatch",
-    "text_unigram_logprob",
-    "olap_yearly_growth",
-    "corpus_mix_weights",
-    "events_last_touch_attribution",
-    # -- checked exactly once (r1 xor r2) --
-    "grouping_sets_orders",
-    "window_range_frame",
-    "filtered_agg_orders",
-    "calendar_spine_monthly",
-    "string_funcs_customer",
-    "date_funcs_extended",
-    "order_nulls_handling",
-    "jsonl_roundtrip_docs",
-    "dedup_connected_components",
-    "streaming_interval_join_batch",
-    "semi_anti_join",
-    "asof_join",
-    "range_join_bucketized",
-    "percentiles_exact",
-    "window_family",
-    "salted_join",
-    "array_functions",
-    "exact_distinct_bounds",
-    "map_functions",
+    "dedup_simhash",
+    "dedup_prefix_jaccard",
+    "dedup_cc_star",
+    "embeddings_quantize_int8",
+    "embeddings_standardize",
+    "corpus_stratified_sample",
+    "corpus_tfidf_top_terms",
+    "corpus_sample_hash_mod",
+    "events_funnel",
+    "events_sessionize_batch",
+    "events_sliding_window",
+    "stats_moments_group",
 ]
 
 

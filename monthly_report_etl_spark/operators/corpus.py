@@ -17,6 +17,8 @@ constraint is 100 TB of documents:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -887,12 +889,88 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing corpus (LEFT ANTI on the exact-content key) and within
     itself (min doc_id per text). Keys are (sha2, length) — 33 bytes per
     row through both the anti join and the in-batch dedup, never the
-    documents themselves; at 100 TB the existing side would be a bucketed
-    key table so repeated ingests never re-shuffle it."""
+    documents themselves. At 100 TB the existing side is a bucketed key
+    table so repeated ingests never re-shuffle it — that variant is
+    ``incremental_ingest_bucketed`` below (same result, zero Exchange on
+    the existing side, plan-gated)."""
     d = _docs(spark, sf_dir)
     key = [F.sha2(F.col("text"), 256).alias("k"), F.length("text").alias("klen")]
     incoming = d.filter(F.col("source") == INGEST_SOURCE).select("doc_id", *key)
     existing = d.filter(F.col("source") != INGEST_SOURCE).select(*key)
+    fresh = incoming.join(existing, ["k", "klen"], "left_anti")
+    return (
+        fresh.groupBy("k", "klen")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+# The number of buckets is a layout constant of the persisted key table:
+# every later ingest joins against the same physical partitioning, so it
+# is sized once for the corpus' steady state (at 100 TB of documents the
+# 33-byte key table is ~0.5 TB → thousands of buckets; 8 here keeps the
+# fixture layout readable in plans).
+INGEST_KEY_BUCKETS = 8
+
+
+def _existing_keys_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per source fingerprint) the existing-corpus key
+    table, bucketed AND sorted by the join key ``(k, klen)`` — the
+    write-once shuffle that every subsequent ingest amortizes. Returns
+    the table name. Keyed by the source file's (size, mtime) so a
+    regenerated fixture is never silently reused."""
+    import hashlib
+    import tempfile
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode("utf-8")
+    ).hexdigest()[:12]
+    name = f"existing_corpus_keys_{key}"
+    if not spark.catalog.tableExists(name):
+        existing = (
+            _docs(spark, sf_dir)
+            .filter(F.col("source") != INGEST_SOURCE)
+            .select(
+                F.sha2(F.col("text"), 256).alias("k"),
+                F.length("text").alias("klen"),
+            )
+        )
+        (
+            existing.write.mode("overwrite")
+            # external location: a managed table whose warehouse dir
+            # survived a previous session (metastore is per-session)
+            # would refuse to recreate with LOCATION_ALREADY_EXISTS
+            .option("path", os.path.join(tempfile.gettempdir(), name))
+            .bucketBy(INGEST_KEY_BUCKETS, "k", "klen")
+            .sortBy("k", "klen")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def incremental_ingest_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_ingest`` with the existing side persisted as a
+    bucketed-by-``(k, klen)`` key table (SCALE.md §6 / VERDICT r5 #4):
+    the corpus keys are shuffled ONCE at table-build time; every
+    subsequent ingest anti-joins against the bucketed layout with ZERO
+    Exchange on the existing side — only the (small) incoming batch
+    shuffles, and the in-batch dedup reuses the join's (k, klen)
+    partitioning, so repeated daily ingests never move the corpus again.
+    The ``merge`` hint pins the sort-merge strategy the bucketed layout
+    serves (at fixture scale the 33-byte key table would otherwise
+    broadcast, which reads the table but proves nothing about the
+    layout). Same result set as ``incremental_ingest``; plan shape
+    asserted by ``test_plans.py::test_bucketed_ingest_plan``."""
+    table = _existing_keys_table(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    incoming = d.filter(F.col("source") == INGEST_SOURCE).select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("k"),
+        F.length("text").alias("klen"),
+    )
+    existing = spark.table(table).hint("merge")
     fresh = incoming.join(existing, ["k", "klen"], "left_anti")
     return (
         fresh.groupBy("k", "klen")
@@ -994,6 +1072,10 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CATALOG: dict[str, tuple] = {
     "corpus_incremental_ingest": (incremental_ingest, INCREMENTAL_INGEST_ORACLE),
+    "corpus_incremental_ingest_bucketed": (
+        incremental_ingest_bucketed,
+        INCREMENTAL_INGEST_ORACLE,
+    ),
     "corpus_length_trim": (length_trim, LENGTH_TRIM_ORACLE),
     "corpus_mix_weights": (mix_weights, MIX_WEIGHTS_ORACLE),
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),

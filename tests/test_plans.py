@@ -243,6 +243,38 @@ def test_pack_sequences_ranged_window_is_partitioned(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
+def test_bucketed_ingest_plan(spark, sf_dir):
+    """corpus_incremental_ingest_bucketed keeps the SCALE.md §6 contract:
+    the existing-corpus key table is read through its bucketed layout
+    (``Bucketed: true``) and contributes NO Exchange — the only hash
+    exchange in the whole plan is the incoming batch shuffling to the
+    bucket partitioning (the in-batch dedup then reuses the join's
+    (k, klen) clustering). The anti join is the sort-merge strategy the
+    bucketed+sorted layout serves."""
+    plan = _plan(QUERIES["corpus_incremental_ingest_bucketed"](spark, sf_dir))
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+    # one hashpartitioning in the whole plan: the incoming batch's
+    # ENSURE_REQUIREMENTS exchange to the bucket partitioning (this plan
+    # renders under AdaptiveSparkPlan, where exchange arguments sit on
+    # their own "Arguments: hashpartitioning(...)" detail lines)
+    n = len(_lines(plan, "hashpartitioning"))
+    assert n == 1, f"expected only the incoming-side exchange, got {n}:\n{plan}"
+
+
+def test_driver_window_uses_all_50_slots():
+    """VERDICT r5 #6: the priority list must fill the driver's 50-entry
+    window exactly — every name resolving to a real catalog entry, no
+    dead names silently shrinking the checked set."""
+    from monthly_report_etl_spark.catalog import _DRIVER_WINDOW_PRIORITY, QUERIES
+
+    assert len(_DRIVER_WINDOW_PRIORITY) == 50
+    assert len(set(_DRIVER_WINDOW_PRIORITY)) == 50, "duplicate window names"
+    dead = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERIES]
+    assert not dead, f"window names not in catalog: {dead}"
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW_PRIORITY
+
+
 def test_driver_window_rotation_covers_every_entry():
     """Regression guard on the rotation logic itself (VERDICT r3 item
     #8): every catalog entry must either already have a recorded driver
