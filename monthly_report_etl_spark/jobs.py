@@ -34,16 +34,33 @@ def run_export_job(
     competitor_csv: str,
     output_dir: str,
     config: PipelineConfig | None = None,
+    parquet_dir: str | None = None,
+    parquet_target_file_mb: float = 128,
 ) -> DataFrame:
     """Full monthly report → per-lender TSV directory (S5 contract).
 
-    Returns the report DataFrame (lazy; the write is the only action).
+    With ``parquet_dir``, additionally writes the report as parquet
+    through the compacting sized writer (``write_parquet_compacted``):
+    the analytics copy downstream Spark/DuckDB consumers scan, with file
+    count derived from the staged output's ACTUAL bytes so a
+    wide-parallelism run can't spray thousands of KB-sized files (the
+    small-files guard a 100 TB pipeline needs on every long-lived
+    dataset — and a computed plan's optimizer estimate, a join product,
+    can't be trusted for it).
+
+    Returns the report DataFrame (lazy; the writes are the only actions).
     """
+    from monthly_report_etl_spark.sources.parquet import write_parquet_compacted
+
     raw = spark.read.parquet(deals_path)
     comp = read_lookup_csv(spark, competitor_csv, COMPETITOR_LIST_SCHEMA)
     report = monthly_report(raw, comp, config or PipelineConfig())
     write_tsv(report, output_dir, partition_by="associated_lender", bom=True)
     validate_tsv_output(spark, output_dir)
+    if parquet_dir is not None:
+        write_parquet_compacted(
+            report, parquet_dir, target_file_mb=parquet_target_file_mb
+        )
     return report
 
 

@@ -74,3 +74,34 @@ def write_parquet_sized(
         out = df.repartition(n_files)
         out.write.mode(mode).parquet(path)
     return n_files
+
+
+def write_parquet_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_mb: float = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Sized parquet write for COMPUTED plans (joins/aggregations), whose
+    optimizer size estimates are join products and can be off by many
+    orders of magnitude (the monthly-report plan estimates ~6e17 bytes
+    for a ~1 MB result — deriving a file count from that is garbage-in).
+
+    Two phases, the compaction shape Delta OPTIMIZE / Iceberg
+    ``rewrite_data_files`` run as a maintenance pass, fused into the
+    sink: (1) stage the result with the plan's natural partitioning;
+    (2) derive the file count from the staged ACTUAL on-disk bytes and
+    rewrite through ``write_parquet_sized`` — a plain scan, where the
+    planned size IS the footprint. The extra write+scan touches the
+    OUTPUT only (for report-shaped results, orders of magnitude below
+    the input scan the plan already paid for). Local-filesystem staging
+    cleanup; on an object store the staging prefix would get a lifecycle
+    rule instead. Returns the file count used."""
+    import shutil
+
+    staging = path.rstrip("/") + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    staged = df.sparkSession.read.parquet(staging)
+    n_files = write_parquet_sized(staged, path, target_file_mb=target_file_mb, mode=mode)
+    shutil.rmtree(staging, ignore_errors=True)
+    return n_files

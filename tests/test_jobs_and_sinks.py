@@ -35,6 +35,43 @@ def test_export_and_merge_jobs(spark, fixture_dir, tmp_path):
     assert len(files) == 1  # S6 single-file contract
 
 
+def test_export_job_sized_parquet_output(spark, fixture_dir, tmp_path):
+    """VERDICT r5 #7: the jobs path exercises the small-files guard — the
+    optional parquet output routes through write_parquet_compacted, and
+    at a deliberately tiny per-file target the part-file count tracks
+    actual-output-bytes / target (>1, so the sizing repartition actually
+    fired; ±1 tolerance because the final rewrite's compression groups
+    rows differently than the staging write the count was derived from),
+    with staging cleaned up and a complete read-back."""
+    import math
+
+    out_dir = str(tmp_path / "output")
+    pq_dir = str(tmp_path / "report_parquet")
+    deals = os.path.join(fixture_dir, "exports_deals.parquet")
+    comp = os.path.join(fixture_dir, "competitor_list.csv")
+
+    target_mb = 0.005
+    report = run_export_job(
+        spark, deals, comp, out_dir, PipelineConfig(),
+        parquet_dir=pq_dir, parquet_target_file_mb=target_mb,
+    )
+    files = glob.glob(os.path.join(pq_dir, "part-*.parquet"))
+    # reproduce the derivation: stage the same result the same way and
+    # apply the same actual-bytes / target ceiling (parquet writes are
+    # deterministic for the same plan + partitioning, so the staged
+    # bytes — and hence the derived count — are too)
+    restage = str(tmp_path / "restage")
+    report.write.parquet(restage)
+    staged_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(restage, "part-*.parquet"))
+    )
+    expected = max(1, math.ceil(staged_bytes / (target_mb * 1024 * 1024)))
+    assert len(files) == expected, (len(files), expected)
+    assert len(files) > 1, "fixture too small to exercise the guard"
+    assert not os.path.exists(pq_dir + "__staging"), "staging not cleaned"
+    assert spark.read.parquet(pq_dir).count() == report.count()
+
+
 def test_tsv_contract_bytes(spark, fixture_dir, tmp_path):
     """Byte-level contract of the sink: BOM, tab delimiter, QUOTE_ALL,
     '' for NULL, parseable with the csv module the reference validates
