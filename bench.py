@@ -37,6 +37,7 @@ HEADLINE = [
     "olap_local_supplier_volume",
     "olap_returned_items",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_exact",
     "similarity_knn_brute_force",
     "similarity_ann_lsh",

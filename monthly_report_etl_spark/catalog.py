@@ -1132,6 +1132,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_connected_components",  # ditto
     "corpus_decontaminate",  # ditto (_SHINGLE_SETS_CTE)
     "corpus_ngram_novelty",  # ditto
+    "text_c4_filter",  # new: C4 heuristic rule filter
     # -- last green row is r2 (the stalest cohort) --
     "case_classifier",
     "collect_types_sorted",
@@ -1174,7 +1175,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_funnel",
     "events_sessionize_batch",
     "events_sliding_window",
-    "stats_moments_group",
 ]
 
 

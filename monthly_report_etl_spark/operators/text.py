@@ -270,8 +270,73 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# C4-style heuristic rule filter
+# ---------------------------------------------------------------------------
+
+C4_MIN_TOKENS = 5
+C4_MAX_TOKENS = 100_000
+C4_MIN_MEAN_TOK_LEN = 2.0
+C4_MAX_MEAN_TOK_LEN = 12.0
+
+C4_FILTER_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{{') AS has_brace
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       ROUND(n_nonws * 1.0 / greatest(n_tokens, 1), 6) AS mean_tok_len,
+       has_lorem, has_brace,
+       (n_tokens BETWEEN {C4_MIN_TOKENS} AND {C4_MAX_TOKENS})
+           AND (n_nonws * 1.0 / greatest(n_tokens, 1)
+                BETWEEN {C4_MIN_MEAN_TOK_LEN} AND {C4_MAX_MEAN_TOK_LEN})
+           AND NOT has_lorem AND NOT has_brace AS keep
+FROM t
+"""
+
+
+def c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic rule filter (Raffel et al. 2020 §2.2's cheap
+    page rules, doc-level): token-count bounds, mean-token-length bounds
+    (gibberish / base64 blobs push it out of [2, 12]), boilerplate
+    marker ('lorem ipsum'), and code marker ('{'). Emits each rule as a
+    flag plus the conjunctive ``keep`` so downstream can tighten or
+    audit single rules without recomputing.
+
+    Pure per-row projection — three regexp passes and two contains, all
+    codegen, zero shuffles; like every text op here it scales linearly
+    and prunes the scan to (doc_id, text)."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.regexp_count("text", F.lit(r"\S+")).cast("long")
+    n_nonws = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    has_lorem = F.contains(F.lower("text"), F.lit("lorem ipsum"))
+    has_brace = F.contains("text", F.lit("{"))
+    mean_len = n_nonws / F.greatest(n_tokens, F.lit(1))
+    keep = (
+        n_tokens.between(C4_MIN_TOKENS, C4_MAX_TOKENS)
+        & mean_len.between(C4_MIN_MEAN_TOK_LEN, C4_MAX_MEAN_TOK_LEN)
+        & ~has_lorem
+        & ~has_brace
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "text_token_stats": (token_stats, TOKEN_STATS_ORACLE),
+    "text_c4_filter": (c4_filter, C4_FILTER_ORACLE),
     "text_language_id": (language_id, LANGUAGE_ID_ORACLE),
     "text_quality_score": (quality_score, QUALITY_SCORE_ORACLE),
     "text_fingerprint": (doc_fingerprint, FINGERPRINT_ORACLE),

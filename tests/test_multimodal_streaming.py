@@ -424,3 +424,39 @@ def test_events_reader_handles_both_ts_layouts(spark, tmp_path):
     sb = events_stream._read_events_stream(spark, str(micros_dir))
     assert sa.isStreaming and sb.isStreaming
     assert sa.schema["ts"].dataType.typeName() == sb.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_dependency_matrix_matches_coverage_doc():
+    """COVERAGE.md's container dependency matrix must track reality
+    (VERDICT r5 #8): if python-protobuf or PIL appears in this
+    container, this test fails, forcing the doc row and the associated
+    skip gates to be revisited instead of silently rotting. Also pins
+    the catalog-entry count the doc cites."""
+    import os
+    import re
+
+    from monthly_report_etl_spark.catalog import ORACLES, QUERIES
+    from monthly_report_etl_spark.operators import multimodal
+    from monthly_report_etl_spark.streaming import events_stream
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        doc = f.read()
+
+    tws_row = next(ln for ln in doc.splitlines() if "`HAS_TWS_DEPS`" in ln)
+    doc_says_absent = "**absent**" in tws_row
+    assert doc_says_absent != events_stream.HAS_TWS_DEPS, (
+        "COVERAGE.md dependency matrix is stale: HAS_TWS_DEPS is "
+        f"{events_stream.HAS_TWS_DEPS} but the doc row says {tws_row!r}"
+    )
+
+    pil_row = next(ln for ln in doc.splitlines() if "| PIL |" in ln)
+    assert ("absent" in pil_row) != multimodal._HAS_PIL, (
+        f"COVERAGE.md PIL row is stale: _HAS_PIL={multimodal._HAS_PIL}, row {pil_row!r}"
+    )
+
+    m = re.search(r"All (\d+) catalog entries carry a DuckDB oracle", doc)
+    assert m, "COVERAGE.md lost its catalog-count line"
+    assert int(m.group(1)) == len(QUERIES) == len(ORACLES), (
+        f"doc says {m.group(1)} entries, catalog has {len(QUERIES)}"
+    )
