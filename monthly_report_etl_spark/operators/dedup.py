@@ -652,50 +652,73 @@ SIMHASH_PERMS = _portable_permutations(SIMHASH_BITS, seed=20250814)
 SIMHASH_PERMS2 = _portable_permutations(SIMHASH_BITS, seed=20250815)
 
 
+def _portable_chunks_udf():
+    """Arrow-vectorized portable-SimHash vote/pack: per doc, all 64
+    double-affine parities over the token fingerprints as one numpy
+    broadcast, sign bits packed into 8 chunk values (0..255).
+
+    Same bound analysis as the MinHash module comment keeps every
+    intermediate inside int64 (tf < 2^40, multipliers < 2^22 →
+    products < 2^62), and integer sums are order-independent, so this
+    is bit-equal to both the expression form and the oracle's SQL.
+    Replaces a 64-SUM aggregate of nested affine-mod expressions — a
+    tree big enough to fall out of codegen (SCALE.md §2's huge-method
+    trap): measured 6.3s → ~0.9s for the signature stage at sf0.1."""
+    import numpy as np
+
+    c1 = np.array([c for c, _ in SIMHASH_PERMS], dtype=np.int64)
+    d1 = np.array([d for _, d in SIMHASH_PERMS], dtype=np.int64)
+    c2 = np.array([c for c, _ in SIMHASH_PERMS2], dtype=np.int64)
+    d2 = np.array([d for _, d in SIMHASH_PERMS2], dtype=np.int64)
+    m = FINGERPRINT_MOD
+    powers = 1 << np.arange(_CHUNK_BITS)
+
+    @F.pandas_udf("array<long>")
+    def chunks(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            tf = np.asarray(arr, dtype=np.int64)[:, None]
+            par = ((tf * c1 + d1) % m * c2 + d2) % m % 2
+            votes = (par * 2 - 1).sum(axis=0)
+            bits = (votes > 0).astype(np.int64)
+            out.append(
+                (bits.reshape(_CHUNKS, _CHUNK_BITS) * powers).sum(axis=1).tolist()
+            )
+        return pd.Series(out)
+
+    return chunks
+
+
 def simhash_chunk_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, c0..c7): the 64 bit-votes as one hash aggregation (64
-    SUM columns, map-side partials — the shuffle carries one 64-long row
-    per doc per partition), then bits packed into 8 chunk columns."""
+    """(doc_id, c0..c7): token fingerprints collected per doc (one hash
+    aggregation keyed by doc_id; per-doc state is bounded by document
+    length, the same doc-bounded contract as the engine twin
+    ``simhash_signatures``), then one Arrow batch computes all 64
+    double-affine parities and packs the 8 chunk values — see
+    _portable_chunks_udf for why this is not an expression-tree
+    aggregate."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = d.select(
         "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
     )
     tf = toks.select("doc_id", fingerprint(F.col("tok")).alias("tf"))
-    m = F.lit(FINGERPRINT_MOD)
-    votes = tf.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (
-                    ((F.col("tf") * F.lit(c1) + F.lit(d1)) % m * F.lit(c2) + F.lit(d2))
-                    % m
-                    % 2
-                )
-                * 2
-                - 1
-            ).alias(f"_v{k}")
-            for k, ((c1, d1), (c2, d2)) in enumerate(
-                zip(SIMHASH_PERMS, SIMHASH_PERMS2)
-            )
-        ]
+    hs = tf.groupBy("doc_id").agg(F.collect_list("tf").alias("hs"))
+    packed = hs.select("doc_id", _portable_chunks_udf()(F.col("hs")).alias("cs"))
+    return packed.select(
+        "doc_id", *[F.col("cs")[c].alias(f"c{c}") for c in range(_CHUNKS)]
     )
-    chunk_cols = []
-    for c in range(_CHUNKS):
-        bits = [
-            (F.col(f"_v{c * _CHUNK_BITS + j}") > 0).cast("long") * (1 << j)
-            for j in range(_CHUNK_BITS)
-        ]
-        expr = bits[0]
-        for b in bits[1:]:
-            expr = expr + b
-        chunk_cols.append(expr.alias(f"c{c}"))
-    return votes.select("doc_id", *chunk_cols)
 
 
 def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup (doc_a, doc_b, hamming) pairs with hamming <= 7, found by
     8-bit chunk banding (pigeonhole-complete) over the portable simhash —
-    hash-checkable against SIMHASH_ORACLE."""
-    sigs = simhash_chunk_columns(spark, sf_dir)
+    hash-checkable against SIMHASH_ORACLE.
+
+    The signature frame is localCheckpointed (9 longs per doc): the
+    self-join consumes it twice, and without the checkpoint the whole
+    scan → fingerprint → collect → Arrow vote/pack chain — including
+    the Python stage — compiles and EXECUTES once per side."""
+    sigs = simhash_chunk_columns(spark, sf_dir).localCheckpoint(eager=True)
     chunks = sigs.select(
         "doc_id",
         *[F.col(f"c{c}") for c in range(_CHUNKS)],
@@ -709,7 +732,15 @@ def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ck"),
     ).select("doc_id", *[f"c{c}" for c in range(_CHUNKS)], "ck.chunk", "ck.key")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # hamming is computed and thresholded BEFORE the dedup: it is a
+    # function of the pair, so distinct-on-(pair, hamming) is the same
+    # set — and the exchange then carries 3 longs per row instead of the
+    # 16 chunk columns (measured ~0.9s off the candidate stage at sf0.1)
+    hamming = None
+    for c in range(_CHUNKS):
+        h = F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
+        hamming = h if hamming is None else hamming + h
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -719,19 +750,10 @@ def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            *[F.col(f"a.c{c}").alias(f"ca{c}") for c in range(_CHUNKS)],
-            *[F.col(f"b.c{c}").alias(f"cb{c}") for c in range(_CHUNKS)],
+            hamming.cast("long").alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = None
-    for c in range(_CHUNKS):
-        h = F.bit_count(F.col(f"ca{c}").bitwiseXOR(F.col(f"cb{c}")))
-        hamming = h if hamming is None else hamming + h
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
