@@ -340,7 +340,15 @@ def lookup_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def exists_over_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: correlated-EXISTS-over-array (exports_results.sql:152-163) as a
-    higher-order ``F.exists`` over a collected array — not a join."""
+    higher-order ``F.exists`` over a collected array — not a join.
+
+    Scale note: the per-key collect is FAITHFUL reference semantics (the
+    reference materializes the results array per scenario, bounded by
+    ~48 lenders). Repurposing this shape for an unbounded key (e.g. all
+    events per user) needs the capped pattern in
+    ``analytics.events_user_sequences``; for a pure existence test the
+    collect is avoidable outright (``bool_or`` pre-aggregation, as the
+    oracle shows)."""
     ev = _t(spark, sf_dir, "events")
     collected = ev.groupBy("user_id").agg(
         F.collect_list(F.struct("event_type", "value")).alias("evs")
@@ -415,7 +423,13 @@ def dedup_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def collect_types_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/F13: list aggregate + lambda filter (exports_results.sql:73-76).
-    Output sorted-joined for cross-engine determinism."""
+    Output sorted-joined for cross-engine determinism.
+
+    Scale note: faithful reference semantics — the reference's list()
+    is per scenario and bounded by the lender count. Against an
+    unbounded key, truncate deterministically before collecting (the
+    ``events_user_sequences`` MAX_SEQ_EVENTS pattern) or replace the
+    lambda-filter count with a conditional pre-aggregation."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
