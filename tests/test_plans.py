@@ -243,6 +243,35 @@ def test_pack_sequences_ranged_window_is_partitioned(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
+def test_simhash_signature_python_surface(spark, sf_dir):
+    """The portable-SimHash signature stage keeps its r6 shape: exactly
+    one Arrow-batched Python stage (the vote/pack UDF) and never a
+    row-at-a-time BatchEvalPython — the 64-SUM affine expression tree it
+    replaced fell out of codegen (SCALE.md §2)."""
+    from monthly_report_etl_spark.operators.dedup import simhash_chunk_columns
+
+    plan = _plan(simhash_chunk_columns(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, plan
+    n_arrow = len({ln.strip() for ln in _lines(plan, ") ArrowEvalPython")})
+    assert n_arrow == 1, f"{n_arrow} ArrowEvalPython stages:\n{plan}"
+
+
+def test_ivf_search_plan_shape(spark, sf_dir):
+    """The IVF search plan (post-training) keeps its r6 shape: the
+    tagged corpus is consumed from a checkpoint (so the scan →
+    normalize → assign chain does not re-execute per consumer), Python
+    appears only as Arrow stages (probe selection), and the query side
+    joins broadcast."""
+    from monthly_report_etl_spark.operators.similarity import ivf_topk
+
+    plan = _plan(ivf_topk(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, plan
+    n_arrow = len({ln.strip() for ln in _lines(plan, ") ArrowEvalPython")})
+    assert n_arrow <= 2, f"{n_arrow} ArrowEvalPython stages:\n{plan}"
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Scan ExistingRDD" in plan, f"tagged corpus not checkpointed:\n{plan}"
+
+
 def test_bucketed_ingest_plan(spark, sf_dir):
     """corpus_incremental_ingest_bucketed keeps the SCALE.md §6 contract:
     the existing-corpus key table is read through its bucketed layout
