@@ -163,6 +163,8 @@ def _bucket_array_udf():
 
     @F.pandas_udf("array<int>")
     def buckets(e: pd.Series) -> pd.Series:
+        if not len(e):  # zero-row Arrow batch: np.stack([]) would raise
+            return pd.Series([], dtype=object)
         m = np.stack(e.to_numpy())  # batch x dim
         bits = (m @ w > 0).astype(np.int64).reshape(len(e), LSH_TABLES, LSH_BITS)
         vals = (bits * powers).sum(axis=2)  # batch x tables
@@ -273,6 +275,8 @@ def _bucket_array_udf_int():
 
     @F.pandas_udf("array<int>")
     def buckets(e: pd.Series) -> pd.Series:
+        if not len(e):  # zero-row Arrow batch: np.stack([]) would raise
+            return pd.Series([], dtype=object)
         m = np.stack(e.to_numpy())  # batch x dim (float64)
         q = np.floor(m * QUANT_SCALE).astype(np.int64)
         bits = (q @ w > 0).astype(np.int64).reshape(len(e), LSH_TABLES, LSH_BITS)
@@ -434,6 +438,8 @@ def _assign_centroid_udf(centroids: list[list[float]]):
 
     @F.pandas_udf("int")
     def assign(e: pd.Series) -> pd.Series:
+        if not len(e):  # zero-row Arrow batch: np.stack([]) would raise
+            return pd.Series([], dtype="int32")
         m = np.stack(e.to_numpy())
         return pd.Series(np.argmax(m @ c, axis=1).astype("int32"))
 
@@ -458,6 +464,8 @@ def _lloyd_partials_udf(centroids: list[list[float]]):
         sums = np.zeros((k, _DIM))
         counts = np.zeros(k, dtype=np.int64)
         for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch: np.stack([]) would raise
+                continue
             m = np.stack(pdf["e"].to_numpy())
             cid = np.argmax(m @ c, axis=1)
             np.add.at(sums, cid, m)
@@ -474,14 +482,25 @@ def _probe_cids_udf(centroids: list[list[float]], probes: int):
     """Per-query probe list (top ``probes`` centroids by dot) as one
     Arrow matmul + argsort — replaces the k x dim literal expression tree
     (~1k nodes for 16x64), which Catalyst analyzed and then evaluated
-    INTERPRETED on every plan build (see _lit_dot's measured caveat)."""
+    INTERPRETED on every plan build (see _lit_dot's measured caveat).
+
+    Tie-break convention (pinned r7): equal dot products break to the
+    LOWEST cid — the stable argsort over ``-dot`` keeps ascending-cid
+    input order for exact ties. Note this FLIPS the r5 expression form
+    (``reverse(array_sort(struct(dot, cid)))`` picked the highest cid);
+    probe sets on tied/duplicate centroids therefore differ from r5 by
+    design, and end-to-end quality is held by the recall gate
+    (tests/test_dedup_similarity.py recall@10 floor)."""
     import numpy as np
 
     c = np.array(centroids, dtype=np.float64).T  # dim x k
 
     @F.pandas_udf("array<int>")
     def probe(e: pd.Series) -> pd.Series:
+        if not len(e):  # zero-row Arrow batch: np.stack([]) would raise
+            return pd.Series([], dtype=object)
         m = np.stack(e.to_numpy())
+        # stable argsort on -dot == lexsort on (-dot, cid): lowest cid wins ties
         idx = np.argsort(-(m @ c), axis=1, kind="stable")[:, :probes]
         return pd.Series([row.tolist() for row in idx])
 

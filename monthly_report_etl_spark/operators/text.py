@@ -313,7 +313,11 @@ def c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen, zero shuffles; like every text op here it scales linearly
     and prunes the scan to (doc_id, text)."""
     d = _docs(spark, sf_dir)
-    n_tokens = F.regexp_count("text", F.lit(r"\S+")).cast("long")
+    # Shared whitespace tokenizer (trim + split, empty → 0) so the token
+    # count agrees exactly with TOKEN_STATS and with the oracle's
+    # string_split_regex(trim(text)) — regexp_count('\S+') disagrees on
+    # whitespace-only docs and leading/trailing non-space whitespace.
+    n_tokens = F.size(whitespace_tokens(F.col("text"))).cast("long")
     n_nonws = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
     has_lorem = F.contains(F.lower("text"), F.lit("lorem ipsum"))
     has_brace = F.contains("text", F.lit("{"))

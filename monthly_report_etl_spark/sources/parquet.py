@@ -101,7 +101,14 @@ def write_parquet_compacted(
 
     staging = path.rstrip("/") + "__staging"
     df.write.mode("overwrite").parquet(staging)
-    staged = df.sparkSession.read.parquet(staging)
-    n_files = write_parquet_sized(staged, path, target_file_mb=target_file_mb, mode=mode)
-    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        staged = df.sparkSession.read.parquet(staging)
+        n_files = write_parquet_sized(
+            staged, path, target_file_mb=target_file_mb, mode=mode
+        )
+    finally:
+        # always reclaim the staged copy — a failed sized write must not
+        # leak staged data next to the target (a later overwrite run
+        # would re-stage beside the leak)
+        shutil.rmtree(staging, ignore_errors=True)
     return n_files
