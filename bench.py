@@ -1,13 +1,26 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "spread": {...}, "streaming": {...}, "sf": ...}``
+
+Variance-proofing (VERDICT r6 #1): the old harness timed each query ONCE
+in one shared JVM, and its numbers disagreed with the repo's isolated
+measurements by up to 60% (``dedup_simhash`` 4.94 vs 3.07s) while showing
+±30% drift on untouched code. Every entry is now timed ``REPS`` times
+(default 3); ``queries`` carries the per-query MEDIAN, and ``spread``
+carries ``{median, min, max}`` per query so a regression claim can be
+checked against the run-to-run envelope instead of a single sample.
 
 Each query is timed end-to-end through a ``noop`` sink write — full plan
 execution on every row, nothing collected to the driver. The flagship
 monthly_report additionally runs the real exports pipeline on a generated
 exports_deals fixture scaled with the SF (the reference's actual workload,
-which the driver tables can't express).
+which the driver tables can't express); ``export_job_parquet`` exercises
+the full export job including the compacting sized parquet writer, with a
+file-count assertion riding the same run. ``streaming`` reports a
+file-source tumbling-window throughput number (rows/s) for the Structured
+Streaming surface.
 """
 
 from __future__ import annotations
@@ -15,7 +28,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -23,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from monthly_report_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 HEADLINE = [
     "exports_report_events",
@@ -76,6 +93,20 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _timed(fn) -> dict[str, float]:
+    """Run ``fn`` REPS times; return {median, min, max} wall seconds."""
+    samples = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return {
+        "median": round(statistics.median(samples), 3),
+        "min": round(min(samples), 3),
+        "max": round(max(samples), 3),
+    }
+
+
 def _fixture_paths(sf: float) -> tuple[str, str]:
     """Generate (once, cached by mtime-keyed path) the exports_deals fixture
     sized to the scale factor."""
@@ -90,6 +121,51 @@ def _fixture_paths(sf: float) -> tuple[str, str]:
     return deals, comp
 
 
+def _export_job(spark, deals_path: str, comp_path: str) -> None:
+    """Full export job INCLUDING the compacting sized parquet writer
+    (jobs.run_export_job with parquet_dir) — then assert the file count
+    matches what the staged ACTUAL bytes dictate, so the small-files
+    guard is exercised (and verified) under bench timing."""
+    from monthly_report_etl_spark.jobs import run_export_job
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_bench_export")
+    tsv_dir = os.path.join(out, "tsv")
+    pq_dir = os.path.join(out, "parquet")
+    shutil.rmtree(out, ignore_errors=True)
+    run_export_job(spark, deals_path, comp_path, tsv_dir, parquet_dir=pq_dir)
+    files = [f for f in os.listdir(pq_dir) if f.endswith(".parquet")]
+    total = sum(os.path.getsize(os.path.join(pq_dir, f)) for f in files)
+    expected = max(1, -(-total // (128 * 1024 * 1024)))
+    assert len(files) == expected, (
+        f"sized writer produced {len(files)} files for {total} bytes; "
+        f"expected {expected}"
+    )
+
+
+def _streaming_throughput(spark) -> dict:
+    """File-source tumbling-window throughput: drive the windowed-counts
+    stream to completion over the staged sf events table and report
+    rows/s (median of REPS runs). State note: aggregation state is
+    watermark-bounded — #distinct (1-hour window, event_type) groups
+    inside the 10-minute watermark horizon, not #input rows."""
+    from monthly_report_etl_spark.streaming.events_stream import (
+        run_windowed_counts_once,
+    )
+
+    n_rows = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    t = _timed(lambda: run_windowed_counts_once(spark, SF_DIR, "bench_tumbling"))
+    return {
+        "query": "streaming_tumbling_window",
+        "input_rows": n_rows,
+        "sec": t,
+        "rows_per_sec": round(n_rows / t["median"], 1),
+        "state_note": (
+            "state = open (1h window, event_type) groups within the 10-min "
+            "watermark horizon; bounded, independent of input size"
+        ),
+    }
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
     spark = get_spark(app_name="bench")
@@ -101,6 +177,7 @@ def main() -> None:
     from monthly_report_etl_spark.sources import read_lookup_csv
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
 
     # Warm the JVM/codegen so q1 doesn't pay session startup. The flagship
     # runs first in HEADLINE and was absorbing ~2.5s of first-query compile
@@ -111,16 +188,22 @@ def main() -> None:
     _run(QUERIES["exports_report_events"](spark, "/root/testdata/sf0.001"))
 
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _run(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t = _timed(lambda: _run(QUERIES[name](spark, SF_DIR)))
+        timings[name] = t["median"]
+        spread[name] = t
 
     deals_path, comp_path = _fixture_paths(sf)
     raw = spark.read.parquet(deals_path)
     comp = read_lookup_csv(spark, comp_path, COMPETITOR_LIST_SCHEMA)
-    t0 = time.perf_counter()
-    _run(monthly_report(raw, comp, PipelineConfig()))
-    timings["monthly_report_full"] = round(time.perf_counter() - t0, 3)
+    t = _timed(lambda: _run(monthly_report(raw, comp, PipelineConfig())))
+    timings["monthly_report_full"] = t["median"]
+    spread["monthly_report_full"] = t
+
+    t = _timed(lambda: _export_job(spark, deals_path, comp_path))
+    timings["export_job_parquet"] = t["median"]
+    spread["export_job_parquet"] = t
+
+    streaming = _streaming_throughput(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -130,6 +213,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "streaming": streaming,
+                "reps": REPS,
                 "sf": sf,
             }
         )
