@@ -1123,72 +1123,81 @@ _register_extension_catalogs()
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of ``queries()``
 # in registration order. Registration order is ours to choose. After r5
-# every one of the 126 entries has at least one green (rows+schema+hash)
-# driver row, so the window policy switched from coverage to FRESHNESS
-# (VERDICT r5 #6): flagship first (``entry()`` references it by name), then
-# entries that are NEW or whose implementation/oracle CHANGED this round
-# (a green row from an earlier round proves nothing about edited code),
-# then the entries whose last green row is OLDEST (r2 cohort — their
-# modules' shared helpers drift under refactors even when the entries
-# themselves don't change), then the oldest of the r4 cohort until the
-# window holds exactly 50. Recompute each round from CORRECTNESS_r*.json
-# (green rows only — tests/test_plans.py pins both coverage and the
-# 50-slot fill).
+# every one of the entries has at least one green (rows+schema+hash)
+# driver row, so the window policy is FRESHNESS (VERDICT r5 #6): flagship
+# first (``entry()`` references it by name), then entries that are NEW or
+# whose implementation/oracle CHANGED this round (a green row from an
+# earlier round proves nothing about edited code), then the entries whose
+# last green row is OLDEST, until the window holds exactly 50. Recompute
+# each round from CORRECTNESS_r*.json (green rows only —
+# tests/test_plans.py pins both coverage and the 50-slot fill).
+#
+# r7 recomputation (latest GREEN round per entry across r1–r6):
+#   r4-latest: 37 entries   r5-latest: 41   r6-latest: 50
+# (VERDICT r6 #2 said "~28 entries still r3" — recomputing from the JSON
+# shows the entries it names, e.g. grouping_sets_orders/asof_join, went
+# green again in r5; the true stalest cohort is the 37 r4 entries.)
+# Window = flagship (1) + changed-this-round (1: text_c4_filter, whose
+# token count moved to the shared trim+split tokenizer) + ALL 37
+# r4-latest entries + 11 r5-latest picks (the two text-module entries,
+# whose module changed this round, then the shapes VERDICT r6 called out
+# by name). After r7's run no entry's latest green will be older than r5.
 
 _DRIVER_WINDOW_PRIORITY = [
     "exports_report_events",
-    # -- new or semantics/oracle changed in r6 --
-    "corpus_incremental_ingest_bucketed",  # new: bucketed anti-join ingest
-    "events_user_sequences",  # capped at MAX_SEQ_EVENTS (result changed)
-    "similarity_ivf_topk",  # recall gate now aggregate; training rewritten
-    "dedup_minhash_lsh",  # oracle tokenization unified on \s+
-    "dedup_ngram_jaccard",  # ditto (shared _NGRAM_PAIR_CTES)
-    "dedup_connected_components",  # ditto
-    "corpus_decontaminate",  # ditto (_SHINGLE_SETS_CTE)
-    "corpus_ngram_novelty",  # ditto
-    "text_c4_filter",  # new: C4 heuristic rule filter
-    # -- last green row is r2 (the stalest cohort) --
-    "case_classifier",
-    "collect_types_sorted",
-    "cube_orders",
-    "date_ops",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_latest_maxby",
-    "global_denominators",
-    "json_extract_props",
-    "multimodal_byte_stats",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "numeric_coercion",
-    "pricing_summary",
-    "rank_in_segment_month",
-    "rank_pivot_merge_back",
-    "regex_clean_strings",
-    "rollup_lineitem",
-    "set_ops",
-    "similarity_knn_brute_force",
-    "streaming_sessionize",
-    "streaming_tumbling_window_batch",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "topk_orders",
-    "union_by_name",
-    # -- r4 cohort, modules touched most recently first --
-    "similarity_ann_lsh",
-    "dedup_simhash",
-    "dedup_prefix_jaccard",
-    "dedup_cc_star",
-    "embeddings_quantize_int8",
-    "embeddings_standardize",
-    "corpus_stratified_sample",
-    "corpus_tfidf_top_terms",
-    "corpus_sample_hash_mod",
-    "events_funnel",
-    "events_sessionize_batch",
-    "events_sliding_window",
+    # -- semantics changed in r7 --
+    "text_c4_filter",  # n_tokens now shared whitespace_tokens (trim+split)
+    # -- r4-latest cohort: all 37 --
+    "corpus_bigram_top",
+    "corpus_chunk_documents",
+    "corpus_chunk_documents_udtf",
+    "corpus_feature_hashing",
+    "corpus_length_buckets",
+    "corpus_normalize_dedup",
+    "corpus_pii_flags",
+    "corpus_repetition_stats",
+    "corpus_source_lang_rollup",
+    "corpus_train_val_test_split",
+    "dq_violations",
+    "events_retention_cohort",
+    "islands_active_months",
+    "join_hints_shuffle_hash",
+    "multimodal_audio_rms",
+    "olap_disjunctive_brackets",
+    "olap_dormant_rich_customers",
+    "olap_forecast_revenue",
+    "olap_large_orders",
+    "olap_local_supplier_volume",
+    "olap_order_count_distribution",
+    "olap_order_priority_semijoin",
+    "olap_priority_linecount",
+    "olap_promo_revenue",
+    "olap_regional_revenue",
+    "olap_returned_items",
+    "olap_shipping_priority",
+    "olap_small_quantity_avg",
+    "olap_top_revenue_supplier",
+    "posexplode_tokens",
+    "scd2_history",
+    "stats_corr",
+    "stats_moments_group",
+    "unpivot_part",
+    "upsert_full_outer",
+    "window_distribution",
+    "window_fill_forward",
+    # -- r5-latest picks: text module changed this round, then the
+    #    shapes VERDICT r6 named as stale --
+    "text_unigram_logprob",
+    "text_lang_mismatch",
+    "asof_join",
+    "calendar_spine_monthly",
+    "grouping_sets_orders",
+    "window_range_frame",
+    "string_funcs_customer",
+    "sketch_partial_merge",
+    "approx_aggregates",
+    "array_functions",
+    "map_functions",
 ]
 
 
