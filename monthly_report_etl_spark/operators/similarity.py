@@ -56,13 +56,16 @@ FROM ranked WHERE rn <= {TOP_K}
 """
 
 
-def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_brute_force(
+    spark: SparkSession, sf_dir: str, top_k: int = TOP_K
+) -> DataFrame:
     """Exact top-k cosine neighbors for the query set (vec_id < N_QUERIES).
 
     Queries broadcast; the corpus streams through one stage computing the
     fold-dot-product; per-query top-k via window on a small intermediate
     (Q x N rows partitioned by query). Tiebreak on neighbor_id makes the
-    result total-ordered for the oracle.
+    result total-ordered for the oracle. ``top_k`` defaults to the
+    catalog's TOP_K; the recall@10 pytest gate passes 10.
     """
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -78,7 +81,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -565,10 +568,11 @@ def train_ivf_centroids(
     return centroids
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
     """IVF ANN: assign the corpus to trained coarse clusters; each query
     searches only its IVF_PROBES nearest clusters with exact cosine, then
-    window top-k.
+    window top-k (``top_k`` defaults to the catalog's TOP_K; the
+    recall@10 pytest gate passes 10).
 
     The scale shape: the corpus is scanned once to tag cluster ids (pure
     projection), and the search join is equi on cluster id — candidate
@@ -610,7 +614,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOP_K)
+        .filter(F.col("rn") <= top_k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round("cos", 6).alias("cosine"), "rn")
     )
 

@@ -1,0 +1,88 @@
+"""Slow gates at sf0.01 — the driver's correctness scale (VERDICT r6 #4/#7).
+
+The per-entry oracle pytest (test_catalog_oracle.py) runs at sf0.001 for
+speed, so fixture-size-dependent bugs (cap interactions, sampling
+boundaries) would only surface in the driver's own gate. This module
+re-runs the comparison at sf0.01 for the 10 HEAVIEST catalog entries (by
+BENCH_r06 wall time), and pins the IVF recall@10 floor at the same scale.
+
+Marked ``slow``; run with ``pytest -m slow`` (excluded by giving -m "not
+slow" — the default run still includes them unless deselected).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from monthly_report_etl_spark.catalog import ORACLES, QUERIES
+from monthly_report_etl_spark.operators import similarity
+from monthly_report_etl_spark.sources.parquet import TESTDATA_TABLES
+from tests.utils import assert_frames_match
+
+SF001_DIR = "/root/testdata/sf0.01"
+
+# The 10 heaviest catalog entries by BENCH_r06 median wall time
+# (monthly_report_full excluded: it is a jobs-level plan, not a catalog
+# entry, and is exercised at sf0.01 by test_exports_pipeline's ref-SQL
+# differential).
+HEAVIEST = [
+    "dedup_prefix_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "similarity_ivf_topk",
+    "exports_report_events",
+    "similarity_ann_lsh",
+    "rank_pivot_merge_back",
+    "similarity_knn_brute_force",
+    "corpus_tfidf_top_terms",
+    "corpus_decontaminate",
+]
+
+# IVF recall@10 vs exact brute force at sf0.01 (VERDICT r6 #4).
+# Measured r7: 0.85 at sf0.01, 0.84 at sf0.001 (deterministic: fixed
+# first-k init, fixed iteration count, fixed fixture). The floor leaves
+# headroom for intentional tie-break/centroid changes while tripping on
+# real recall regressions; the measured value is logged in COVERAGE.md.
+IVF_RECALL10_FLOOR = 0.80
+
+
+@pytest.fixture(scope="module")
+def oracle_con_sf001():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF001_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", HEAVIEST)
+def test_heaviest_entries_match_oracle_at_sf001(spark, oracle_con_sf001, name):
+    actual = QUERIES[name](spark, SF001_DIR).toPandas()
+    expected = oracle_con_sf001.execute(ORACLES[name]).fetchdf()
+    assert_frames_match(actual, expected)
+
+
+@pytest.mark.slow
+def test_ivf_recall_at_10_sf001(spark):
+    """recall@10 of IVF against exact brute force at the driver's
+    correctness scale, pinned so a silent recall regression (probe
+    ordering, centroid training, candidate-join) trips here instead of
+    only moving an unrecorded aggregate."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_brute_force(spark, SF001_DIR, top_k=10).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(spark, SF001_DIR, top_k=10).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= IVF_RECALL10_FLOOR, f"IVF recall@10 regressed: {recall:.3f}"
+    # keep COVERAGE.md's logged number honest: if recall moves (even up),
+    # the assertion message carries the new value to re-record
+    assert abs(recall - 0.85) < 0.10, f"recall@10 moved to {recall:.3f}; update COVERAGE.md"
