@@ -1,5 +1,13 @@
-"""Build a 10x scale-up of /root/testdata/sf0.1 for the SCALE.md §8
-scaling-curve study (sf0.1 → sf1 wall-time ratios).
+"""Build an Nx scale-up of /root/testdata/sf0.1 for the SCALE.md §8
+scaling-curve study (sf0.1 → sf1 wall-time ratios; r7 adds a 30x
+documents-only step for the two worst absolute dedup entries).
+
+Env knobs:
+    SPARK_GRAFT_SCALE_DIR       output dir (default /tmp/spark_graft_scale/sf1)
+    SPARK_GRAFT_SCALE_REPLICAS  replication factor N (default 10)
+    SPARK_GRAFT_SCALE_TABLES    comma list to build a subset (default: all) —
+                                e.g. "documents" for the 30x dedup step,
+                                since prefix-jaccard/minhash read only it
 
 This is a MEASUREMENT artifact, not test input: correctness runs only on
 the driver-generated testdata; this dataset exists so super-linear
@@ -33,7 +41,15 @@ import pandas as pd
 
 SRC = "/root/testdata/sf0.1"
 OUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale/sf1")
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+TABLES = {
+    t
+    for t in os.environ.get(
+        "SPARK_GRAFT_SCALE_TABLES",
+        "region,nation,customer,supplier,part,orders,lineitem,events,documents,embeddings",
+    ).split(",")
+    if t
+}
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
@@ -61,44 +77,50 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
 
     for name in DIMS:
-        _write(_read(name), name)
+        if name in TABLES:
+            _write(_read(name), name)
 
-    orders = _read("orders")
-    okey_step = int(orders["o_orderkey"].max()) + 1
-    _write(_replicate(orders, {"o_orderkey": okey_step}), "orders")
+    if {"orders", "lineitem"} & TABLES:
+        orders = _read("orders")
+        okey_step = int(orders["o_orderkey"].max()) + 1
+        if "orders" in TABLES:
+            _write(_replicate(orders, {"o_orderkey": okey_step}), "orders")
+        if "lineitem" in TABLES:
+            lineitem = _read("lineitem")
+            _write(_replicate(lineitem, {"l_orderkey": okey_step}), "lineitem")
 
-    lineitem = _read("lineitem")
-    _write(_replicate(lineitem, {"l_orderkey": okey_step}), "lineitem")
-
-    events = _read("events")
-    _write(
-        _replicate(
-            events,
-            {
-                "event_id": int(events["event_id"].max()) + 1,
-                "user_id": int(events["user_id"].max()) + 1,
-            },
-        ),
-        "events",
-    )
-
-    docs = _read("documents")
-    dkey_step = int(docs["doc_id"].max()) + 1
-    parts = [docs]
-    for i in range(1, REPLICAS):
-        rep = docs.copy()
-        rep["doc_id"] = rep["doc_id"] + i * dkey_step
-        tag = f"~{i}"
-        rep["text"] = rep["text"].map(
-            lambda t: " ".join(tok + tag for tok in t.split())
+    if "events" in TABLES:
+        events = _read("events")
+        _write(
+            _replicate(
+                events,
+                {
+                    "event_id": int(events["event_id"].max()) + 1,
+                    "user_id": int(events["user_id"].max()) + 1,
+                },
+            ),
+            "events",
         )
-        parts.append(rep)
-    _write(pd.concat(parts, ignore_index=True), "documents")
 
-    emb = _read("embeddings")
-    _write(
-        _replicate(emb, {"vec_id": int(emb["vec_id"].max()) + 1}), "embeddings"
-    )
+    if "documents" in TABLES:
+        docs = _read("documents")
+        dkey_step = int(docs["doc_id"].max()) + 1
+        parts = [docs]
+        for i in range(1, REPLICAS):
+            rep = docs.copy()
+            rep["doc_id"] = rep["doc_id"] + i * dkey_step
+            tag = f"~{i}"
+            rep["text"] = rep["text"].map(
+                lambda t: " ".join(tok + tag for tok in t.split())
+            )
+            parts.append(rep)
+        _write(pd.concat(parts, ignore_index=True), "documents")
+
+    if "embeddings" in TABLES:
+        emb = _read("embeddings")
+        _write(
+            _replicate(emb, {"vec_id": int(emb["vec_id"].max()) + 1}), "embeddings"
+        )
 
 
 if __name__ == "__main__":
