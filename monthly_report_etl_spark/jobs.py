@@ -40,27 +40,46 @@ def run_export_job(
     """Full monthly report → per-lender TSV directory (S5 contract).
 
     With ``parquet_dir``, additionally writes the report as parquet
-    through the compacting sized writer (``write_parquet_compacted``):
-    the analytics copy downstream Spark/DuckDB consumers scan, with file
-    count derived from the staged output's ACTUAL bytes so a
-    wide-parallelism run can't spray thousands of KB-sized files (the
-    small-files guard a 100 TB pipeline needs on every long-lived
-    dataset — and a computed plan's optimizer estimate, a join product,
-    can't be trusted for it).
+    through the compacting sized-writer shape: the analytics copy
+    downstream Spark/DuckDB consumers scan, with file count derived from
+    the staged output's ACTUAL bytes so a wide-parallelism run can't
+    spray thousands of KB-sized files (the small-files guard a 100 TB
+    pipeline needs on every long-lived dataset — and a computed plan's
+    optimizer estimate, a join product, can't be trusted for it).
+
+    Dual-sink economy (r7): the report plan is computed ONCE. When both
+    sinks are requested, the result is staged as parquet first and BOTH
+    the TSV write and the sized parquet write read the staged scan —
+    the naive ``write_tsv(report); write_parquet_compacted(report)``
+    sequence executed the full join/agg plan twice, which at 100 TB
+    doubles the dominant cost for a report-sized output.
 
     Returns the report DataFrame (lazy; the writes are the only actions).
     """
-    from monthly_report_etl_spark.sources.parquet import write_parquet_compacted
+    import shutil
+
+    from monthly_report_etl_spark.sources.parquet import write_parquet_sized
 
     raw = spark.read.parquet(deals_path)
     comp = read_lookup_csv(spark, competitor_csv, COMPETITOR_LIST_SCHEMA)
     report = monthly_report(raw, comp, config or PipelineConfig())
-    write_tsv(report, output_dir, partition_by="associated_lender", bom=True)
-    validate_tsv_output(spark, output_dir)
-    if parquet_dir is not None:
-        write_parquet_compacted(
-            report, parquet_dir, target_file_mb=parquet_target_file_mb
+    if parquet_dir is None:
+        write_tsv(report, output_dir, partition_by="associated_lender", bom=True)
+        validate_tsv_output(spark, output_dir)
+        return report
+    staging = parquet_dir.rstrip("/") + "__staging"
+    report.write.mode("overwrite").parquet(staging)
+    try:
+        staged = spark.read.parquet(staging)
+        write_tsv(staged, output_dir, partition_by="associated_lender", bom=True)
+        validate_tsv_output(spark, output_dir)
+        write_parquet_sized(
+            staged, parquet_dir, target_file_mb=parquet_target_file_mb
         )
+    finally:
+        # local-filesystem staging cleanup; on an object store the
+        # staging prefix would get a lifecycle rule instead
+        shutil.rmtree(staging, ignore_errors=True)
     return report
 
 
