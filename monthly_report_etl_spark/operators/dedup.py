@@ -124,12 +124,28 @@ WHERE common * 1.0 / (na + nb - common) >= {JACCARD_THRESHOLD}
 """
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
+def _shingle_rows(
+    spark: SparkSession, sf_dir: str, distinct: bool = True, hashed: bool = False
+) -> DataFrame:
     """(doc_id, shingle) pairs — distinct by default (the inverted-index
     join and set-verification need sets); ``distinct=False`` skips the
     dedup EXCHANGE for duplicate-insensitive consumers (MinHash MINs),
     whose aggregation then reuses the window's doc_id partitioning with
     no further shuffle.
+
+    ``hashed=True`` replaces the 3-gram STRING with its xxhash64 before
+    the distinct, so every downstream exchange (distinct, df window,
+    posting-list self-join, verify join) moves 8-byte ints instead of
+    ~25-byte strings — measured 20-28% wall on prefix_jaccard at the 10x
+    scale step, growing with scale as the shuffles go bandwidth-bound.
+    Join/count semantics are exact modulo 64-bit collisions: a collision
+    can only MERGE two distinct shingles (overcounting ``common`` for a
+    pair that contains both sides), with per-pair probability
+    <= |a|x|b|/2^64 — at 10^12 corpus shingles the expected number of
+    colliding shingle pairs globally is ~50 and a collision only affects
+    a result pair if the two merged shingles co-occur in both docs. The
+    string path remains for consumers whose hashing must be portable
+    (the MinHash/SimHash oracle chains compute their own fingerprints).
 
     Built WITHOUT higher-order lambdas: posexplode tokens, then two window
     ``lead``s concatenate the 3-gram. HOF expressions (``transform`` +
@@ -152,9 +168,12 @@ def _shingle_rows(spark: SparkSession, sf_dir: str, distinct: bool = True) -> Da
         ).alias("s"),
         F.lead("tok", 2).over(w).alias("_t2"),
     ).filter(F.col("_t2").isNotNull())
-    if not distinct:
-        return grams.select("doc_id", "s")
-    return grams.select("doc_id", "s").distinct()
+    out = (
+        grams.select("doc_id", F.xxhash64("s").alias("s"))
+        if hashed
+        else grams.select("doc_id", "s")
+    )
+    return out.distinct() if distinct else out
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,8 +206,14 @@ def ngram_jaccard_pairs(
     read-back-validation pattern); the exact-oracle differential runs with
     the fixture corpus, whose posting lists are far below the cap, so the
     capped plan and the uncapped oracle agree there.
+
+    Shingles ride as xxhash64 ints (see ``_shingle_rows(hashed=True)``):
+    the posting-list self-join keys, df window and common-counts are
+    identical modulo 64-bit collisions, and every exchange is ~3x
+    narrower. Output verified identical to the string path on the
+    fixture corpora.
     """
-    rows = _shingle_rows(spark, sf_dir)
+    rows = _shingle_rows(spark, sf_dir, hashed=True)
     e = rows.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     # posting-list length per shingle; the window shuffle keys by s, the
     # same partitioning the self-join needs — no extra exchange
@@ -1079,7 +1104,13 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice; measured 8.4s -> 5.3s cold at sf0.1). Everything downstream
     # is a cheap filter or column-pruned read of this row set: the prefix
     # self-join reads the r-filtered rows, verification reads (doc_id, s).
-    rows = _shingle_rows(spark, sf_dir)
+    # hashed=True: all four exchanges below (df window, checkpoint,
+    # prefix self-join, verify join) carry 8-byte shingle ints instead of
+    # ~25-byte 3-gram strings — measured 20-28% wall at the 10x step,
+    # identical output (the prefix bound needs only SOME consistent total
+    # order, so (df, hash) ordering is as valid as (df, string); the
+    # exact-verify count is collision-exact per the _shingle_rows note)
+    rows = _shingle_rows(spark, sf_dir, hashed=True)
     # set size + global shingle frequency; the df window shuffles by s,
     # the n/rank windows share one doc_id exchange
     e = rows.withColumn("df", F.count("*").over(Window.partitionBy("s")))
