@@ -1075,7 +1075,9 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
-def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def prefix_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Prefix-filtering set-similarity join (the PPJoin/AllPairs family):
     EXACT Jaccard pairs, but the candidate join touches only each
     document's rare-shingle PREFIX instead of its full posting rows.
@@ -1120,7 +1122,12 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
         ),
     )
-    e = e.select("doc_id", "s", "n", "r").localCheckpoint()
+    # checkpoint=False exists for the plan-shape gate only: localCheckpoint
+    # truncates lineage, so the explained plan would hide the pre-checkpoint
+    # hash/window stages it needs to assert on
+    e = e.select("doc_id", "s", "n", "r")
+    if checkpoint:
+        e = e.localCheckpoint()
     pref = e.filter(F.col("r") <= F.col("n") - F.ceil(t * F.col("n")) + 1).select(
         "doc_id", "s", "n"
     )

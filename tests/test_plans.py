@@ -69,6 +69,33 @@ def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
     assert "sha2" in plan, plan
 
 
+def test_jaccard_shuffles_hashed_shingles_not_strings(spark, sf_dir):
+    """r7: both Jaccard dedup paths must ship shingles as xxhash64 ints
+    through their exchanges — concat_ws builds the 3-gram string once,
+    pre-hash, and the string must not be a shuffle key (20-28% wall at
+    the 10x step; the exchanges are the dominant cost at scale).
+    prefix_jaccard is explained with checkpoint=False because the
+    localCheckpoint it normally takes truncates the visible lineage."""
+    from monthly_report_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    plans = {
+        "dedup_prefix_jaccard": _plan(
+            prefix_jaccard_pairs(spark, sf_dir, checkpoint=False)
+        ),
+        "dedup_ngram_jaccard": _plan(ngram_jaccard_pairs(spark, sf_dir)),
+    }
+    for name, plan in plans.items():
+        assert "xxhash64" in plan, f"{name}:\n{plan}"
+        exchanges = _lines(plan, "hashpartitioning")
+        assert exchanges, f"{name}:\n{plan}"
+        assert all("concat_ws" not in ln for ln in exchanges), (
+            f"{name}: string shingle used as exchange key\n{plan}"
+        )
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path):
     """A lang-partitioned parquet layout must prune at planning time: the
     lang='en' filter appears as a PartitionFilter on the scan — at 100 TB
