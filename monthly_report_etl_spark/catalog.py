@@ -1137,14 +1137,23 @@ _register_extension_catalogs()
 # (VERDICT r6 #2 said "~28 entries still r3" — recomputing from the JSON
 # shows the entries it names, e.g. grouping_sets_orders/asof_join, went
 # green again in r5; the true stalest cohort is the 37 r4 entries.)
-# Window = flagship (1) + changed-this-round (1: text_c4_filter, whose
-# token count moved to the shared trim+split tokenizer) + ALL 37
-# r4-latest entries + 11 r5-latest picks (the two text-module entries,
-# whose module changed this round, then the shapes VERDICT r6 called out
-# by name). After r7's run no entry's latest green will be older than r5.
+# Window = flagship (1) + NEW this round (3: the last TPC-H shapes —
+# olap_important_stock / olap_supplier_part_types /
+# olap_dominant_supplier, which have no driver row at all yet) +
+# changed-this-round (1: text_c4_filter, whose token count moved to the
+# shared trim+split tokenizer) + ALL 37 r4-latest entries + 8 r5-latest
+# picks (the two text-module entries, whose module changed this round,
+# then the shapes VERDICT r6 called out by name; approx_aggregates /
+# array_functions / map_functions yield their slots to the new entries —
+# they are r5-green and next in line for r8). After r7's run no entry's
+# latest green will be older than r5.
 
 _DRIVER_WINDOW_PRIORITY = [
     "exports_report_events",
+    # -- NEW in r7 (no driver row yet): the last three TPC-H shapes --
+    "olap_important_stock",
+    "olap_supplier_part_types",
+    "olap_dominant_supplier",
     # -- semantics changed in r7 --
     "text_c4_filter",  # n_tokens now shared whitespace_tokens (trim+split)
     # -- r4-latest cohort: all 37 --
@@ -1195,9 +1204,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_range_frame",
     "string_funcs_customer",
     "sketch_partial_merge",
-    "approx_aggregates",
-    "array_functions",
-    "map_functions",
 ]
 
 

@@ -969,6 +969,165 @@ def yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMPORTANT_STOCK_ORACLE = """
+WITH per_part AS (
+    SELECT l.l_partkey,
+           SUM(l.l_extendedprice * l.l_quantity) AS value_raw
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY 1
+)
+SELECT l_partkey, ROUND(value_raw, 2) AS part_value
+FROM per_part
+WHERE value_raw > 0.002 * (SELECT SUM(value_raw) FROM per_part)
+"""
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): per-part value restricted to one
+    nation's suppliers, HAVING value > fraction * the GLOBAL total over
+    the same filtered set. The testdata has no partsupp table, so value
+    is lineitem-derived (extendedprice x quantity) instead of
+    supplycost x availqty — the plan shape is the point: the scalar
+    subquery decorrelates to one extra reduce over the per-part
+    aggregate, broadcast back as a one-row cross join (never a second
+    scan of the fact table), and the nation restriction is a broadcast
+    semi-chain applied BEFORE the groupBy so the aggregate only sees
+    1/25th of the rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_suppliers = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_raw"))
+    )
+    total = per_part.agg(F.sum("value_raw").alias("grand_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_raw") > 0.002 * F.col("grand_total"))
+        .select("l_partkey", F.round("value_raw", 2).alias("part_value"))
+    )
+
+
+SUPPLIER_PART_TYPES_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+def supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (supplier part-type counts): how many distinct
+    suppliers can provide each qualifying (brand, type, size), excluding
+    blocklisted suppliers (NOT IN subquery — negative account balance
+    stands in for Q16's complaint-comment scan; the testdata has no
+    partsupp, so the part<->supplier relationship is the distinct pairs
+    observed in lineitem). Plan shape: broadcast ANTI join for the NOT
+    IN (the blocklist is tiny), broadcast part-dim filter join, then one
+    hash aggregate — COUNT(DISTINCT l_suppkey) is duplicate-insensitive,
+    so no distinct pre-pass over the pairs is needed and the only
+    exchange is the partial-agg shuffle on the 3 group keys."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+DOMINANT_SUPPLIER_ORACLE = """
+WITH pair_qty AS (
+    SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS pair_qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'blue%'
+      AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2
+),
+with_total AS (
+    SELECT *, SUM(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM pair_qty
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM with_total w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE w.pair_qty > 0.5 * w.part_qty
+"""
+
+
+def dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): suppliers who shipped more
+    than half of a flagged part's 1998 volume — Q20's "availqty > half
+    the year's shipments" threshold re-expressed against lineitem (no
+    partsupp in the testdata), keeping the signature nested structure:
+    filtered fact aggregate -> per-part threshold -> semi join up to the
+    supplier dim. Plan shape: the name/date filters cut the fact scan
+    FIRST (broadcast part-key join + pushed date range), the window
+    total runs over the already-aggregated (part, supplier) frame (one
+    small exchange on l_partkey), and the supplier/nation dims broadcast
+    onto the surviving handful of rows. The distinct collapses suppliers
+    dominating several parts and is duplicate-cheap (output is bounded
+    by #suppliers)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("blue"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    pair = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = pair.withColumn("part_qty", F.sum("pair_qty").over(w)).filter(
+        F.col("pair_qty") > 0.5 * F.col("part_qty")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dominant.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .distinct()
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "olap_regional_revenue": (regional_revenue, REGIONAL_REVENUE_ORACLE),
     "olap_shipping_priority": (shipping_priority, SHIPPING_PRIORITY_ORACLE),
@@ -990,6 +1149,9 @@ CATALOG: dict[str, tuple] = {
     "olap_product_profit": (product_profit, PRODUCT_PROFIT_ORACLE),
     "olap_cheapest_supplier": (cheapest_supplier, CHEAPEST_SUPPLIER_ORACLE),
     "olap_yearly_growth": (yearly_growth, YEARLY_GROWTH_ORACLE),
+    "olap_important_stock": (important_stock, IMPORTANT_STOCK_ORACLE),
+    "olap_supplier_part_types": (supplier_part_types, SUPPLIER_PART_TYPES_ORACLE),
+    "olap_dominant_supplier": (dominant_supplier, DOMINANT_SUPPLIER_ORACLE),
     "unpivot_part": (unpivot_part, UNPIVOT_ORACLE),
     "posexplode_tokens": (posexplode_tokens, POSEXPLODE_ORACLE),
 }
