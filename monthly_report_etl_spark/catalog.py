@@ -1144,16 +1144,18 @@ _register_extension_catalogs()
 # shared trim+split tokenizer) + ALL 37 r4-latest entries + 8 r5-latest
 # picks (the two text-module entries, whose module changed this round,
 # then the shapes VERDICT r6 called out by name; approx_aggregates /
-# array_functions / map_functions yield their slots to the new entries —
-# they are r5-green and next in line for r8). After r7's run no entry's
+# array_functions / map_functions / sketch_partial_merge yield their
+# slots to the four new entries — they are r5-green and first in line
+# for r8). After r7's run no entry's
 # latest green will be older than r5.
 
 _DRIVER_WINDOW_PRIORITY = [
     "exports_report_events",
-    # -- NEW in r7 (no driver row yet): the last three TPC-H shapes --
+    # -- NEW in r7 (no driver row yet) --
     "olap_important_stock",
     "olap_supplier_part_types",
     "olap_dominant_supplier",
+    "dedup_duplicate_spans",
     # -- semantics changed in r7 --
     "text_c4_filter",  # n_tokens now shared whitespace_tokens (trim+split)
     # -- r4-latest cohort: all 37 --
@@ -1203,7 +1205,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "grouping_sets_orders",
     "window_range_frame",
     "string_funcs_customer",
-    "sketch_partial_merge",
 ]
 
 

@@ -1243,8 +1243,151 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# exact duplicate-substring spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the suffix-array ExactSubstr method,
+# re-expressed as a distributed n-gram coverage sweep)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 8  # span length in whitespace tokens
+DUP_SPAN_FLAG_FRAC = 0.2  # flag docs whose duplicated-token share >= this
+
+DUPLICATE_SPANS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {TOKS_SQL} AS t FROM documents
+),
+g2 AS (
+    SELECT doc_id, s,
+           array_to_string(list_slice(t, s, s + {DUP_SPAN_N - 1}), ' ') AS g
+    FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {DUP_SPAN_N - 1})) AS s
+        FROM toks
+        WHERE len(t) >= {DUP_SPAN_N}
+    )
+),
+dup AS (
+    SELECT g FROM g2 GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+),
+spans AS (
+    SELECT doc_id, s, s + {DUP_SPAN_N - 1} AS fin
+    FROM g2 WHERE g IN (SELECT g FROM dup)
+),
+swept AS (
+    SELECT doc_id, s, fin,
+           MAX(fin) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+    FROM spans
+),
+per_doc AS (
+    SELECT doc_id,
+           SUM(GREATEST(0, fin - GREATEST(s, COALESCE(prev_end + 1, s)) + 1))
+               AS dup_tokens
+    FROM swept GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(len(m.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(m.t), 6)
+           AS dup_frac,
+       ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(m.t), 6)
+           >= {DUP_SPAN_FLAG_FRAC} AS flagged
+FROM toks m LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring coverage: every word-{DUP_SPAN_N}-gram
+    that appears in MORE THAN ONE document marks its token span as
+    duplicated; a doc's ``dup_tokens`` is the size of the UNION of its
+    duplicated spans (overlaps not double-counted), and docs whose
+    duplicated share crosses DUP_SPAN_FLAG_FRAC are flagged.
+
+    This is the ExactSubstr dedup of Lee et al. 2022 re-expressed
+    Spark-first: the suffix array becomes a distributed n-gram inverted
+    index, and span merging becomes the classic interval-union sweep —
+    a running ``max(end)`` window per doc ordered by span start, each
+    span contributing only the tokens past the furthest end seen.
+
+    Scale design: grams ship through the exchange as xxhash64 int64s
+    (never the gram strings — same rule as the Jaccard paths); cross-doc
+    detection is ``min(doc_id) != max(doc_id)`` per gram, a partial-
+    aggregatable one-pass hash agg (NO countDistinct, NO posting-list
+    fan-out — this is linear in corpus tokens where the Jaccard
+    inverted-index join is quadratic per shingle); the sweep window runs
+    on the thresholded span set partitioned by doc_id. A 64-bit gram
+    collision would need ~2^32 distinct grams to be likely; it could
+    only over-mark a span as duplicated (same tolerance the LSH band
+    keys accept). The oracle groups by the gram STRING — agreement is
+    itself the collision check at test scale.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("t")
+    )
+    grams = (
+        d.filter(F.size("t") >= DUP_SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (DUP_SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("t", i, DUP_SPAN_N))
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("sg"),
+        )
+        .select("doc_id", F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("g")
+    )
+    spans = grams.join(dup, "g").select(
+        "doc_id", "s", (F.col("s") + F.lit(DUP_SPAN_N - 1)).alias("fin")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_doc = (
+        spans.withColumn("prev_end", F.max("fin").over(w))
+        .withColumn(
+            "new_cov",
+            F.greatest(
+                F.lit(0),
+                F.col("fin")
+                - F.greatest(
+                    F.col("s"), F.coalesce(F.col("prev_end") + 1, F.col("s"))
+                )
+                + 1,
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("new_cov").alias("dup_tokens"))
+    )
+    meta = d.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    dup_frac = F.round(dup_tokens / F.col("n_tokens"), 6)
+    return meta.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= DUP_SPAN_FLAG_FRAC).alias("flagged"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_duplicate_spans": (duplicate_spans, DUPLICATE_SPANS_ORACLE),
     "dedup_ngram_jaccard": (ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE),
     "dedup_prefix_jaccard": (prefix_jaccard_pairs, NGRAM_JACCARD_ORACLE),
     # portable-hash variants: the full signature → band → candidate →

@@ -96,6 +96,24 @@ def test_jaccard_shuffles_hashed_shingles_not_strings(spark, sf_dir):
         )
 
 
+def test_duplicate_spans_plan_shape(spark, sf_dir):
+    """dedup_duplicate_spans keeps its scale contract: grams cross the
+    exchanges as xxhash64 ints (never the concatenated gram string), no
+    Python stage anywhere, and cross-doc detection is a plain min/max
+    hash agg — no distinct/expand pre-pass over the gram stream."""
+    from monthly_report_etl_spark.operators.dedup import duplicate_spans
+
+    plan = _plan(duplicate_spans(spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    assert "EvalPython" not in plan, plan
+    exchanges = _lines(plan, "hashpartitioning")
+    assert exchanges, plan
+    assert all("concat_ws" not in ln for ln in exchanges), (
+        f"string gram used as exchange key\n{plan}"
+    )
+    assert "Expand" not in plan, f"distinct expand in gram agg\n{plan}"
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path):
     """A lang-partitioned parquet layout must prune at planning time: the
     lang='en' filter appears as a PartitionFilter on the scan — at 100 TB
