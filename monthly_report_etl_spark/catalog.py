@@ -1144,9 +1144,9 @@ _register_extension_catalogs()
 # shared trim+split tokenizer) + ALL 37 r4-latest entries + 8 r5-latest
 # picks (the two text-module entries, whose module changed this round,
 # then the shapes VERDICT r6 called out by name; approx_aggregates /
-# array_functions / map_functions / sketch_partial_merge yield their
-# slots to the four new entries — they are r5-green and first in line
-# for r8). After r7's run no entry's
+# array_functions / map_functions / sketch_partial_merge /
+# window_range_frame yield their slots to the five new entries — they
+# are r5-green and first in line for r8). After r7's run no entry's
 # latest green will be older than r5.
 
 _DRIVER_WINDOW_PRIORITY = [
@@ -1156,6 +1156,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "olap_supplier_part_types",
     "olap_dominant_supplier",
     "dedup_duplicate_spans",
+    "dedup_semdedup",
     # -- semantics changed in r7 --
     "text_c4_filter",  # n_tokens now shared whitespace_tokens (trim+split)
     # -- r4-latest cohort: all 37 --
@@ -1203,7 +1204,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "asof_join",
     "calendar_spine_monthly",
     "grouping_sets_orders",
-    "window_range_frame",
     "string_funcs_customer",
 ]
 

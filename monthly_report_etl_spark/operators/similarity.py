@@ -389,12 +389,117 @@ FROM ranked WHERE rn <= {TOP_K}
 ANN_LSH_ORACLE = _ann_lsh_oracle()
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): partition the embedding
+# space, then within each partition drop every vector that has a
+# sufficiently-similar lower-id neighbor. The paper partitions with k-means;
+# here the partitioner is the portable ±1-integer-hyperplane bucket (table 0
+# of the ANN scheme above) so the WHOLE chain — bucket bits, in-bucket pair
+# cosines, drop rule — is bit-recomputable by the DuckDB oracle. The
+# k-means-partitioned twin at scale is ivf_topk's trained quantizer; this
+# entry pins the dedup semantics hash-exactly.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.25
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup verdict: bucket id, similarity to the nearest
+    LOWER-id vector in the same bucket (NULL if alone/first), and
+    ``keep`` = no lower-id in-bucket neighbor at cosine >= SEMDEDUP_TAU
+    (the reference SemDeDup implementation's index-order drop rule —
+    deliberately NOT transitive closure; the CC-based transitive variant
+    is dedup_connected_components' family).
+
+    Scale design: the self-join keys on the int bucket id, so pair
+    fan-out is sum over buckets of n_b^2 — the SemDeDup contract that
+    partitions stay small (the paper's k-means keeps them balanced; a
+    skewed bucket here would surface as one hot shuffle key, and the
+    balanced-partition path is the IVF quantizer). The max-over-lower
+    aggregation is partial-aggregatable; rounding happens per pair
+    BEFORE the max so both engines take max over identical values.
+    """
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucket_udf = _bucket_array_udf_int()
+    b0 = v.select(
+        "vec_id", "e", bucket_udf(F.col("e"))[0].cast("long").alias("bucket")
+    )
+    lo = b0.select(
+        F.col("bucket").alias("lb"),
+        F.col("vec_id").alias("lo_id"),
+        F.col("e").alias("le"),
+    )
+    pairs = b0.join(
+        lo, (F.col("bucket") == F.col("lb")) & (F.col("lo_id") < F.col("vec_id"))
+    ).select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("le"), F.col("e")), 6).alias("cos"),
+    )
+    nn = pairs.groupBy("vec_id").agg(F.max("cos").alias("nn_lower_cos"))
+    return b0.join(nn, "vec_id", "left").select(
+        "vec_id",
+        "bucket",
+        "nn_lower_cos",
+        F.coalesce(
+            F.col("nn_lower_cos") < SEMDEDUP_TAU, F.lit(True)
+        ).alias("keep"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    dim = _DIM
+    bit_terms = []
+    for b in range(LSH_BITS):
+        wlist = "[" + ", ".join(str(x) for x in PM1_WEIGHTS[b]) + "]"
+        dot = (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, {dim} + 1), "
+            f"i -> q[i] * ({wlist})[i])), (a, x) -> a + x)"
+        )
+        bit_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+    cos = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim} + 1), "
+        "i -> lo.e[i] * hi.e[i])), (acc, x) -> acc + x) "
+        f"/ (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim} + 1), "
+        "i -> lo.e[i] * lo.e[i])), (acc, x) -> acc + x)) "
+        f"* sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim} + 1), "
+        "i -> hi.e[i] * hi.e[i])), (acc, x) -> acc + x)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qz AS (
+    SELECT vec_id, e,
+           list_transform(e, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS q
+    FROM v
+),
+b0 AS (
+    SELECT vec_id, e, CAST({' + '.join(bit_terms)} AS BIGINT) AS bucket
+    FROM qz
+),
+nn AS (
+    SELECT hi.vec_id, MAX(ROUND({cos}, 6)) AS nn_lower_cos
+    FROM b0 hi JOIN b0 lo
+      ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+    GROUP BY hi.vec_id
+)
+SELECT b.vec_id, b.bucket, nn.nn_lower_cos,
+       COALESCE(nn.nn_lower_cos < {SEMDEDUP_TAU}, TRUE) AS keep
+FROM b0 b LEFT JOIN nn ON nn.vec_id = b.vec_id
+"""
+
+
+SEMDEDUP_ORACLE = _semdedup_oracle()
+
+
 CATALOG: dict[str, tuple] = {
     "similarity_knn_brute_force": (knn_brute_force, KNN_ORACLE),
     # portable variant is the oracle-checked catalog entry; the sin()-
     # hyperplane twin (ann_lsh_topk) stays as the float path, recall-
     # tested in pytest
     "similarity_ann_lsh": (ann_lsh_topk_portable, ANN_LSH_ORACLE),
+    "dedup_semdedup": (semdedup_keep, SEMDEDUP_ORACLE),
 }
 
 
