@@ -699,6 +699,38 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "json_variant_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, 'k') AS BIGINT) AS k_long,
+           json_extract_string(props, 'k') AS k_str,
+           CAST(NULL AS BIGINT) AS obj_as_long
+    FROM events
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    decodes the JSON string ONCE into the binary variant encoding, and
+    every probe is a cheap ``variant_get`` over that — the engine-native
+    successor to repeated get_json_object re-parses (and the scale
+    answer for documents with many probed keys). ``try_variant_get``
+    with an impossible target (the whole object as a long) yields NULL
+    instead of failing, the
+    same coercion contract as F18. DuckDB has no VARIANT; the oracle
+    asserts the same VALUES via its JSON probes, which is the point —
+    variant is an encoding change, not a semantics change."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    return ev.select(
+        "event_id",
+        F.variant_get("v", "$.k", "long").alias("k_long"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+        F.try_variant_get("v", "$", "long").alias("obj_as_long"),
+    )
+
+
+@_register(
     "case_classifier",
     """
     SELECT event_id,
@@ -1145,8 +1177,9 @@ _register_extension_catalogs()
 # picks (the two text-module entries, whose module changed this round,
 # then the shapes VERDICT r6 called out by name; approx_aggregates /
 # array_functions / map_functions / sketch_partial_merge /
-# window_range_frame yield their slots to the five new entries — they
-# are r5-green and first in line for r8). After r7's run no entry's
+# window_range_frame / calendar_spine_monthly / grouping_sets_orders
+# yield their slots to the seven new entries — they are r5-green and
+# first in line for r8). After r7's run no entry's
 # latest green will be older than r5.
 
 _DRIVER_WINDOW_PRIORITY = [
@@ -1157,6 +1190,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "olap_dominant_supplier",
     "dedup_duplicate_spans",
     "dedup_semdedup",
+    "recursive_order_chains",
+    "json_variant_extract",
     # -- semantics changed in r7 --
     "text_c4_filter",  # n_tokens now shared whitespace_tokens (trim+split)
     # -- r4-latest cohort: all 37 --
@@ -1202,8 +1237,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_unigram_logprob",
     "text_lang_mismatch",
     "asof_join",
-    "calendar_spine_monthly",
-    "grouping_sets_orders",
     "string_funcs_customer",
 ]
 

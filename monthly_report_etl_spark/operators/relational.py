@@ -293,7 +293,76 @@ def window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# recursive CTE (Spark 4 WITH RECURSIVE): per-customer order-chain walk
+# ---------------------------------------------------------------------------
+
+# ONE SQL template runs on BOTH engines (only the table name differs) —
+# dialect-shared subset: WINDOW clause, LEAD/LAG, INTERVAL arithmetic,
+# UNION ALL recursion (Spark 4 does not yet support UNION-distinct in
+# recursive CTEs, so the traversal must be acyclic by construction: each
+# step follows THE unique next order, strictly later, capped at depth 20).
+_ORDER_CHAINS_SQL = """
+WITH RECURSIVE adj AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderdate)  OVER w AS prev_date,
+           LEAD(o_orderkey)  OVER w AS next_key,
+           LEAD(o_orderdate) OVER w AS next_date
+    FROM {orders}
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+chain (head_key, o_custkey, cur_key, cur_date, depth) AS (
+    SELECT o_orderkey, o_custkey, o_orderkey, o_orderdate, 1
+    FROM adj
+    WHERE prev_date IS NULL
+       OR o_orderdate > prev_date + INTERVAL 30 DAY
+    UNION ALL
+    SELECT c.head_key, c.o_custkey, a.next_key, a.next_date, c.depth + 1
+    FROM chain c
+    JOIN adj a ON a.o_orderkey = c.cur_key
+    WHERE a.next_date IS NOT NULL
+      AND a.next_date <= c.cur_date + INTERVAL 30 DAY
+      AND c.depth < 20
+)
+SELECT head_key, o_custkey,
+       CAST(MAX(depth) AS BIGINT) AS chain_len,
+       MAX(cur_date) AS chain_end
+FROM chain
+GROUP BY head_key, o_custkey
+"""
+
+ORDER_CHAINS_ORACLE = _ORDER_CHAINS_SQL.format(orders="orders")
+
+
+def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer burst chains via an ENGINE-SIDE recursive CTE
+    (Spark 4 ``WITH RECURSIVE``): a chain starts at an order with no
+    prior order within 30 days and extends to the customer's next order
+    while each hop lands within 30 days; output is each chain's head,
+    length, and final date.
+
+    This is the linked-list traversal shape (each row has at most ONE
+    successor, found by LEAD over the per-customer sequence), where the
+    recursion is genuinely data-dependent — chain length isn't known
+    before execution — yet provably terminates: every step strictly
+    advances o_orderdate, and depth is capped at 20 (the same guard the
+    oracle carries, so both engines cut identical chains). The exact
+    SQL text runs on DuckDB as the oracle; only the table reference
+    differs.
+
+    Scale design: Spark executes the recursion as iterative UNION ALL
+    steps over the adj frame; both the window and each recursive join
+    key on order/customer ids, and the working set SHRINKS every
+    iteration (only still-extending chains survive the join filter).
+    Depth caps bound the iteration count at the 100 TB tier the same
+    way MAX_SEQ_EVENTS caps per-user sequence state.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
+    return spark.sql(_ORDER_CHAINS_SQL.format(orders="orders_rcte"))
+
+
 CATALOG: dict[str, tuple] = {
+    "recursive_order_chains": (recursive_order_chains, ORDER_CHAINS_ORACLE),
     "set_ops": (set_ops, SET_OPS_ORACLE),
     "rollup_lineitem": (rollup_lineitem, ROLLUP_ORACLE),
     "cube_orders": (cube_orders, CUBE_ORACLE),
