@@ -81,6 +81,12 @@ HEADLINE = [
     "corpus_pack_sequences_ranged",
     "corpus_decontaminate",
     "text_unigram_logprob",
+    # r7 additions
+    "dedup_duplicate_spans",
+    "dedup_semdedup",
+    "recursive_order_chains",
+    "olap_important_stock",
+    "olap_dominant_supplier",
 ]
 
 
