@@ -1129,16 +1129,41 @@ def prefix_jaccard_pairs(
     if checkpoint:
         e = e.localCheckpoint()
     pref = e.filter(F.col("r") <= F.col("n") - F.ceil(t * F.col("n")) + 1).select(
-        "doc_id", "s", "n"
+        "doc_id", "s", "n", "r"
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008) on top of the AllPairs
+    # prefix bound: a qualifying pair (J >= t) has common >= alpha =
+    # ceil(t/(1+t) * (na+nb)), and for the FIRST shared shingle in the
+    # global (df, hash) order at prefix positions (ra, rb), every other
+    # common shingle sits after both positions, so common <= 1 +
+    # min(na-ra, nb-rb). A qualifying pair therefore always has at least
+    # one prefix match passing the bound — filtering raw matches before
+    # the distinct prunes candidates with NO false negatives (measured at
+    # the 100x step: 31.0M -> 12.5M candidate pairs, and the verify join
+    # is the dominant stage there). The 1e-9 slack keeps float ceil from
+    # rounding alpha UP past its exact value (pruning too hard is the
+    # only unsafe direction).
+    alpha = F.ceil(
+        F.lit(JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD))
+        * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(
-            (F.col("b.n") >= t * F.col("a.n")) & (F.col("a.n") >= t * F.col("b.n"))
+            (F.col("b.n") >= t * F.col("a.n"))
+            & (F.col("a.n") >= t * F.col("b.n"))
+            & (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.r"), F.col("b.n") - F.col("b.r")
+                )
+                >= alpha
+            )
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
