@@ -1236,8 +1236,9 @@ _DRIVER_WINDOW_PRIORITY = [
     #    shapes VERDICT r6 named as stale --
     "text_unigram_logprob",
     "text_lang_mismatch",
-    "asof_join",
     "string_funcs_customer",
+    # -- NEW in r7 (late addition; asof_join, r5-green, yields its slot) --
+    "sketch_count_min",
 ]
 
 

@@ -717,6 +717,129 @@ def approx_aggregates_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005) — portable integer hashes,
+# so unlike the HLL/KLL entries the ESTIMATES themselves are recomputed by
+# the oracle and hash-checked, not just held to an error bound.
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 512  # buckets per row
+CM_P = 1_000_003  # prime modulus; A*(u%P) <= ~1e12, exact in int64
+CM_A = (513_227, 914_737, 335_887, 747_091)
+CM_B = (700_001, 122_333, 456_569, 989_999)
+CM_TOPK = 10
+
+
+def _cm_hash_sql(j: int, key: str) -> str:
+    return f"((({CM_A[j]} * ({key} % {CM_P}) + {CM_B[j]}) % {CM_P}) % {CM_W})"
+
+
+COUNT_MIN_ORACLE = f"""
+WITH cells AS (
+    {" UNION ALL ".join(
+        f"SELECT {j} AS r, {_cm_hash_sql(j, 'user_id')} AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2"
+        for j in range(CM_D)
+    )}
+),
+exact AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM events GROUP BY user_id
+    ORDER BY exact_cnt DESC, user_id LIMIT {CM_TOPK}
+),
+probes AS (
+    SELECT e.user_id, e.exact_cnt, c.c
+    FROM exact e
+    JOIN cells c
+      ON (c.r = 0 AND c.h = {_cm_hash_sql(0, 'e.user_id')})
+      OR (c.r = 1 AND c.h = {_cm_hash_sql(1, 'e.user_id')})
+      OR (c.r = 2 AND c.h = {_cm_hash_sql(2, 'e.user_id')})
+      OR (c.r = 3 AND c.h = {_cm_hash_sql(3, 'e.user_id')})
+)
+SELECT user_id, exact_cnt,
+       MIN(c) AS cm_est,
+       MIN(c) - exact_cnt AS overcount
+FROM probes GROUP BY user_id, exact_cnt
+"""
+
+
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over per-user event counts, verified against the
+    exact top-{CM_TOPK} heavy hitters: the D x W cell matrix is built in
+    one pass (explode to D (row, bucket) keys per event, hash-agg), the
+    exact top-k one groupBy + TakeOrdered, and each heavy hitter's
+    estimate is min over its D cells — always >= the exact count (CMS
+    never undercounts), with the overcount emitted.
+
+    The affine hashes are plain int64 arithmetic mod a small prime, so
+    DuckDB recomputes EVERY cell and estimate verbatim — a full
+    hash-check of sketch contents, stronger than the bounds-boolean
+    contract the engine-binary sketches (HLL/KLL) allow.
+
+    Scale design: the sketch exchange is AT MOST D x W = {CM_D}x{CM_W}
+    cells per map partition after partial agg (fixed size regardless of
+    input rows — the whole point of CMS); the probe side broadcasts
+    {CM_TOPK} user keys against the cell table. One full-data exchange
+    total (the exact top-k groupBy, which the verification needs, not
+    the sketch)."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    u = F.col("user_id") % CM_P
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("r"),
+                            ((CM_A[j] * u + CM_B[j]) % CM_P % CM_W).alias("h"),
+                        )
+                        for j in range(CM_D)
+                    ]
+                )
+            ).alias("rh")
+        )
+        .groupBy("rh.r", "rh.h")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.col("user_id"))
+        .limit(CM_TOPK)
+    )
+    eu = F.col("user_id") % CM_P
+    probes = exact.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("pr"),
+                        ((CM_A[j] * eu + CM_B[j]) % CM_P % CM_W).alias("ph"),
+                    )
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_cnt", "p.pr", "p.ph")
+    return (
+        probes.join(
+            cells, (F.col("pr") == F.col("r")) & (F.col("ph") == F.col("h"))
+        )
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+CATALOG["sketch_count_min"] = (sketch_count_min, COUNT_MIN_ORACLE)
 CATALOG["approx_aggregates"] = (approx_aggregates_checked, APPROX_CHECKED_ORACLE)
 CATALOG["exact_distinct_bounds"] = (exact_distinct_bounds, APPROX_EXACT_BOUNDS_ORACLE)
 CATALOG["map_functions"] = (map_functions, MAP_FUNCTIONS_ORACLE)
