@@ -87,6 +87,7 @@ HEADLINE = [
     "recursive_order_chains",
     "olap_important_stock",
     "olap_dominant_supplier",
+    "sketch_count_min",
 ]
 
 

@@ -355,7 +355,11 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     key on order/customer ids, and the working set SHRINKS every
     iteration (only still-extending chains survive the join filter).
     Depth caps bound the iteration count at the 100 TB tier the same
-    way MAX_SEQ_EVENTS caps per-user sequence state.
+    way MAX_SEQ_EVENTS caps per-user sequence state. At-scale config:
+    ``spark.sql.cteRecursionRowLimit`` defaults to 1M accumulated rows
+    (levels default 100) — a cluster-scale run over a fact table must
+    raise it to ~heads x avg depth; the depth-20 guard keeps the level
+    limit irrelevant.
     """
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
     return spark.sql(_ORDER_CHAINS_SQL.format(orders="orders_rcte"))
