@@ -96,6 +96,26 @@ def test_jaccard_shuffles_hashed_shingles_not_strings(spark, sf_dir):
         )
 
 
+def test_r7_new_entries_plan_shapes(spark, sf_dir):
+    """Plan invariants for the r7 additions: the Q11 scalar total rides a
+    broadcast one-row cross join (never a second fact scan feeding a
+    shuffled join), the Q16 NOT-IN blocklist is a broadcast ANTI join,
+    the Q20 dims broadcast onto the thresholded aggregate, and the
+    count-min sketch is pure JVM (no Python stage)."""
+    p = _plan(QUERIES["olap_important_stock"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = _plan(QUERIES["olap_supplier_part_types"](spark, sf_dir))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p, p
+
+    p = _plan(QUERIES["olap_dominant_supplier"](spark, sf_dir))
+    assert len(_lines(p, "BroadcastHashJoin")) >= 2, p
+
+    p = _plan(QUERIES["sketch_count_min"](spark, sf_dir))
+    assert "EvalPython" not in p, p
+
+
 def test_duplicate_spans_plan_shape(spark, sf_dir):
     """dedup_duplicate_spans keeps its scale contract: grams cross the
     exchanges as xxhash64 ints (never the concatenated gram string), no
