@@ -419,23 +419,41 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is partial-aggregatable; rounding happens per pair
     BEFORE the max so both engines take max over identical values.
     """
+    from monthly_report_etl_spark.functions.vectors import dot, l2_norm
+
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     bucket_udf = _bucket_array_udf_int()
+    # norms hoisted out of the pair join: each vector sits in ~n_b pairs,
+    # and l2_norm re-evaluated per pair was ~2/3 of the fold work. The
+    # hoisted value is the SAME expression on the same column, and the
+    # pair cosine keeps cosine_similarity's exact arithmetic —
+    # dot/(lo_norm * hi_norm) in that multiplication order — so results
+    # are bit-identical to the inline form the oracle mirrors.
     b0 = v.select(
-        "vec_id", "e", bucket_udf(F.col("e"))[0].cast("long").alias("bucket")
+        "vec_id",
+        "e",
+        bucket_udf(F.col("e"))[0].cast("long").alias("bucket"),
+        l2_norm(F.col("e")).alias("nrm"),
     )
     lo = b0.select(
         F.col("bucket").alias("lb"),
         F.col("vec_id").alias("lo_id"),
         F.col("e").alias("le"),
+        F.col("nrm").alias("lnrm"),
     )
     pairs = b0.join(
         lo, (F.col("bucket") == F.col("lb")) & (F.col("lo_id") < F.col("vec_id"))
     ).select(
         "vec_id",
-        F.round(cosine_similarity(F.col("le"), F.col("e")), 6).alias("cos"),
+        F.round(
+            F.when(
+                (F.col("lnrm") > 0) & (F.col("nrm") > 0),
+                dot(F.col("le"), F.col("e")) / (F.col("lnrm") * F.col("nrm")),
+            ),
+            6,
+        ).alias("cos"),
     )
     nn = pairs.groupBy("vec_id").agg(F.max("cos").alias("nn_lower_cos"))
     return b0.join(nn, "vec_id", "left").select(
