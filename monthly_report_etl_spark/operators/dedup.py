@@ -868,13 +868,29 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sequential-fold arithmetic matches the oracle's list_reduce exactly
     (floating-point addition order is part of the contract).
     """
+    from monthly_report_etl_spark.functions.vectors import dot, l2_norm
+
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    # norms hoisted out of the N^2 pair loop (same bit-exact argument as
+    # semdedup_keep: identical fold per vector, identical dot/(na*nb)
+    # multiplication order as cosine_similarity's inline form)
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        l2_norm(F.col("e")).alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        l2_norm(F.col("e")).alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+    )
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
