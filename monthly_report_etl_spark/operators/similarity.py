@@ -67,16 +67,29 @@ def knn_brute_force(
     result total-ordered for the oracle. ``top_k`` defaults to the
     catalog's TOP_K; the recall@10 pytest gate passes 10.
     """
+    from monthly_report_etl_spark.functions.vectors import dot, l2_norm
+
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    # norms hoisted out of the Q x N loop (bit-exact: same fold per
+    # vector, same dot/(nq*nc) multiplication order as the inline form)
+    vn = v.withColumn("nc", l2_norm(F.col("e")))
+    q = vn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nc").alias("nq"),
     )
     scored = (
-        v.crossJoin(F.broadcast(q))
+        vn.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine_similarity(F.col("qe"), F.col("e")))
+        .withColumn(
+            "cos",
+            F.when(
+                (F.col("nq") > 0) & (F.col("nc") > 0),
+                dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc")),
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
