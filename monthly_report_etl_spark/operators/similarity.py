@@ -25,7 +25,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from monthly_report_etl_spark.functions.vectors import cosine_similarity
+from monthly_report_etl_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query set
@@ -225,11 +229,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()  # int pairs only — never the vectors
     )
-    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    # norms hoisted out of the candidate re-rank (bit-exact: same fold
+    # per vector, same dot/(nq*nc) multiplication order as inline)
+    vn = v.withColumn("nc", l2_norm(F.col("e")))
+    qv = vn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nc").alias("nq"),
     )
-    cand = cand_ids.join(v, "vec_id").join(F.broadcast(qv), "query_id")
-    scored = cand.withColumn("cos", cosine_similarity(F.col("qe"), F.col("e")))
+    cand = cand_ids.join(vn, "vec_id").join(F.broadcast(qv), "query_id")
+    scored = cand.withColumn(
+        "cos",
+        F.when(
+            (F.col("nq") > 0) & (F.col("nc") > 0),
+            dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc")),
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -322,11 +337,22 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()
     )
-    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    # norms hoisted out of the candidate re-rank (bit-exact: same fold
+    # per vector, same dot/(nq*nc) multiplication order as inline)
+    vn = v.withColumn("nc", l2_norm(F.col("e")))
+    qv = vn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nc").alias("nq"),
     )
-    cand = cand_ids.join(v, "vec_id").join(F.broadcast(qv), "query_id")
-    scored = cand.withColumn("cos", cosine_similarity(F.col("qe"), F.col("e")))
+    cand = cand_ids.join(vn, "vec_id").join(F.broadcast(qv), "query_id")
+    scored = cand.withColumn(
+        "cos",
+        F.when(
+            (F.col("nq") > 0) & (F.col("nc") > 0),
+            dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc")),
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -726,16 +752,21 @@ def ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
         # cached: localCheckpoint truncates lineage, so the two search
         # consumers below (query side + candidate join) read the stored
         # partitions instead of re-running scan + normalization + assign
+        # the hoisted norm rides the checkpoint too (+8 bytes/row): one
+        # fold per corpus vector instead of one per re-rank candidate —
+        # bit-exact, same argument as the other cosine paths
         tagged = v.withColumn(
             "cid", _assign_centroid_udf(centroids)(F.col("e"))
-        ).localCheckpoint(eager=True)
+        ).withColumn("nc", l2_norm(F.col("e"))).localCheckpoint(eager=True)
     finally:
         # the checkpoint was the last ACTION needing the cache; leaving
         # it pinned would accumulate partitions across repeated
         # catalog/bench invocations in one session
         v.unpersist()
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nc").alias("nq"),
     )
     # per-query probe list: top IVF_PROBES centroids by dot product (one
     # Arrow matmul — see _probe_cids_udf for why not a literal expr tree)
@@ -746,7 +777,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
     cand = tagged.join(
         F.broadcast(q), (F.col("cid") == F.col("probe_cid")) & (F.col("vec_id") != F.col("query_id"))
     )
-    scored = cand.withColumn("cos", cosine_similarity(F.col("qe"), F.col("e")))
+    scored = cand.withColumn(
+        "cos",
+        F.when(
+            (F.col("nq") > 0) & (F.col("nc") > 0),
+            dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc")),
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
