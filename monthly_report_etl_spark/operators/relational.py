@@ -770,7 +770,7 @@ FROM probes GROUP BY user_id, exact_cnt
 
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over per-user event counts, verified against the
-    exact top-{CM_TOPK} heavy hitters: the D x W cell matrix is built in
+    exact top-CM_TOPK (10) heavy hitters: the D x W cell matrix is built in
     one pass (explode to D (row, bucket) keys per event, hash-agg), the
     exact top-k one groupBy + TakeOrdered, and each heavy hitter's
     estimate is min over its D cells — always >= the exact count (CMS
@@ -781,10 +781,10 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-check of sketch contents, stronger than the bounds-boolean
     contract the engine-binary sketches (HLL/KLL) allow.
 
-    Scale design: the sketch exchange is AT MOST D x W = {CM_D}x{CM_W}
+    Scale design: the sketch exchange is AT MOST D x W = 4x512
     cells per map partition after partial agg (fixed size regardless of
     input rows — the whole point of CMS); the probe side broadcasts
-    {CM_TOPK} user keys against the cell table. One full-data exchange
+    the 10 heavy-hitter user keys against the cell table. One full-data exchange
     total (the exact top-k groupBy, which the verification needs, not
     the sketch)."""
     ev = _t(spark, sf_dir, "events").select("user_id")

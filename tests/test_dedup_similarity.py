@@ -430,3 +430,73 @@ def test_portable_hash_constants_stay_inside_int64():
         assert math.gcd(a, M) == 1, "non-bijective minhash permutation"
     # band-key fold: (k*31 + m) % M with k, m < M
     assert (h_max * 31 + h_max) < 2**63
+
+
+def test_semdedup_family_soundness_chain(spark, sf_dir):
+    """The three SemDeDup entries share one drop rule over different
+    partitioners, which fixes a containment chain on their drop sets:
+    portable-hash drops ⊆ exact-global drops and trained-k-means drops ⊆
+    exact-global drops (any in-partition lower-id neighbor >= tau is a
+    global one). The k-means path must also clear the aggregate
+    drop-recall floor its checked catalog twin asserts, cover every
+    vector exactly once, and use the corpus-scaled cluster count."""
+    exact = similarity.semdedup_exact_global(spark, sf_dir).toPandas()
+    portable = similarity.semdedup_keep(spark, sf_dir).toPandas()
+    km = similarity.semdedup_kmeans_keep(spark, sf_dir).toPandas()
+
+    ex_drop = set(exact[~exact["keep"]]["vec_id"])
+    po_drop = set(portable[~portable["keep"]]["vec_id"])
+    km_drop = set(km[~km["keep"]]["vec_id"])
+    assert po_drop <= ex_drop
+    assert km_drop <= ex_drop, "k-means semdedup dropped a non-duplicate"
+    assert len(km_drop) >= similarity.SEMDEDUP_KM_RECALL_FLOOR * len(ex_drop)
+
+    n = len(exact)
+    assert sorted(km["vec_id"]) == sorted(exact["vec_id"])
+    expected_k = max(
+        similarity.SEMDEDUP_KM_MIN_K,
+        min(similarity.SEMDEDUP_KM_MAX_K, n // similarity.SEMDEDUP_CLUSTER_TARGET),
+    )
+    assert km["bucket"].nunique() <= expected_k
+
+
+def test_semdedup_drop_rule_differential_on_shared_buckets(spark, sf_dir):
+    """The oracle-twin differential (VERDICT r7 #1): feed the SHARED drop
+    rule the portable partitioner's bucket column through the same
+    (b0 → rule) seam the k-means path uses, and the verdicts must equal
+    the hash-pinned dedup_semdedup entry row for row — so the only
+    degree of freedom in semdedup_kmeans_keep is the partitioner, never
+    the dedup semantics."""
+    from monthly_report_etl_spark.functions.vectors import l2_norm
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    b0 = v.select(
+        "vec_id",
+        "e",
+        similarity._bucket_array_udf_int()(F.col("e"))[0].cast("long").alias("bucket"),
+        l2_norm(F.col("e")).alias("nrm"),
+    ).localCheckpoint(eager=True)  # same seam as semdedup_kmeans_keep
+    via_rule = (
+        similarity._semdedup_drop_rule(b0)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    entry = (
+        similarity.semdedup_keep(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert via_rule.equals(entry)
+
+
+def test_semdedup_kmeans_checked_flags_are_true(spark, sf_dir):
+    """Both TRUE-asserted booleans of the driver-gate form actually hold
+    (the catalog oracle test re-checks the full row hash; this pins the
+    two flags in isolation with a readable failure)."""
+    c = similarity.semdedup_kmeans_checked(spark, sf_dir).toPandas()
+    assert c["kmeans_sound"].all()
+    assert c["kmeans_recall_ok"].all()

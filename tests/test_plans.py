@@ -460,3 +460,36 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_recursive_cte_plan_shape(spark, sf_dir):
+    """VERDICT r7 #6: the recursive CTE keeps its scale contract — the
+    recursion executes as an engine-side UnionLoop whose per-step join
+    is EQUI on the order id (a regression to a non-equi/cartesian step
+    would re-scan adj per chain row), and no Python stage anywhere."""
+    plan = _plan(QUERIES["recursive_order_chains"](spark, sf_dir))
+    assert "UnionLoop" in plan, plan
+    step_joins = _lines(plan, "= cur_key")
+    assert step_joins, f"recursive step join lost its order-id equi key\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_semdedup_kmeans_plan_shape(spark, sf_dir):
+    """The k-means SemDeDup scale path keeps its contract: the tagged
+    corpus is consumed from the localCheckpoint (scan + normalize +
+    assign run ONCE, not per drop-rule consumer), the post-checkpoint
+    search plan is pure JVM (the Arrow assign matmul happened before
+    materialization), and the in-cluster pair join stays EQUI on the
+    cluster id — losing that key degrades to a nested-loop/cartesian
+    over all pairs, the exact n^2 blowup this operator exists to
+    avoid."""
+    from monthly_report_etl_spark.operators.similarity import semdedup_kmeans_keep
+
+    plan = _plan(semdedup_kmeans_keep(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, f"tagged corpus not checkpointed:\n{plan}"
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"pair join lost its cluster-id equi key\n{plan}"
+    )
