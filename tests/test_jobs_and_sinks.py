@@ -280,3 +280,59 @@ def test_write_parquet_sized_targets_file_count(spark, sf_dir, tmp_path):
     assert n_multi >= 2
     assert len(files) == n_multi
     assert spark.read.parquet(multi).count() == 3 * n_rows
+
+
+def test_export_job_dual_sink_executes_report_plan_once(
+    spark, fixture_dir, tmp_path, monkeypatch
+):
+    """VERDICT r7 #7: insurance on the dual-sink economy — when both the
+    TSV and parquet sinks are requested, the report plan must be BUILT
+    once and EXECUTED once (into the staging parquet), with both sinks
+    reading the staged scan. A regression to the naive
+    ``write_tsv(report); write_parquet_sized(report)`` sequence would
+    run the full join/agg plan twice — at 100 TB that doubles the
+    dominant cost. Asserted structurally: the report builder is called
+    exactly once, and the DataFrames reaching BOTH sink writers list the
+    staging directory's files as their scan inputs (``inputFiles`` is
+    empty/different for a computed join plan)."""
+    import monthly_report_etl_spark.jobs as jobs_mod
+    import monthly_report_etl_spark.sources.parquet as parquet_mod
+
+    deals = os.path.join(fixture_dir, "exports_deals.parquet")
+    comp = os.path.join(fixture_dir, "competitor_list.csv")
+    out_dir = str(tmp_path / "tsv")
+    pq_dir = str(tmp_path / "parquet")
+    staging = pq_dir.rstrip("/") + "__staging"
+
+    plan_builds = []
+    real_monthly_report = jobs_mod.monthly_report
+
+    def counting_monthly_report(*a, **kw):
+        plan_builds.append(1)
+        return real_monthly_report(*a, **kw)
+
+    sink_inputs: dict[str, list[str]] = {}
+    real_write_tsv = jobs_mod.write_tsv
+    real_write_sized = parquet_mod.write_parquet_sized
+
+    def spy_write_tsv(df, path, **kw):
+        sink_inputs["tsv"] = list(df.inputFiles())
+        return real_write_tsv(df, path, **kw)
+
+    def spy_write_sized(df, path, **kw):
+        sink_inputs["parquet"] = list(df.inputFiles())
+        return real_write_sized(df, path, **kw)
+
+    monkeypatch.setattr(jobs_mod, "monthly_report", counting_monthly_report)
+    monkeypatch.setattr(jobs_mod, "write_tsv", spy_write_tsv)
+    monkeypatch.setattr(parquet_mod, "write_parquet_sized", spy_write_sized)
+
+    run_export_job(spark, deals, comp, out_dir, PipelineConfig(), parquet_dir=pq_dir)
+
+    assert len(plan_builds) == 1, "report plan built more than once"
+    for sink in ("tsv", "parquet"):
+        assert sink in sink_inputs, f"{sink} sink never invoked"
+        files = sink_inputs[sink]
+        assert files and all(staging in f for f in files), (
+            f"{sink} sink does not read the staged scan: {files[:3]}"
+        )
