@@ -86,3 +86,35 @@ def test_ivf_recall_at_10_sf001(spark):
     # keep COVERAGE.md's logged number honest: if recall moves (even up),
     # the assertion message carries the new value to re-record
     assert abs(recall - 0.85) < 0.10, f"recall@10 moved to {recall:.3f}; update COVERAGE.md"
+
+
+# SemDeDup k-means drop-recall vs the exact-global baseline at sf0.01
+# (VERDICT r7 #1 follow-through, same pinning pattern as IVF above).
+# Measured r8: 0.84 at sf0.01, 0.87 at sf0.001 (deterministic: fixed
+# stride sample, first-k init, fixed iteration count, fixed fixture).
+SEMDEDUP_KM_RECALL_MEASURED = 0.84
+
+
+@pytest.mark.slow
+def test_semdedup_kmeans_recall_at_sf001(spark):
+    """Drop-recall of the trained-k-means SemDeDup against the exact
+    O(n^2) baseline at the driver's correctness scale: soundness must be
+    perfect (k-means drops ⊆ exact drops, guaranteed by construction —
+    a violation is a partitioner/drop-rule bug) and recall pinned so a
+    silent clustering regression trips here instead of only flipping
+    the catalog entry's aggregate boolean."""
+    exact = similarity.semdedup_exact_global(spark, SF001_DIR).toPandas()
+    km = similarity.semdedup_kmeans_keep(spark, SF001_DIR).toPandas()
+    ex_drop = set(exact[~exact["keep"]]["vec_id"])
+    km_drop = set(km[~km["keep"]]["vec_id"])
+    assert km_drop <= ex_drop, (
+        f"unsound: {sorted(km_drop - ex_drop)[:5]} dropped without a "
+        f"global lower-id neighbor >= tau"
+    )
+    recall = len(km_drop) / max(1, len(ex_drop))
+    assert recall >= similarity.SEMDEDUP_KM_RECALL_FLOOR, (
+        f"k-means drop-recall regressed: {recall:.3f}"
+    )
+    assert abs(recall - SEMDEDUP_KM_RECALL_MEASURED) < 0.10, (
+        f"drop-recall moved to {recall:.3f}; update the measured pin"
+    )

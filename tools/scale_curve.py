@@ -54,14 +54,25 @@ QUERIES_UNDER_TEST = [
 ]
 
 
-def main() -> None:
+def _resolve(name: str):
+    """Catalog entry, or one of the pure-path extras that deliberately
+    are NOT the catalog callable (same registry bench.py uses):
+    dedup_semdedup_kmeans's catalog twin wraps the operator in an O(n^2)
+    exact-baseline verification harness — timing that would measure the
+    harness."""
     from monthly_report_etl_spark.catalog import QUERIES
+    from monthly_report_etl_spark.operators.similarity import semdedup_kmeans_keep
 
+    extras = {"dedup_semdedup_kmeans": semdedup_kmeans_keep}
+    return extras.get(name) or QUERIES[name]
+
+
+def main() -> None:
     spark = get_spark(app_name="scale_curve")
     # warm codegen/session on the tiny SF so no timed column absorbs
     # first-query compile
     for name in QUERIES_UNDER_TEST:
-        QUERIES[name](spark, "/root/testdata/sf0.001").write.mode(
+        _resolve(name)(spark, "/root/testdata/sf0.001").write.mode(
             "overwrite"
         ).format("noop").save()
 
@@ -71,7 +82,7 @@ def main() -> None:
             samples = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                _resolve(name)(spark, sf_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
                 samples.append(time.perf_counter() - t0)
