@@ -90,6 +90,7 @@ HEADLINE = [
     "sketch_count_min",
     # r8 additions
     "dedup_semdedup_kmeans",
+    "embeddings_pq",
 ]
 
 # Non-catalog benchables: dedup_semdedup_kmeans times the PURE trained-

@@ -1169,12 +1169,13 @@ _register_extension_catalogs()
 # r6-latest: 48, r5-latest: 38, no entry older than r5. Window = flagship
 # (1) + NEW in r8 (2: dedup_semdedup_exact / dedup_semdedup_kmeans, the
 # exact-global baseline and trained-k-means scale path that clear VERDICT
-# r7's one weak flag) + CHANGED in r8 (2: dedup_semdedup, whose oracle
+# r7's one weak flag, + late addition embeddings_pq — see below) +
+# CHANGED in r8 (2: dedup_semdedup, whose oracle
 # gained the zero-norm guard ADVICE r7 asked for — new SQL text, so its
 # r7 green proves nothing; dedup_duplicate_spans, whose tokenized-docs
 # frame is now localCheckpoint'ed) + ALL 38 r5-latest entries + the
-# first 7 of the 48-entry r6-latest cohort in name order (the remaining
-# 41 r6 entries are first in line for r9). 1+2+2+38+7 = 50; after r8's
+# first 6 of the 48-entry r6-latest cohort in name order (the remaining
+# 42 r6 entries are first in line for r9). 1+3+2+38+6 = 50; after r8's
 # run no entry's latest green will be older than r6.
 
 _DRIVER_WINDOW_PRIORITY = [
@@ -1224,14 +1225,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_interval_join_batch",
     "window_family",
     "window_range_frame",
-    # -- r6-latest fills (first 7 in name order) --
+    # -- NEW in r8 (late addition: PQ compression + ADC search;
+    #    corpus_stratified_sample, r6-green, yields its slot) --
+    "embeddings_pq",
+    # -- r6-latest fills (first 6 in name order) --
     "case_classifier",
     "collect_types_sorted",
     "corpus_decontaminate",
     "corpus_incremental_ingest_bucketed",
     "corpus_ngram_novelty",
     "corpus_sample_hash_mod",
-    "corpus_stratified_sample",
 ]
 
 

@@ -1089,3 +1089,334 @@ CATALOG["dedup_semdedup_kmeans"] = (
     semdedup_kmeans_checked,
     SEMDEDUP_KMEANS_CHECKED_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the compression layer a
+# 100 TB vector index actually stores — M trained sub-codebooks turn a
+# 64 x float64 vector into M 4-bit codes (512 bytes -> 4), searched via
+# asymmetric distance (query-side lookup tables, corpus stays encoded)
+# ---------------------------------------------------------------------------
+
+PQ_M = 16              # subspaces
+PQ_K = 16              # centroids per subspace -> 4-bit codes
+PQ_DSUB = _DIM // PQ_M
+PQ_ITERS = 3
+# mean cosine(original, PQ reconstruction) over the corpus. Config swept
+# before pinning (numpy reference impl, 3 iters, first-K init): M=8/K=16
+# gave 0.63-0.66, M=16/K=16 gives 0.81-0.82 at every SF for 64-bit codes
+# (512 bytes -> 8: 64x compression) — the knee of the curve; M=16/K=64
+# would buy 0.93 at 96 bits if the corpus were clustered. Floor leaves
+# margin for intentional codebook changes while tripping on real
+# fidelity regressions (a broken assignment collapses to ~0).
+PQ_FIDELITY_FLOOR = 0.70
+
+_PQ_PARTIAL_SCHEMA = "m int, cid int, n long, " + ", ".join(
+    f"s{d} double" for d in range(PQ_DSUB)
+)
+
+
+def _pq_partials_udf(codebooks):
+    """One PQ-Lloyd iteration's map side for ALL M subspaces in a single
+    Arrow pass: per partition, assign every subvector to its nearest
+    (L2) sub-centroid and emit M x K partial rows (m, cid, count,
+    per-dim sum). Reduce side is the driver summing #partitions x M x K
+    x (dsub+2) model-sized rows — same treeAggregate contract as
+    train_ivf_centroids; data rows never cross."""
+    import numpy as np
+
+    C = np.array(codebooks)  # M x K x dsub
+
+    def partials(batches):
+        sums = np.zeros((PQ_M, PQ_K, PQ_DSUB))
+        counts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch guard
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            for m in range(PQ_M):
+                xm = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                # argmin ||x - c||^2 = argmin ||c||^2 - 2 x.c (L2 k-means,
+                # the PQ objective — unlike the cosine argmax the IVF uses)
+                d2 = (C[m] ** 2).sum(-1)[None, :] - 2.0 * (xm @ C[m].T)
+                cid = np.argmin(d2, axis=1)
+                np.add.at(sums[m], cid, xm)
+                counts[m] += np.bincount(cid, minlength=PQ_K)
+        rows = []
+        for m in range(PQ_M):
+            for k in range(PQ_K):
+                if counts[m, k]:
+                    rows.append(
+                        [m, k, counts[m, k], *sums[m, k].tolist()]
+                    )
+        yield pd.DataFrame(
+            rows, columns=["m", "cid", "n"] + [f"s{d}" for d in range(PQ_DSUB)]
+        )
+
+    return partials
+
+
+def train_pq_codebooks(
+    spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS,
+    v: DataFrame | None = None,
+) -> list[list[list[float]]]:
+    """M x K x dsub PQ codebooks via Lloyd on NORMALIZED vectors (the
+    index stores unit vectors so ADC inner product approximates cosine).
+    Init: subvectors of the first K vectors by vec_id (deterministic, no
+    RNG — same policy as the IVF trainer). All M subspaces train in the
+    SAME single-stage job per iteration."""
+    import numpy as np
+
+    owned = v is None
+    if owned:
+        v = _normalized(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+        ).persist()
+    try:
+        init = np.array(
+            [r["e"] for r in v.orderBy("vec_id").limit(PQ_K).collect()]
+        )  # K x dim: model init, not a data path
+        codebooks = [
+            init[:, m * PQ_DSUB : (m + 1) * PQ_DSUB].tolist() for m in range(PQ_M)
+        ]
+        for _ in range(iters):
+            parts = v.select("e").mapInPandas(
+                _pq_partials_udf(codebooks), _PQ_PARTIAL_SCHEMA
+            )
+            sums = np.zeros((PQ_M, PQ_K, PQ_DSUB))
+            counts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for r in parts.collect():  # ≤ #partitions x M x K rows: model state
+                counts[r["m"], r["cid"]] += r["n"]
+                sums[r["m"], r["cid"]] += [r[f"s{d}"] for d in range(PQ_DSUB)]
+            codebooks = [
+                [
+                    (sums[m, k] / counts[m, k]).tolist()
+                    if counts[m, k]
+                    else codebooks[m][k]
+                    for k in range(PQ_K)
+                ]
+                for m in range(PQ_M)
+            ]
+    finally:
+        if owned:
+            v.unpersist()
+    return codebooks
+
+
+def _pq_encode_udf(codebooks):
+    """Per-vector PQ encode + fidelity in ONE Arrow pass: codes (M ints),
+    cosine(original, reconstruction), and the code range (for the
+    codes-in-range contract) as a struct column."""
+    import numpy as np
+
+    C = np.array(codebooks)  # M x K x dsub
+
+    @F.pandas_udf("codes array<int>, recon_cos double, code_min int, code_max int")
+    def encode(e: pd.Series) -> pd.DataFrame:
+        if not len(e):  # zero-row Arrow batch guard
+            return pd.DataFrame(
+                {"codes": [], "recon_cos": [], "code_min": [], "code_max": []}
+            )
+        X = np.stack(e.to_numpy())
+        recon = np.empty_like(X)
+        codes = np.empty((len(X), PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            xm = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+            d2 = (C[m] ** 2).sum(-1)[None, :] - 2.0 * (xm @ C[m].T)
+            cid = np.argmin(d2, axis=1)
+            codes[:, m] = cid
+            recon[:, m * PQ_DSUB : (m + 1) * PQ_DSUB] = C[m][cid]
+        nx = np.linalg.norm(X, axis=1)
+        nr = np.linalg.norm(recon, axis=1)
+        ok = (nx > 0) & (nr > 0)
+        cos = np.where(ok, (X * recon).sum(1) / np.where(ok, nx * nr, 1.0), np.nan)
+        return pd.DataFrame(
+            {
+                "codes": list(codes),
+                "recon_cos": cos,
+                "code_min": codes.min(1),
+                "code_max": codes.max(1),
+            }
+        )
+
+    return encode
+
+
+PQ_CHECKED_ORACLE = """
+SELECT vec_id,
+       ROUND(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+           (acc, x) -> acc + x)), 6) AS norm_r,
+       TRUE AS pq_fidelity_ok, TRUE AS pq_codes_ok
+FROM embeddings
+"""
+
+
+def pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form (sketch-bounds contract, same family as
+    similarity_ivf_topk / dedup_semdedup_kmeans): trained float
+    codebooks can't be recomputed in SQL, so the rows carry the
+    oracle-EXACT per-vector norm (same sequential fold as l2_norm) plus
+    two booleans the oracle asserts literal TRUE:
+
+    * ``pq_fidelity_ok`` — mean cosine(original, PQ reconstruction)
+      over the corpus >= PQ_FIDELITY_FLOOR (measured 0.81-0.82 at every
+      SF; a codebook or assignment bug collapses reconstructions and
+      flips the hash);
+    * ``pq_codes_ok`` — every emitted code in [0, PQ_K).
+
+    The search-side guarantee (ADC top-k recall vs exact brute force)
+    is pinned in tests/test_dedup_similarity.py, the same split as IVF's
+    catalog-boolean + pytest-recall pair.
+    """
+    v = _normalized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).persist()  # shared by the training iterations' repeated actions
+    try:
+        codebooks = train_pq_codebooks(spark, sf_dir, v=v)
+        enc = v.withColumn("pq", _pq_encode_udf(codebooks)(F.col("e")))
+        flags = enc.agg(
+            (F.avg("pq.recon_cos") >= PQ_FIDELITY_FLOOR).alias("pq_fidelity_ok"),
+            (
+                (F.min("pq.code_min") >= 0) & (F.max("pq.code_max") < PQ_K)
+            ).alias("pq_codes_ok"),
+        )
+        out = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(
+                "vec_id",
+                F.round(
+                    l2_norm(F.col("embedding").cast("array<double>")), 6
+                ).alias("norm_r"),
+            )
+            .crossJoin(F.broadcast(flags))
+        )
+        # materialize while the cache is live so the two consumers of v
+        # (training actions + encode) don't re-run the normalize chain
+        out = out.localCheckpoint(eager=True)
+    finally:
+        v.unpersist()
+    return out
+
+
+CATALOG["embeddings_pq"] = (pq_checked, PQ_CHECKED_ORACLE)
+
+
+def pq_adc_topk(
+    spark: SparkSession, sf_dir: str, top_k: int = TOP_K,
+    shortlist_mult: int = 5,
+) -> DataFrame:
+    """ADC search over the PQ-encoded corpus with exact re-rank (the
+    IVFPQ refine step): each query precomputes an M x K inner-product
+    lookup table against the codebooks; scoring a corpus vector is then
+    M table lookups + adds, never touching the original floats — the
+    query path a PQ index runs at 100 TB, where the raw vectors aren't
+    resident. The ADC pass produces a shortlist of ``top_k x
+    shortlist_mult`` candidates per query; only THOSE rows re-join the
+    raw vectors for an exact-cosine re-rank (ADC alone recalls ~0.5@10
+    on this corpus — it is a candidate generator, which is exactly how
+    production PQ indexes use it; with the 5x shortlist + re-rank,
+    recall@10 is pinned in pytest).
+
+    Scale shape: the encoded corpus streams through ONE mapInPandas
+    stage with the Q x M x K LUT broadcast via closure (Q=10 queries x
+    16 x 16 doubles); each partition emits only its per-query shortlist
+    (#partitions x Q x L rows) and a window cuts the global shortlist —
+    classic partial-top-k pre-aggregation, so both the exchange and the
+    re-rank join's probe side are model-sized, not corpus-sized."""
+    import numpy as np
+
+    v = _normalized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).persist()
+    try:
+        codebooks = train_pq_codebooks(spark, sf_dir, v=v)
+        enc = v.withColumn(
+            "codes", _pq_encode_udf(codebooks)(F.col("e"))["codes"]
+        ).select("vec_id", "codes").localCheckpoint(eager=True)
+    finally:
+        v.unpersist()
+    C = np.array(codebooks)  # M x K x dsub
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )  # Q=10 rows: the fixed query set, model-sized by definition
+    qids = np.array([r["vec_id"] for r in queries])
+    Q = np.stack([np.array(r["e"]) for r in queries])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    # LUT[q, m, k] = <q_m, codebook_m[k]>  (sum over m approximates cosine)
+    lut = np.einsum(
+        "qmd,mkd->qmk", Qn.reshape(len(Q), PQ_M, PQ_DSUB), C
+    )
+
+    shortlist = top_k * shortlist_mult
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # n x M
+            vecs = pdf["vec_id"].to_numpy()
+            # scores[q, n] = sum_m LUT[q, m, codes[n, m]]
+            scores = lut[:, np.arange(PQ_M)[None, :], codes].sum(-1)
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = vecs != qid
+                s, vv = scores[qi][mask], vecs[mask]
+                keep = np.argsort(-s, kind="stable")[:shortlist]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": vv[keep], "score": s[keep]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = enc.mapInPandas(
+        score_partition, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("vec_id"))
+    cand_ids = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank of the model-sized shortlist only (norms hoisted,
+    # same bit-exact chain as the other cosine paths)
+    vn = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nc", l2_norm(F.col("e")))
+    qv = vn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nc").alias("nq"),
+    )
+    rerank = (
+        cand_ids.join(vn, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos",
+            F.when(
+                (F.col("nq") > 0) & (F.col("nc") > 0),
+                dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc")),
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        rerank.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )
