@@ -1174,8 +1174,8 @@ _register_extension_catalogs()
 # gained the zero-norm guard ADVICE r7 asked for — new SQL text, so its
 # r7 green proves nothing; dedup_duplicate_spans, whose tokenized-docs
 # frame is now localCheckpoint'ed) + ALL 38 r5-latest entries + the
-# first 6 of the 48-entry r6-latest cohort in name order (the remaining
-# 42 r6 entries are first in line for r9). 1+3+2+38+6 = 50; after r8's
+# first 5 of the 48-entry r6-latest cohort in name order (the remaining
+# 43 r6 entries are first in line for r9). 1+3+3+38+5 = 50; after r8's
 # run no entry's latest green will be older than r6.
 
 _DRIVER_WINDOW_PRIORITY = [
@@ -1228,13 +1228,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- NEW in r8 (late addition: PQ compression + ADC search;
     #    corpus_stratified_sample, r6-green, yields its slot) --
     "embeddings_pq",
-    # -- r6-latest fills (first 6 in name order) --
+    # -- CHANGED in r8 (late: IVF k/probes now corpus-scaled;
+    #    corpus_sample_hash_mod, r6-green, yields its slot) --
+    "similarity_ivf_topk",
+    # -- r6-latest fills (first 5 in name order) --
     "case_classifier",
     "collect_types_sorted",
     "corpus_decontaminate",
     "corpus_incremental_ingest_bucketed",
     "corpus_ngram_novelty",
-    "corpus_sample_hash_mod",
 ]
 
 

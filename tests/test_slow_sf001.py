@@ -40,7 +40,8 @@ HEAVIEST = [
 ]
 
 # IVF recall@10 vs exact brute force at sf0.01 (VERDICT r6 #4).
-# Measured r7: 0.85 at sf0.01, 0.84 at sf0.001 (deterministic: fixed
+# Measured r8 (corpus-scaled k=sqrt(n)/probes=ceil(sqrt(k))): 0.85 at
+# sf0.01, 0.89 at sf0.001, 0.92 at sf0.1 (deterministic: fixed
 # first-k init, fixed iteration count, fixed fixture). The floor leaves
 # headroom for intentional tie-break/centroid changes while tripping on
 # real recall regressions; the measured value is logged in COVERAGE.md.
