@@ -91,6 +91,7 @@ HEADLINE = [
     # r8 additions
     "dedup_semdedup_kmeans",
     "embeddings_pq",
+    "similarity_pq_adc",
 ]
 
 # Non-catalog benchables: dedup_semdedup_kmeans times the PURE trained-
@@ -100,9 +101,15 @@ HEADLINE = [
 
 
 def _extra_headline():
-    from monthly_report_etl_spark.operators.similarity import semdedup_kmeans_keep
+    from monthly_report_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        semdedup_kmeans_keep,
+    )
 
-    return {"dedup_semdedup_kmeans": semdedup_kmeans_keep}
+    return {
+        "dedup_semdedup_kmeans": semdedup_kmeans_keep,
+        "similarity_pq_adc": pq_adc_topk,
+    }
 
 
 def _sf_from_dir(d: str) -> float:

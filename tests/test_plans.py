@@ -493,3 +493,20 @@ def test_semdedup_kmeans_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"pair join lost its cluster-id equi key\n{plan}"
     )
+
+
+def test_pq_adc_plan_shape(spark, sf_dir):
+    """The PQ-ADC search plan keeps its scale contract: the encoded
+    corpus is consumed from the localCheckpoint (train + encode run
+    once), scoring is a single Arrow MapInPandas stage emitting
+    per-partition shortlists (no row-at-a-time Python), and the exact
+    re-rank join broadcasts the model-sized query side — no cartesian
+    anywhere."""
+    from monthly_report_etl_spark.operators.similarity import pq_adc_topk
+
+    plan = _plan(pq_adc_topk(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, f"encoded corpus not checkpointed:\n{plan}"
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

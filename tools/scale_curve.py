@@ -61,9 +61,15 @@ def _resolve(name: str):
     exact-baseline verification harness — timing that would measure the
     harness."""
     from monthly_report_etl_spark.catalog import QUERIES
-    from monthly_report_etl_spark.operators.similarity import semdedup_kmeans_keep
+    from monthly_report_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        semdedup_kmeans_keep,
+    )
 
-    extras = {"dedup_semdedup_kmeans": semdedup_kmeans_keep}
+    extras = {
+        "dedup_semdedup_kmeans": semdedup_kmeans_keep,
+        "similarity_pq_adc": pq_adc_topk,
+    }
     return extras.get(name) or QUERIES[name]
 
 
