@@ -640,6 +640,17 @@ def _ivf_k_probes(n: int) -> tuple[int, int]:
     return min(k, max(1, n)), probes
 
 
+def _train_stride(n: int, cap: int) -> int:
+    """Deterministic training-sample stride: Lloyd trainers see every
+    stride-th vec_id, bounding training cost by the MODEL size (the
+    points-per-centroid guidance every large-scale k-means follows)
+    instead of the corpus. stride = 1 — i.e. bit-identical full-corpus
+    training — at every oracle-tested SF; the cap only engages on the
+    10x/30x measurement replicas and beyond, where training a quantizer
+    on all of 100 TB would be the bottleneck."""
+    return max(1, n // cap)
+
+
 def _normalized(df: DataFrame, vec_col: str = "e") -> DataFrame:
     n = l2_norm(F.col(vec_col))
     return df.withColumn(
@@ -820,8 +831,17 @@ def ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
         )
     ).persist()  # shared by the training iterations' repeated actions
     try:
-        k, probes = _ivf_k_probes(v.count())
-        centroids = train_ivf_centroids(spark, sf_dir, k=k, v=v)
+        n = v.count()
+        k, probes = _ivf_k_probes(n)
+        stride = _train_stride(n, max(32 * k, 2048))
+        if stride > 1:
+            tv = v.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).persist()
+            try:
+                centroids = train_ivf_centroids(spark, sf_dir, k=k, v=tv)
+            finally:
+                tv.unpersist()
+        else:
+            centroids = train_ivf_centroids(spark, sf_dir, k=k, v=v)
         # materialize the tagged corpus (cid per vector) WHILE v is
         # cached: localCheckpoint truncates lineage, so the two search
         # consumers below (query side + candidate join) read the stored
@@ -1039,8 +1059,7 @@ def semdedup_kmeans_keep(
             F.col("e")
         ),
     )
-    cap = max(32 * k, 2048)
-    stride = max(1, n // cap)
+    stride = _train_stride(n, max(32 * k, 2048))
     sample = base.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
         "vec_id", F.col("en").alias("e")
     )
@@ -1196,6 +1215,12 @@ def train_pq_codebooks(
             )
         ).persist()
     try:
+        n = v.count()
+        stride = _train_stride(n, max(256 * PQ_K, 4096))
+        if stride > 1:
+            v_full, v = v, v.filter(
+                F.pmod(F.col("vec_id"), F.lit(stride)) == 0
+            ).persist()
         init = np.array(
             [r["e"] for r in v.orderBy("vec_id").limit(PQ_K).collect()]
         )  # K x dim: model init, not a data path
@@ -1221,8 +1246,10 @@ def train_pq_codebooks(
                 for m in range(PQ_M)
             ]
     finally:
+        if stride > 1:
+            v.unpersist()  # the training sample; the caller's frame is v_full
         if owned:
-            v.unpersist()
+            (v_full if stride > 1 else v).unpersist()
     return codebooks
 
 
