@@ -1004,6 +1004,122 @@ SEMDEDUP_CLUSTER_TARGET = 128  # vectors per cluster the k sizing aims for
 SEMDEDUP_KM_MIN_K = 4
 SEMDEDUP_KM_MAX_K = 65_536
 SEMDEDUP_KM_RECALL_FLOOR = 0.5  # aggregate drop-recall vs the exact baseline
+# below this k, exact argmax assignment (n x k flops) is cheaper than the
+# two-level refine and is bit-deterministic — every oracle-tested SF sits
+# here; above it, the n x k term is the measured super-linear piece
+# (SCALE.md §8e) and assignment goes hierarchical (n x ~2 sqrt(k))
+SEMDEDUP_TWO_LEVEL_MIN_K = 256
+# below this corpus size the bit-exact fold drop rule runs (it IS the
+# oracle arithmetic — every driver-tested SF sits here); above it the
+# per-pair fold becomes the measured wall (~25 us/pair: zip_with
+# allocates a fresh 64-array per pair before folding — 12.7M pairs took
+# 320 of the 100x step's 330 s) and the dense per-cluster gram kernel
+# takes over
+SEMDEDUP_GRAM_MIN_N = 10_000
+
+
+def _semdedup_drop_rule_gram(b0: DataFrame) -> DataFrame:
+    """The drop rule as a per-cluster DENSE kernel — the formulation the
+    SemDeDup paper actually computes (one pairwise-similarity matrix per
+    cluster): groupBy(bucket) → applyInPandas; inside a cluster, ONE
+    numpy gram matmul scores all pairs (n_b x n_b x dim flops, no
+    per-pair array allocation), the lower-triangle row-max is
+    ``nn_lower_cos``, and the verdict matches _semdedup_drop_rule's
+    semantics exactly: per-pair round to 6 BEFORE the max, zero-norm
+    pairs NULL, no-lower-neighbor → keep.
+
+    vs the join+fold form (measured at the 100x step, SCALE.md §8e):
+    the fold path's zip_with allocates a fresh 64-double array per pair
+    — ~25 us/pair, 320 s for 12.7M pairs — while this kernel runs the
+    same arithmetic as BLAS in ~tens of seconds END-to-end including
+    the one corpus-sized shuffle (the groupBy ships each vector to its
+    cluster's partition once; pairs never exist as rows). Float caveat:
+    numpy sums in a different order than the sequential fold, so the
+    last ulp can differ BEFORE the 6-digit round — which is why every
+    oracle-tested scale keeps the fold rule (SEMDEDUP_GRAM_MIN_N) and
+    the two kernels are differentially pinned equal-after-round in
+    pytest on the fixture corpus. Memory: one n_b^2 float matrix per
+    cluster — the ~128-vector cluster target bounds it at ~130 KB; a
+    pathological mega-cluster would surface here first, which is the
+    SemDeDup contract (the paper's k sizing exists to prevent it)."""
+    import numpy as np
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        X = np.stack(pdf["e"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        nb = len(pdf)
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (X @ X.T) / denom, np.nan)
+        cos = np.round(cos, 6)
+        lower = np.tril(np.ones((nb, nb), dtype=bool), -1)
+        vals = np.where(lower & ~np.isnan(cos), cos, -np.inf)
+        nn = vals.max(axis=1)
+        has = np.isfinite(nn)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "bucket": pdf["bucket"].to_numpy(),
+                "nn_lower_cos": np.where(has, nn, np.nan),
+                "keep": np.where(has, ~(nn >= SEMDEDUP_TAU), True),
+            }
+        )
+
+    return b0.groupBy("bucket").applyInPandas(
+        per_cluster, "vec_id long, bucket long, nn_lower_cos double, keep boolean"
+    )
+
+
+def _two_level_assign_udf(centroids: list[list[float]]):
+    """Hierarchical nearest-centroid tag: group the k centroids into
+    g = ceil(sqrt(k)) super-centroids with a tiny DRIVER-side Lloyd
+    (model x model — k x dim floats, no data involved), then per Arrow
+    batch: argmax over the g supers, then exact argmax within the chosen
+    group's members — n x ~2 sqrt(k) flops instead of n x k. With k ∝ n
+    (the SemDeDup sizing), exact assignment is Θ(n²/target): measured as
+    the 116-vs-bar-100 overrun at the 100x step (SCALE.md §8e). The
+    refinement is approximate only across group BOUNDARIES — a
+    mis-assigned vector still gets exact pair cosines inside whatever
+    cluster it lands in, so the drop rule stays SOUND by construction;
+    only recall can move, and the sf0.01 recall pin + the checked
+    entry's oracle boolean hold (two-level never engages below
+    SEMDEDUP_TWO_LEVEL_MIN_K, so every oracle-tested SF uses the exact
+    bit-deterministic path)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)  # k x dim
+    k = len(C)
+    g = math.isqrt(k - 1) + 1  # ceil(sqrt(k))
+    G = C[:g].copy()
+    for _ in range(5):
+        gid = np.argmax(C @ G.T, axis=1)
+        for j in range(g):
+            sel = gid == j
+            if sel.any():
+                G[j] = C[sel].mean(0)
+    gid = np.argmax(C @ G.T, axis=1)
+    members = [np.where(gid == j)[0] for j in range(g)]
+
+    @F.pandas_udf("int")
+    def assign(e: pd.Series) -> pd.Series:
+        if not len(e):  # zero-row Arrow batch guard
+            return pd.Series([], dtype="int32")
+        X = np.stack(e.to_numpy())
+        top_g = np.argmax(X @ G.T, axis=1)
+        out = np.empty(len(X), dtype=np.int32)
+        for j in range(g):
+            sel = top_g == j
+            if not sel.any():
+                continue
+            m = members[j]
+            if len(m):
+                out[sel] = m[np.argmax(X[sel] @ C[m].T, axis=1)]
+            else:  # empty group after the model-side Lloyd: exact fallback
+                out[sel] = np.argmax(X[sel] @ C.T, axis=1)
+        return pd.Series(out)
+
+    return assign
 
 
 def semdedup_kmeans_keep(
@@ -1068,12 +1184,19 @@ def semdedup_kmeans_keep(
         centroids = train_ivf_centroids(spark, sf_dir, k=k, v=sample)
     finally:
         sample.unpersist()
+    assign_udf = (
+        _two_level_assign_udf(centroids)
+        if k >= SEMDEDUP_TWO_LEVEL_MIN_K
+        else _assign_centroid_udf(centroids)
+    )
     b0 = base.select(
         "vec_id",
         "e",
-        _assign_centroid_udf(centroids)(F.col("en")).cast("long").alias("bucket"),
+        assign_udf(F.col("en")).cast("long").alias("bucket"),
         "nrm",
     ).localCheckpoint(eager=True)
+    if n >= SEMDEDUP_GRAM_MIN_N:
+        return _semdedup_drop_rule_gram(b0)
     return _semdedup_drop_rule(b0)
 
 

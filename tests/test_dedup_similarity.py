@@ -540,3 +540,43 @@ def test_pq_codebooks_shape_and_determinism(spark, sf_dir):
         for m in cb1
         for c in m
     )
+
+
+def test_semdedup_gram_kernel_matches_fold_rule(spark, sf_dir):
+    """The dense per-cluster gram kernel (the large-corpus path of
+    semdedup_kmeans_keep) must agree with the bit-exact fold drop rule
+    after the shared 6-digit round, on both the portable hash buckets
+    and a k-means partition of the fixture corpus — pinning that the
+    two kernels implement ONE semantics and the size switch can never
+    change verdicts."""
+    from pyspark.sql import functions as F
+
+    from monthly_report_etl_spark.functions.vectors import l2_norm
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    b0 = v.select(
+        "vec_id",
+        "e",
+        similarity._bucket_array_udf_int()(F.col("e"))[0].cast("long").alias("bucket"),
+        l2_norm(F.col("e")).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    fold = (
+        similarity._semdedup_drop_rule(b0)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    gram = (
+        similarity._semdedup_drop_rule_gram(b0)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(fold["keep"]) == list(gram["keep"])
+    import numpy as np
+
+    a = fold["nn_lower_cos"].to_numpy(dtype=float)
+    b = gram["nn_lower_cos"].to_numpy(dtype=float)
+    assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()
