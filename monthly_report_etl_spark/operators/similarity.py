@@ -11,9 +11,17 @@ Scale design (100 TB of vectors):
   then only joins query buckets — candidate volume drops by ~2^bits;
   recall is tunable with multiple tables (OR-amplification);
 * IVF trains a k-means coarse quantizer (distributed Lloyd iterations —
-  only the k x dim model crosses to the driver, like MLlib), then each
-  query probes its nearest clusters with exact re-rank — the best
-  recall/candidate trade on clustered corpora, rows-only for the SQL gate.
+  only the k x dim model crosses to the driver, like MLlib; k and probes
+  scale with the corpus so the scan fraction shrinks as 1/sqrt(k)), then
+  each query probes its nearest clusters with exact re-rank; the catalog
+  entry is hash-checked as exact rows + a recall floor boolean;
+* SemDeDup (three kernels sharing one drop rule): portable-hash buckets
+  (bit-recomputable semantics pin), exact-global O(n^2) baseline, and
+  the trained-k-means scale path with a per-cluster dense gram kernel
+  above 10k vectors (SCALE.md §8d/8e);
+* PQ compresses vectors 64x into trained sub-codebook codes and searches
+  them via ADC lookup tables with an exact re-rank of the shortlist —
+  the storage + query layout a 100 TB vector index actually runs.
 """
 
 from __future__ import annotations
