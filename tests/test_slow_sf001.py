@@ -22,8 +22,10 @@ from tests.utils import assert_frames_match
 
 SF001_DIR = "/root/testdata/sf0.01"
 
-# The 10 heaviest catalog entries by BENCH_r06 median wall time
-# (monthly_report_full excluded: it is a jobs-level plan, not a catalog
+# The heaviest catalog entries by bench median wall time (r8 refresh:
+# the r6-derived ten plus the three heaviest r7/r8 additions —
+# recursive_order_chains and the two checked model-trained entries;
+# monthly_report_full excluded: it is a jobs-level plan, not a catalog
 # entry, and is exercised at sf0.01 by test_exports_pipeline's ref-SQL
 # differential).
 HEAVIEST = [
@@ -37,6 +39,9 @@ HEAVIEST = [
     "similarity_knn_brute_force",
     "corpus_tfidf_top_terms",
     "corpus_decontaminate",
+    "recursive_order_chains",
+    "dedup_semdedup_kmeans",
+    "embeddings_pq",
 ]
 
 # IVF recall@10 vs exact brute force at sf0.01 (VERDICT r6 #4).
