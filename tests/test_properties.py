@@ -134,3 +134,119 @@ def test_clean_idempotent(spark, fixture_dir):
     once = monthly_report(raw, comp, PipelineConfig())
     twice = clean_for_export(once)
     assert_frames_match(twice.toPandas(), once.toPandas())
+
+
+# ---------------------------------------------------------------------------
+# r8: xlsx round-trip and the SemDeDup dual-kernel equivalence
+# ---------------------------------------------------------------------------
+
+_cell = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+        ),
+        max_size=12,
+    ),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(_cell, min_size=1, max_size=5), min_size=1, max_size=6
+    ),
+    inline=st.booleans(),
+)
+def test_xlsx_roundtrip_arbitrary_tables(spark, tmp_path_factory, data, inline):
+    """Any small table of unicode strings/blanks survives the stdlib
+    xlsx write → read_xlsx_rows round-trip: same rectangle (rows padded
+    to the widest), blanks as None, both shared-string and inline-string
+    encodings. Empty string cells write as a cell containing '' — the
+    reader returns them as '' through the raw row API (the lookup
+    DataFrame layer is where '' maps to NULL, matching the CSV twin)."""
+    from monthly_report_etl_spark.sources.xlsx import read_xlsx_rows
+    from tests.test_jobs_and_sinks import _write_minimal_xlsx
+
+    width = max(len(r) for r in data)
+    path = str(tmp_path_factory.mktemp("xlsx") / "t.xlsx")
+    _write_minimal_xlsx(path, data, inline=inline)
+    got = read_xlsx_rows(path)
+    # rows whose cells are all None write no <c> elements and vanish
+    # (sparse-row semantics — same as a fully blank Excel row)
+    expected = [
+        [v for v in r] + [None] * (width - len(r))
+        for r in data
+        if any(v is not None for v in r)
+    ]
+    if not expected:
+        assert got == []
+        return
+    exp_width = max(
+        max(i for i, v in enumerate(r) if v is not None) + 1
+        for r in data
+        if any(v is not None for v in r)
+    )
+    expected = [
+        [r[i] if i < len(r) else None for i in range(exp_width)] for r in expected
+    ]
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.just("zero"),
+            st.lists(
+                st.floats(
+                    min_value=-1.0, max_value=1.0, allow_nan=False, width=64
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=3),
+)
+def test_semdedup_kernels_agree_on_random_vectors(spark, vecs, n_buckets):
+    """The fold drop rule and the dense gram kernel must produce the
+    SAME verdicts on arbitrary small corpora — including zero vectors
+    (whose pair cosines are NULL on both kernels by the shared guard)
+    and arbitrary bucket assignments — so the corpus-size kernel switch
+    in semdedup_kmeans_keep can never change a keep decision."""
+    from pyspark.sql import functions as F
+
+    from monthly_report_etl_spark.functions.vectors import l2_norm
+    from monthly_report_etl_spark.operators.similarity import (
+        _semdedup_drop_rule,
+        _semdedup_drop_rule_gram,
+    )
+
+    rows = [
+        (i, [0.0] * 4 if v == "zero" else list(v), i % n_buckets)
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, e array<double>, bucket long"
+    ).select("vec_id", "e", "bucket", l2_norm(F.col("e")).alias("nrm"))
+    b0 = df.localCheckpoint(eager=True)
+    fold = {
+        r["vec_id"]: (r["nn_lower_cos"], r["keep"])
+        for r in _semdedup_drop_rule(b0).collect()
+    }
+    gram = {
+        r["vec_id"]: (r["nn_lower_cos"], r["keep"])
+        for r in _semdedup_drop_rule_gram(b0).collect()
+    }
+    assert set(fold) == set(gram)
+    for vid in fold:
+        fc, fk = fold[vid]
+        gc, gk = gram[vid]
+        assert fk == gk, f"vec {vid}: keep fold={fk} gram={gk}"
+        if fc is None or gc is None:
+            assert fc == gc, f"vec {vid}: nn fold={fc} gram={gc}"
+        else:
+            assert abs(fc - gc) <= 1e-6, f"vec {vid}: nn fold={fc} gram={gc}"
