@@ -1046,7 +1046,10 @@ def _semdedup_drop_rule_gram(b0: DataFrame) -> DataFrame:
     last ulp can differ BEFORE the 6-digit round — which is why every
     oracle-tested scale keeps the fold rule (SEMDEDUP_GRAM_MIN_N) and
     the two kernels are differentially pinned equal-after-round in
-    pytest on the fixture corpus. Memory: one n_b^2 float matrix per
+    pytest on the fixture corpus (rounding itself is HALF_UP on both
+    sides; the residual risk is a pre-round last-ulp difference landing
+    exactly on a 6-digit boundary, and its worst case is a spurious
+    `kmeans_sound` false alarm, never a silently wrong dedup). Memory: one n_b^2 float matrix per
     cluster — the ~128-vector cluster target bounds it at ~130 KB; a
     pathological mega-cluster would surface here first, which is the
     SemDeDup contract (the paper's k sizing exists to prevent it)."""
@@ -1060,7 +1063,10 @@ def _semdedup_drop_rule_gram(b0: DataFrame) -> DataFrame:
         denom = np.outer(nrm, nrm)
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom > 0, (X @ X.T) / denom, np.nan)
-        cos = np.round(cos, 6)
+        # HALF_UP (round half away from zero), matching Spark/DuckDB
+        # round() — np.round's banker's rounding would disagree exactly
+        # at 6-digit half boundaries, where a verdict could flip
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
         lower = np.tril(np.ones((nb, nb), dtype=bool), -1)
         vals = np.where(lower & ~np.isnan(cos), cos, -np.inf)
         nn = vals.max(axis=1)
@@ -1235,7 +1241,10 @@ def semdedup_kmeans_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pure scale path stays ``semdedup_kmeans_keep`` (benched and on
     the SCALE.md §8d curve without this O(n^2) verification harness).
     """
-    exact = semdedup_exact_global(spark, sf_dir)
+    # localCheckpoint: the exact-global O(n^2) plan feeds BOTH the flags
+    # aggregate and the output rows — without it the dominant pair join
+    # executes twice (same economy as pq_checked / the dual-sink job)
+    exact = semdedup_exact_global(spark, sf_dir).localCheckpoint(eager=True)
     km = semdedup_kmeans_keep(spark, sf_dir).select(
         "vec_id", F.col("keep").alias("km_keep")
     )
@@ -1339,6 +1348,7 @@ def train_pq_codebooks(
     import numpy as np
 
     owned = v is None
+    stride = 1  # assigned before any statement that can raise
     if owned:
         v = _normalized(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -1352,9 +1362,12 @@ def train_pq_codebooks(
             v_full, v = v, v.filter(
                 F.pmod(F.col("vec_id"), F.lit(stride)) == 0
             ).persist()
-        init = np.array(
-            [r["e"] for r in v.orderBy("vec_id").limit(PQ_K).collect()]
-        )  # K x dim: model init, not a data path
+        first = [r["e"] for r in v.orderBy("vec_id").limit(PQ_K).collect()]
+        if not first:
+            raise ValueError("cannot train PQ codebooks on an empty corpus")
+        # corpora smaller than PQ_K cycle their rows so init is always
+        # K x dim (duplicate centroids resolve by argmin's first-min)
+        init = np.array([first[i % len(first)] for i in range(PQ_K)])
         codebooks = [
             init[:, m * PQ_DSUB : (m + 1) * PQ_DSUB].tolist() for m in range(PQ_M)
         ]

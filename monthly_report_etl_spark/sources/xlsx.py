@@ -18,7 +18,7 @@ contract asserts both produce identical DataFrames from twin fixtures.
 
 from __future__ import annotations
 
-import re
+import posixpath
 import zipfile
 import xml.etree.ElementTree as ET
 
@@ -83,7 +83,11 @@ def _first_sheet_path(z: zipfile.ZipFile) -> str:
     for rel in rels.iter(f"{pkg_ns}Relationship"):
         if rel.get("Id") == rid:
             target = rel.get("Target")
-            return target if target.startswith("xl/") else f"xl/{target}"
+            # OPC targets may be absolute ("/xl/worksheets/sheet1.xml")
+            # or relative to the workbook part's directory (xl/)
+            if target.startswith("/"):
+                return posixpath.normpath(target.lstrip("/"))
+            return posixpath.normpath(posixpath.join("xl", target))
     raise ValueError(f"sheet relationship {rid} not found")
 
 
@@ -98,8 +102,11 @@ def read_xlsx_rows(path: str) -> list[list[str | None]]:
         width = 0
         for row in sheet.iter(f"{_NS}row"):
             vals: dict[int, str | None] = {}
+            cursor = -1  # ECMA-376: r= is optional; position is implied
             for c in row.iter(f"{_NS}c"):
-                vals[_col_index(c.get("r", "A"))] = _cell_value(c, shared)
+                ref = c.get("r")
+                cursor = _col_index(ref) if ref else cursor + 1
+                vals[cursor] = _cell_value(c, shared)
             if not vals:
                 continue
             width = max(width, max(vals) + 1)
@@ -118,8 +125,13 @@ def read_lookup_xlsx(
         raise ValueError(f"no rows in {path}")
     header, data = rows[0], rows[1:]
     if schema is None:
+        # blank header cells get positional names (Spark's CSV-reader
+        # convention) instead of the literal string "None"
         schema = T.StructType(
-            [T.StructField(str(h), T.StringType()) for h in header]
+            [
+                T.StructField(h if h not in (None, "") else f"_c{i}", T.StringType())
+                for i, h in enumerate(header)
+            ]
         )
     # blank-string cells -> NULL, matching the CSV reader's nullValue
     data = [[v if v != "" else None for v in r] for r in data]

@@ -338,9 +338,12 @@ def test_export_job_dual_sink_executes_report_plan_once(
         )
 
 
-def _write_minimal_xlsx(path, rows, inline=False):
+def _write_minimal_xlsx(path, rows, inline=False, omit_refs=False, absolute_target=False):
     """Stdlib OOXML writer for fixtures: shared-string or inline-string
-    cells, sparse rows allowed (None skips the cell)."""
+    cells, sparse rows allowed (None skips the cell). ``omit_refs``
+    drops the optional r= cell references (position implied — the
+    streaming-writer shape); ``absolute_target`` writes the sheet
+    relationship with an absolute OPC target."""
     import zipfile
 
     def esc(s):
@@ -355,17 +358,21 @@ def _write_minimal_xlsx(path, rows, inline=False):
         cells = []
         for ci, val in enumerate(row):
             if val is None:
+                if omit_refs:
+                    # implied positions can't skip columns; emit an
+                    # empty cell to hold the slot
+                    cells.append("<c/>")
                 continue
-            ref = chr(ord("A") + ci) + str(ri)
+            ref = "" if omit_refs else f' r="{chr(ord("A") + ci)}{ri}"'
             if inline:
                 cells.append(
-                    f'<c r="{ref}" t="inlineStr"><is><t>{esc(val)}</t></is></c>'
+                    f"<c{ref} t=\"inlineStr\"><is><t>{esc(val)}</t></is></c>"
                 )
             else:
                 if val not in sindex:
                     sindex[val] = len(shared)
                     shared.append(val)
-                cells.append(f'<c r="{ref}" t="s"><v>{sindex[val]}</v></c>')
+                cells.append(f"<c{ref} t=\"s\"><v>{sindex[val]}</v></c>")
         body.append(f'<row r="{ri}">{"".join(cells)}</row>')
     sheet = f'<worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
     sst = (
@@ -379,10 +386,13 @@ def _write_minimal_xlsx(path, rows, inline=False):
         f'<workbook {ns} xmlns:r="{rel_ns}"><sheets>'
         f'<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
     )
+    target = (
+        "/xl/worksheets/sheet1.xml" if absolute_target else "worksheets/sheet1.xml"
+    )
     wb_rels = (
         f'<Relationships xmlns="{pkg_ns}">'
         f'<Relationship Id="rId1" Type="{rel_ns}/worksheet" '
-        f'Target="worksheets/sheet1.xml"/></Relationships>'
+        f'Target="{target}"/></Relationships>'
     )
     with zipfile.ZipFile(path, "w") as z:
         z.writestr("xl/workbook.xml", wb)
@@ -443,4 +453,33 @@ def test_reference_xlsx_matches_reference_csv(spark):
     b = read_lookup_csv(spark, ref_csv, COMPETITOR_LIST_SCHEMA)
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
-    assert ra == rb, f"first diff: {next((x, y) for x, y in zip(ra, rb) if x != y)}"
+    diffs = [(x, y) for x, y in zip(ra, rb) if x != y]
+    assert ra == rb, (
+        f"lengths {len(ra)} vs {len(rb)}; first row diff: {diffs[:1]}"
+    )
+
+
+def test_xlsx_reader_handles_rless_cells_and_absolute_targets(tmp_path):
+    """Regression for two review-confirmed defects: (a) cells without
+    the optional r= reference take sequentially implied positions
+    (ECMA-376 streaming-writer shape) instead of collapsing onto column
+    A; (b) an absolute OPC relationship target
+    ("/xl/worksheets/sheet1.xml") resolves instead of KeyError-ing."""
+    from monthly_report_etl_spark.sources.xlsx import read_xlsx_rows
+
+    rows = [["h1", "h2", "h3"], ["a", None, "c"], ["d", "e", "f"]]
+    p1 = str(tmp_path / "rless.xlsx")
+    _write_minimal_xlsx(p1, rows, omit_refs=True)
+    assert read_xlsx_rows(p1) == [
+        ["h1", "h2", "h3"],
+        ["a", None, "c"],
+        ["d", "e", "f"],
+    ]
+
+    p2 = str(tmp_path / "abs.xlsx")
+    _write_minimal_xlsx(p2, rows, absolute_target=True)
+    assert read_xlsx_rows(p2) == [
+        ["h1", "h2", "h3"],
+        ["a", None, "c"],
+        ["d", "e", "f"],
+    ]
