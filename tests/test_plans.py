@@ -510,3 +510,41 @@ def test_pq_adc_plan_shape(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_gram_kernel_engages_at_scale(spark, tmp_path):
+    """Above SEMDEDUP_GRAM_MIN_N the k-means SemDeDup must route its
+    drop rule through the per-cluster dense kernel (FlatMapGroupsInPandas
+    from applyInPandas) — a regression to the join+fold path would
+    silently reinstate the ~25 us/pair wall SCALE.md §8e measured. The
+    sub-threshold fixture path must conversely stay on the bit-exact
+    fold rule (SortMergeJoin/BroadcastHashJoin, no grouped-Python
+    stage)."""
+    import pandas as pd
+
+    from monthly_report_etl_spark.operators.similarity import (
+        SEMDEDUP_GRAM_MIN_N,
+        semdedup_kmeans_keep,
+    )
+
+    base = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    step = int(base["vec_id"].max()) + 1
+    n_reps = SEMDEDUP_GRAM_MIN_N // len(base) + 1
+    reps = []
+    for i in range(n_reps):
+        r = base.copy(deep=False)
+        r["vec_id"] = r["vec_id"] + i * step
+        reps.append(r)
+    pd.concat(reps, ignore_index=True).to_parquet(
+        tmp_path / "embeddings.parquet", index=False
+    )
+
+    big_plan = _plan(semdedup_kmeans_keep(spark, str(tmp_path)))
+    assert "FlatMapGroupsInPandas" in big_plan, (
+        f"gram kernel not engaged above threshold:\n{big_plan}"
+    )
+
+    small_plan = _plan(semdedup_kmeans_keep(spark, sf_dir="/root/testdata/sf0.001"))
+    assert "FlatMapGroupsInPandas" not in small_plan, (
+        f"oracle-tested scale left the bit-exact fold rule:\n{small_plan}"
+    )
