@@ -94,10 +94,11 @@ HEADLINE = [
     "similarity_pq_adc",
 ]
 
-# Non-catalog benchables: dedup_semdedup_kmeans times the PURE trained-
-# k-means scale path (the catalog entry of the same name wraps it in an
-# O(n^2) exact-baseline verification harness by design — timing that
-# would measure the harness, not the operator).
+# Pure-path benchables: dedup_semdedup_kmeans and similarity_pq_adc time
+# the PURE scale operators (the catalog entries of the same names wrap
+# them in exact-baseline verification harnesses by design — an O(n^2)
+# global pair join / a brute-force KNN — so timing the catalog form would
+# measure the harness, not the operator).
 
 
 def _extra_headline():

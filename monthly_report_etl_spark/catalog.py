@@ -1164,79 +1164,74 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r8 recomputation (latest GREEN round per entry across r1-r7; judge
-# confirmed the same numbers in VERDICT r7): r7-latest: 50 entries,
-# r6-latest: 48, r5-latest: 38, no entry older than r5. Window = flagship
-# (1) + NEW in r8 (2: dedup_semdedup_exact / dedup_semdedup_kmeans, the
-# exact-global baseline and trained-k-means scale path that clear VERDICT
-# r7's one weak flag, + late addition embeddings_pq — see below) +
-# CHANGED in r8 (2: dedup_semdedup, whose oracle
-# gained the zero-norm guard ADVICE r7 asked for — new SQL text, so its
-# r7 green proves nothing; dedup_duplicate_spans, whose tokenized-docs
-# frame is now localCheckpoint'ed) + ALL 38 r5-latest entries + the
-# first 5 of the 48-entry r6-latest cohort in name order (the remaining
-# 43 r6 entries are first in line for r9). 1+3+3+38+5 = 50; after r8's
-# run no entry's latest green will be older than r6.
+# r9 recomputation (latest GREEN round per entry across r1-r8; judge
+# confirmed the same split in VERDICT r8): r8-latest: 50 entries,
+# r7-latest: 47, r6-latest: 42, no entry older than r6. Window = flagship
+# (1) + NEW in r9 (1: similarity_pq_adc — the ADC search path's checked
+# entry, VERDICT r8 #1: it was the only benched operator outside the
+# driver gate) + CHANGED in r9 (1: similarity_ivf_topk, whose
+# _ivf_k_probes gained the probes<=k post-clamp — behavior-identical at
+# every tested SF, but edited code's r8 green proves nothing) + ALL 42
+# r6-latest entries (VERDICT r8 #2 names this cohort explicitly) + the
+# first 5 of the 47-entry r7-latest cohort in name order (the remaining
+# 42 r7 entries are first in line for r10). 1+1+1+42+5 = 50; after r9's
+# run no entry's latest green will be older than r7.
 
 _DRIVER_WINDOW_PRIORITY = [
     "exports_report_events",
-    # -- NEW in r8 (no driver row yet) --
-    "dedup_semdedup_exact",
-    "dedup_semdedup_kmeans",
-    # -- semantics/oracle changed in r8 --
-    "dedup_semdedup",  # oracle cosine gained the zero-norm CASE guard
-    "dedup_duplicate_spans",  # tokenized frame localCheckpoint'ed
-    # -- r5-latest cohort: all 38 --
-    "approx_aggregates",
-    "array_functions",
-    "asof_join",
-    "calendar_spine_monthly",
-    "corpus_incremental_ingest",
-    "corpus_length_trim",
-    "corpus_mix_weights",
-    "corpus_pack_sequences",
-    "corpus_pack_sequences_ranged",
-    "date_funcs_extended",
-    "dedup_canonical_selection",
-    "distinct_event_types",
-    "events_last_touch_attribution",
-    "exact_distinct_bounds",
-    "exists_over_array",
-    "filter_project_window",
-    "filtered_agg_orders",
-    "grouping_sets_orders",
-    "jsonl_roundtrip_docs",
-    "lookup_enrich_broadcast",
-    "map_functions",
-    "month_membership_filter",
-    "null_profile_orders",
-    "olap_cheapest_supplier",
-    "olap_last_shipper",
-    "olap_market_share",
-    "olap_nation_pair_volume",
-    "olap_product_profit",
-    "olap_yearly_growth",
-    "order_nulls_handling",
-    "percentiles_exact",
-    "range_join_bucketized",
-    "salted_join",
-    "semi_anti_join",
-    "sketch_partial_merge",
-    "streaming_interval_join_batch",
-    "window_family",
-    "window_range_frame",
-    # -- NEW in r8 (late addition: PQ compression + ADC search;
-    #    corpus_stratified_sample, r6-green, yields its slot) --
-    "embeddings_pq",
-    # -- CHANGED in r8 (late: IVF k/probes now corpus-scaled;
-    #    corpus_sample_hash_mod, r6-green, yields its slot) --
+    # -- NEW in r9 (no driver row yet) --
+    "similarity_pq_adc",
+    # -- code changed in r9 (probes post-clamp, ADVICE r8) --
     "similarity_ivf_topk",
-    # -- r6-latest fills (first 5 in name order) --
-    "case_classifier",
-    "collect_types_sorted",
-    "corpus_decontaminate",
-    "corpus_incremental_ingest_bucketed",
-    "corpus_ngram_novelty",
+    # -- r6-latest cohort: all 42 --
+    "corpus_sample_hash_mod",
+    "corpus_stratified_sample",
+    "corpus_tfidf_top_terms",
+    "cube_orders",
+    "date_ops",
+    "dedup_cc_star",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_latest_maxby",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_simhash",
+    "embeddings_quantize_int8",
+    "embeddings_standardize",
+    "events_funnel",
+    "events_sessionize_batch",
+    "events_sliding_window",
+    "events_user_sequences",
+    "global_denominators",
+    "json_extract_props",
+    "multimodal_byte_stats",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "numeric_coercion",
+    "pricing_summary",
+    "rank_in_segment_month",
+    "rank_pivot_merge_back",
+    "regex_clean_strings",
+    "rollup_lineitem",
+    "set_ops",
+    "similarity_ann_lsh",
+    "similarity_knn_brute_force",
+    "streaming_sessionize",
+    "streaming_tumbling_window_batch",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_orders",
+    "union_by_name",
+    # -- r7-latest fills (first 5 in name order) --
+    "corpus_bigram_top",
+    "corpus_chunk_documents",
+    "corpus_chunk_documents_udtf",
+    "corpus_feature_hashing",
+    "corpus_length_buckets",
 ]
 
 

@@ -642,10 +642,16 @@ def _ivf_k_probes(n: int) -> tuple[int, int]:
     VERDICT r7 flagged on SemDeDup, fixed here before it was flagged).
     Swept on the fixture corpus before pinning: at n=2000 this is
     k=44/probes=7 -> recall@10 0.92 at a 16% scan (fixed: 0.95 at 25%);
-    at n=500, k=22/probes=5 -> 0.85 at 23% (fixed: 0.85 at 25%)."""
-    k = max(IVF_CLUSTERS, min(IVF_MAX_K, math.isqrt(n)))
-    probes = max(IVF_PROBES, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
-    return min(k, max(1, n)), probes
+    at n=500, k=22/probes=5 -> 0.85 at 23% (fixed: 0.85 at 25%).
+
+    probes clamps to the POST-clamp k (ADVICE r8): for n < IVF_CLUSTERS
+    the k floor collapses to n, and probes computed from the pre-clamp k
+    could exceed the cluster count — previously harmless only because the
+    probe udf's argsort slice silently capped it; now probes <= k holds
+    by construction."""
+    k = min(max(IVF_CLUSTERS, min(IVF_MAX_K, math.isqrt(n))), max(1, n))
+    probes = min(k, max(IVF_PROBES, math.isqrt(k - 1) + 1))  # ceil(sqrt(k))
+    return k, probes
 
 
 def _train_stride(n: int, cap: int) -> int:
@@ -1048,8 +1054,15 @@ def _semdedup_drop_rule_gram(b0: DataFrame) -> DataFrame:
     the two kernels are differentially pinned equal-after-round in
     pytest on the fixture corpus (rounding itself is HALF_UP on both
     sides; the residual risk is a pre-round last-ulp difference landing
-    exactly on a 6-digit boundary, and its worst case is a spurious
-    `kmeans_sound` false alarm, never a silently wrong dedup). Memory: one n_b^2 float matrix per
+    exactly on a 6-digit boundary. Its observable worst cases (ADVICE
+    r8): a spurious `kmeans_sound` false alarm in the checked entry, or
+    — in the pure scale path above SEMDEDUP_GRAM_MIN_N, where this
+    kernel's output IS the verdict — a keep flip at the exact tau
+    boundary. Both require cos*1e6 to land within one ulp of an integer
+    half AND that half to straddle tau; never a structurally wrong
+    dedup, and bit-parity above the threshold is explicitly not part of
+    the oracle contract — if it ever becomes one, round via the decimal
+    string repr instead). Memory: one n_b^2 float matrix per
     cluster — the ~128-vector cluster target bounds it at ~130 KB; a
     pathological mega-cluster would surface here first, which is the
     SemDeDup contract (the paper's k sizing exists to prevent it)."""
@@ -1563,7 +1576,12 @@ def pq_adc_topk(
             for qi, qid in enumerate(qids):
                 mask = vecs != qid
                 s, vv = scores[qi][mask], vecs[mask]
-                keep = np.argsort(-s, kind="stable")[:shortlist]
+                # (score desc, vec_id asc) — a score-only stable argsort
+                # would break ADC ties (e.g. duplicate vectors) by
+                # within-partition row order, making the candidate set
+                # partitioning-dependent (ADVICE r8); lexsort's last key
+                # is primary
+                keep = np.lexsort((vv, -s))[:shortlist]
                 out.append(
                     pd.DataFrame(
                         {"query_id": qid, "vec_id": vv[keep], "score": s[keep]}
@@ -1612,3 +1630,47 @@ def pq_adc_topk(
             "rn",
         )
     )
+
+
+# AGGREGATE recall@TOP_K across the query set, same statistic family as
+# IVF_RECALL_FLOOR (the pytest floor at k=10 is 0.70; at k=5 with the
+# 5x shortlist the measured aggregate is 0.78 at sf0.001 / 0.80 at
+# sf0.01 — the floor leaves ~9 hits of headroom for codebook-sensitive
+# flutter while collapsing to ~0.1-0.2 on a broken LUT or shortlist;
+# init is deterministic, so the number only moves if the corpus does).
+PQ_ADC_RECALL_FLOOR = 0.6
+
+
+PQ_ADC_CHECKED_ORACLE = f"""
+SELECT query_id, neighbor_id, cosine, rn, TRUE AS recall_ok
+FROM ({KNN_ORACLE}) t
+"""
+
+
+def pq_adc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of the ADC search (VERDICT r8 #1 — the last
+    benched operator outside the hash gate; same restructuring as
+    similarity_ivf_topk): a trained-codebook LUT scorer can't be
+    recomputed in SQL, so the entry emits the EXACT brute-force top-k
+    rows (hash-checked — the re-rank's cosine chain is the same
+    bit-exact fold the KNN oracle verifies) plus a ``recall_ok`` boolean
+    the oracle asserts literal TRUE: the ADC+re-rank result recovers at
+    least PQ_ADC_RECALL_FLOOR of the exact top-k pairs in aggregate. A
+    regression anywhere in the encode/LUT/partial-top-k/re-rank chain
+    drops the overlap and flips the hash."""
+    exact = knn_brute_force(spark, sf_dir)
+    adc = pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    tot = (
+        exact.select("query_id", "neighbor_id")
+        .join(adc, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count("*").alias("n_hit"))  # 1 row
+    )
+    recall_ok = (
+        F.col("n_hit") / F.lit(N_QUERIES * TOP_K) >= PQ_ADC_RECALL_FLOOR
+    ).alias("recall_ok")
+    return exact.crossJoin(F.broadcast(tot)).select(
+        "query_id", "neighbor_id", "cosine", "rn", recall_ok
+    )
+
+
+CATALOG["similarity_pq_adc"] = (pq_adc_checked, PQ_ADC_CHECKED_ORACLE)
