@@ -178,10 +178,18 @@ def _events_10x_dir() -> str:
     """Stage a STREAM_REPLICAS-x replica of the SF events table (same
     offset model as tools/make_scale_data.py: event_id/user_id shifted
     per replica — more users at the same per-user density, so per-key
-    state must not grow). Cached by source path + replica count."""
+    state must not grow). Cached by source path + replica count + the
+    source parquet's (mtime, size) fingerprint — ADVICE r8: a
+    path-only key silently kept feeding a stale replica after the SF
+    fixture was regenerated."""
     import pandas as pd
 
-    tag = SF_DIR.strip("/").replace("/", "_")
+    src = os.path.join(SF_DIR, "events.parquet")
+    st = os.stat(src)
+    tag = (
+        SF_DIR.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}"
+    )
     out = f"/tmp/spark_graft_bench_events{STREAM_REPLICAS}x_{tag}"
     dest = os.path.join(out, "events.parquet")
     if not os.path.exists(dest):
@@ -216,13 +224,32 @@ def _streaming_throughput(spark) -> dict:
     n_rows = spark.read.parquet(
         os.path.join(stream_dir, "events.parquet")
     ).count()
-    t = _timed(lambda: run_windowed_counts_once(spark, stream_dir, "bench_tumbling"))
+    prog: list = []
+
+    def once():
+        prog.clear()  # keep the LAST rep's progress (steady-state)
+        run_windowed_counts_once(spark, stream_dir, "bench_tumbling", progress=prog)
+
+    t = _timed(once)
+    state = [
+        so
+        for p in prog
+        for so in (p.get("stateOperators") or [])
+        if so.get("numRowsTotal") is not None
+    ]
     return {
         "query": "streaming_tumbling_window",
         "input_scale": f"{STREAM_REPLICAS}x {os.path.basename(SF_DIR)} events",
         "input_rows": n_rows,
         "sec": t,
         "rows_per_sec": round(n_rows / t["median"], 1),
+        # measured, not asserted (VERDICT r8 #6): state rows = #(1h
+        # window, event_type) groups — input-size-independent; the
+        # multi-batch eviction behavior is measured by tools/stream_soak.py
+        "state_rows_max": max((s["numRowsTotal"] for s in state), default=None),
+        "state_memory_bytes_max": max(
+            (s.get("memoryUsedBytes", 0) for s in state), default=None
+        ),
         "state_note": (
             "state = open (1h window, event_type) groups within the 10-min "
             "watermark horizon; bounded, independent of input size"
@@ -285,11 +312,17 @@ def main() -> None:
     # VERDICT r7 #3: the driver's artifact keeps only the last ~2000
     # chars of stdout, which truncated the full JSON's head out of
     # BENCH_r07. Make the artifact self-contained two ways: the FULL
-    # result (with per-query spread) goes to bench_results.json next to
-    # this script, and stdout ends with a compact single line (medians
-    # only + a pointer) that fits the tail capture whole.
+    # result (with per-query spread) goes to artifacts/bench_results.json
+    # (gitignored — ADVICE r8: writing the tracked root-level
+    # bench_results.json dirtied the working tree on every run; the
+    # tracked copy is now refreshed DELIBERATELY by copying the round's
+    # canonical run over it at commit time), and stdout ends with a
+    # compact single line (medians only + a pointer) that fits the tail
+    # capture whole.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_results.json"), "w") as f:
+    art_dir = os.path.join(here, "artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    with open(os.path.join(art_dir, "bench_results.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
     compact = {
@@ -301,7 +334,7 @@ def main() -> None:
         "streaming_input_rows": streaming["input_rows"],
         "reps": REPS,
         "sf": sf,
-        "detail": "bench_results.json",
+        "detail": "bench_results.json (committed copy of artifacts/bench_results.json)",
     }
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()

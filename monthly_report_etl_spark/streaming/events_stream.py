@@ -74,15 +74,26 @@ def _ts_is_nanos(src_dir: str) -> bool:
     return types.pop() == "timestamp[ns]"
 
 
-def _read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def _read_events_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over the staged events directory, normalizing ``ts`` to
     session-TZ TIMESTAMP across both physical layouts the fixture has
     shipped with (see catalog._events). Streaming sources need an explicit
-    schema, so the probe picks which one matches the files on disk."""
+    schema, so the probe picks which one matches the files on disk.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many input
+    files (file-source option) — the soak harness uses it to drive a
+    time-ordered multi-batch run so watermark advance and state eviction
+    actually happen between batches; default (None) keeps the
+    process-everything-in-one-batch behavior the throughput bench times."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if _ts_is_nanos(src_dir):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         stream = (
-            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            reader.schema(EVENTS_STREAM_SCHEMA)
             .format("parquet")
             .load(src_dir)
             # integer DIV: epoch-nanos exceed double's 2^53 exact range
@@ -90,7 +101,7 @@ def _read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         )
         return stream
     return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA_MICROS)
+        reader.schema(EVENTS_STREAM_SCHEMA_MICROS)
         .format("parquet")
         .load(src_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -125,10 +136,12 @@ def _stage_events_dir(sf_dir: str) -> str:
     return staged
 
 
-def windowed_counts_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def windowed_counts_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream → watermark(10 min) → 1-hour tumbling windows per
     event_type: count + sum(value)."""
-    stream = _read_events_stream(spark, src_dir)
+    stream = _read_events_stream(spark, src_dir, max_files_per_trigger)
     return (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -169,9 +182,19 @@ def run_sliding_window_once(
     return spark.table(query_name)
 
 
-def run_windowed_counts_once(spark: SparkSession, sf_dir: str, query_name: str = "windowed_counts") -> DataFrame:
+def run_windowed_counts_once(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "windowed_counts",
+    progress: list | None = None,
+) -> DataFrame:
     """Drive the streaming query to completion over the staged fixture
-    (memory sink + processAllAvailable) and return the materialized result."""
+    (memory sink + processAllAvailable) and return the materialized result.
+
+    Pass a list as ``progress`` to receive the run's StreamingQueryProgress
+    dicts (``recentProgress``) — the bench reads ``stateOperators`` from
+    them (numRowsTotal / memoryUsedBytes) so the state-size claim rides
+    the measured run instead of a design note."""
     src = _stage_events_dir(sf_dir)
     q = (
         windowed_counts_stream(spark, src)
@@ -182,6 +205,8 @@ def run_windowed_counts_once(spark: SparkSession, sf_dir: str, query_name: str =
     )
     try:
         q.processAllAvailable()
+        if progress is not None:
+            progress.extend(q.recentProgress)
     finally:
         q.stop()
     return spark.table(query_name)

@@ -1,0 +1,163 @@
+"""Streaming state-size soak (VERDICT r8 #6): turn "state is bounded by
+the watermark horizon" from a design note into a measured claim.
+
+The throughput bench (bench.py) drives the whole input in ONE micro-batch
+— real state eviction never happens there, so it can't show whether state
+grows with input. This harness stages an Rx replica of the sf0.1 events
+table as K TIME-ORDERED parquet files and drives the same
+windowed-counts query with ``maxFilesPerTrigger=1`` (append mode, noop
+sink): the watermark advances between batches, closed 1-hour windows are
+evicted, and ``StreamingQueryProgress.stateOperators`` records rows/bytes
+actually held per batch.
+
+The claim under test: max state rows tracks #(open 1h window, event_type)
+groups inside the 10-minute watermark horizon — a function of the TIME
+RANGE and key cardinality, NOT of input rows — so the 10x and 100x runs
+must show ~equal state highwater while input rows differ 10x.
+
+Replication model = tools/make_scale_data.py events rule: event_id /
+user_id offset per replica (more users at the same per-user density,
+same time range), so window-domain size is constant across scales —
+exactly the shape under which a state leak would be visible as a rising
+curve.
+
+Usage:
+    python tools/stream_soak.py                       # 10x and 100x
+    SPARK_GRAFT_SOAK_REPLICAS=10 python tools/stream_soak.py
+Prints one JSON line per scale plus a summary ratio line for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from monthly_report_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICA_STEPS = [
+    int(r)
+    for r in os.environ.get("SPARK_GRAFT_SOAK_REPLICAS", "10,100").split(",")
+    if r
+]
+N_BATCH_FILES = int(os.environ.get("SPARK_GRAFT_SOAK_BATCHES", "20"))
+
+
+def _stage_replica_files(replicas: int) -> str:
+    """Rx replica of the SF events table, globally time-sorted and split
+    into N_BATCH_FILES sequential parquet files (zero-padded names: the
+    file source lists lexicographically, so batch order == time order).
+    Cached by source (mtime, size) fingerprint."""
+    src = os.path.join(SF_DIR, "events.parquet")
+    st = os.stat(src)
+    tag = f"{os.path.basename(SF_DIR)}_{replicas}x_{N_BATCH_FILES}f_{int(st.st_mtime)}_{st.st_size}"
+    out = f"/tmp/spark_graft_soak_{tag}"
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    ev = pd.read_parquet(src)
+    eid = int(ev["event_id"].max()) + 1
+    uid = int(ev["user_id"].max()) + 1
+    parts = []
+    for i in range(replicas):
+        rep = ev.copy(deep=False)
+        rep["event_id"] = rep["event_id"] + i * eid
+        rep["user_id"] = rep["user_id"] + i * uid
+        parts.append(rep)
+    full = pd.concat(parts, ignore_index=True).sort_values(
+        "ts", kind="stable", ignore_index=True
+    )
+    for j, chunk in enumerate(np.array_split(full, N_BATCH_FILES)):
+        chunk.to_parquet(os.path.join(out, f"part-{j:04d}.parquet"), index=False)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _soak(spark, replicas: int) -> dict:
+    from monthly_report_etl_spark.streaming.events_stream import (
+        windowed_counts_stream,
+    )
+
+    src = _stage_replica_files(replicas)
+    n_rows = spark.read.parquet(src).count()
+    t0 = time.perf_counter()
+    q = (
+        windowed_counts_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    wall = time.perf_counter() - t0
+    batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    state_rows = [
+        so["numRowsTotal"]
+        for p in batches
+        for so in (p.get("stateOperators") or [])
+    ]
+    state_mem = [
+        so.get("memoryUsedBytes", 0)
+        for p in batches
+        for so in (p.get("stateOperators") or [])
+    ]
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in batches
+        for so in (p.get("stateOperators") or [])
+    )
+    return {
+        "replicas": replicas,
+        "input_rows": n_rows,
+        "batches": len(batches),
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "state_rows_max": max(state_rows, default=0),
+        "state_rows_end": state_rows[-1] if state_rows else 0,
+        "state_memory_mb_max": round(max(state_mem, default=0) / 1e6, 2),
+        "rows_dropped_by_watermark": int(dropped),
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="stream_soak")
+    results = []
+    for r in REPLICA_STEPS:
+        res = _soak(spark, r)
+        results.append(res)
+        print(json.dumps(res), flush=True)
+    if len(results) >= 2:
+        a, b = results[0], results[-1]
+        print(
+            json.dumps(
+                {
+                    "summary": "state growth vs input growth",
+                    "input_ratio": round(b["input_rows"] / a["input_rows"], 2),
+                    "state_rows_ratio": round(
+                        b["state_rows_max"] / max(1, a["state_rows_max"]), 2
+                    ),
+                    "state_mem_ratio": round(
+                        b["state_memory_mb_max"]
+                        / max(0.01, a["state_memory_mb_max"]),
+                        2,
+                    ),
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
