@@ -92,6 +92,8 @@ HEADLINE = [
     "dedup_semdedup_kmeans",
     "embeddings_pq",
     "similarity_pq_adc",
+    # r9 additions
+    "corpus_incremental_ingest_bloom",
 ]
 
 # Pure-path benchables: dedup_semdedup_kmeans and similarity_pq_adc time

@@ -979,6 +979,90 @@ def incremental_ingest_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom sizing: ~10 bits/key with 7 probes gives ~0.8% false-positive
+# rate (the textbook k = m/n ln2 optimum for 10 bits/key). The floor
+# keeps tiny fixture corpora from degenerating to an always-saturated
+# bitmap (m < n*K sets every bit and prunes nothing).
+BLOOM_BITS_PER_KEY = 10
+BLOOM_HASHES = 7
+BLOOM_MIN_BITS = 1 << 13
+
+
+def _bloom_positions(m: int):
+    """The K bit positions of key (k, klen) as a pure expression array —
+    classic double hashing pos_i = (h1 + i*h2) mod m over two
+    independent xxhash64 draws (the salt literal decouples them), all
+    inside codegen; ANSI off (pinned per-query by catalog semantics)
+    lets the i*h2 multiply wrap like the MinHash permutations do."""
+    h1 = F.xxhash64("k", "klen")
+    h2 = F.xxhash64("k", "klen", F.lit("bloom-salt-2"))
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)).alias(f"p{i}") for i in range(BLOOM_HASHES)]
+    )
+
+
+def incremental_ingest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_ingest`` behind a Bloom pre-filter — the join-free
+    fast path a 100 TB ingest runs first (the CCNet/Dolma URL-dedup
+    shape): keys whose K bloom bits are not all set are DEFINITELY new
+    and skip the anti-join entirely; only the "maybe present" residue
+    (true dups + ~0.8% false positives) probes the exact key join. The
+    final result is therefore BIT-IDENTICAL to the exact anti-join —
+    same oracle SQL as the other two ingest variants — because the
+    bloom only ever routes rows, never decides them: no false negatives
+    by construction (every existing key set its own bits), and false
+    positives are re-checked exactly.
+
+    Scale shape, all JVM-side (zero Python):
+
+    * build: existing keys → K bit positions (codegen expression array)
+      → explode → distinct. The distinct's exchange carries 8-byte ints
+      and is capped at m rows post-aggregation (map-side partial dedup
+      caps each mapper's emit at m too) — the bitmap is MODEL-sized
+      (~10 bits/key; persist it next to the bucketed key table to
+      amortize across daily ingests, like ``_existing_keys_table``);
+    * probe: incoming explodes to K rows/key and inner-joins the
+      BROADCAST bit set; a key is a candidate iff all K probes hit
+      (count == K). The dataflow is a LINEAR chain — candidates →
+      semi-join existing = confirmed dups → ONE doc_id anti-join back
+      on incoming — so the bits/probe subtree executes exactly once (a
+      branch-and-union form would mirror it into both branches; the
+      incoming scan is read twice instead, which is the cheap side);
+    * the in-batch min-doc_id dedup is unchanged.
+
+    Pruning is measured, not assumed: ``test_properties.py``'s
+    differential asserts candidates < incoming and result == exact."""
+    d = _docs(spark, sf_dir)
+    key = [F.sha2(F.col("text"), 256).alias("k"), F.length("text").alias("klen")]
+    incoming = d.filter(F.col("source") == INGEST_SOURCE).select("doc_id", *key)
+    existing = d.filter(F.col("source") != INGEST_SOURCE).select(*key)
+
+    n_existing = existing.count()  # scalar model sizing (bloom width)
+    m = max(BLOOM_MIN_BITS, n_existing * BLOOM_BITS_PER_KEY)
+    pos = _bloom_positions(m)
+
+    bits = existing.select(F.explode(pos).alias("pos")).distinct()
+    candidates = (
+        incoming.select("doc_id", F.explode(pos).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") == BLOOM_HASHES)
+        .select("doc_id")
+    )
+    confirmed_dups = (
+        incoming.join(F.broadcast(candidates), "doc_id", "left_semi")
+        .join(existing, ["k", "klen"], "left_semi")
+        .select("doc_id")
+    )
+    fresh = incoming.join(F.broadcast(confirmed_dups), "doc_id", "left_anti")
+    return (
+        fresh.groupBy("k", "klen")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-source length-outlier trimming
 # ---------------------------------------------------------------------------
@@ -1074,6 +1158,10 @@ CATALOG: dict[str, tuple] = {
     "corpus_incremental_ingest": (incremental_ingest, INCREMENTAL_INGEST_ORACLE),
     "corpus_incremental_ingest_bucketed": (
         incremental_ingest_bucketed,
+        INCREMENTAL_INGEST_ORACLE,
+    ),
+    "corpus_incremental_ingest_bloom": (
+        incremental_ingest_bloom,
         INCREMENTAL_INGEST_ORACLE,
     ),
     "corpus_length_trim": (length_trim, LENGTH_TRIM_ORACLE),

@@ -548,3 +548,23 @@ def test_semdedup_gram_kernel_engages_at_scale(spark, tmp_path):
     assert "FlatMapGroupsInPandas" not in small_plan, (
         f"oracle-tested scale left the bit-exact fold rule:\n{small_plan}"
     )
+
+
+def test_bloom_ingest_plan(spark, sf_dir):
+    """corpus_incremental_ingest_bloom keeps its scale contract: the
+    whole dataflow is JVM expressions (no Python stage anywhere — the
+    bloom probes are codegen xxhash64 arithmetic), the bit set and the
+    model-sized candidate/confirmed lists move by BROADCAST (never a
+    shuffled join on them), and the candidate-probe subtree appears
+    exactly ONCE — the r9 review caught a branch-and-union form that
+    mirrored the bits build + probe into both branches (two Generates
+    per subtree => four total); the linear confirmed-dups chain keeps
+    it at two (bits build + incoming probe)."""
+    import re
+
+    plan = _plan(QUERIES["corpus_incremental_ingest_bloom"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    n_gen = len([l for l in plan.splitlines() if re.match(r"\(\d+\) Generate", l)])
+    assert n_gen == 2, f"probe subtree duplicated ({n_gen} Generates):\n{plan}"
