@@ -25,10 +25,13 @@ SF001_DIR = "/root/testdata/sf0.01"
 # The heaviest catalog entries by bench median wall time (r8 refresh:
 # the r6-derived ten plus the three heaviest r7/r8 additions —
 # recursive_order_chains and the two checked model-trained entries;
+# r9 adds its two new checked entries the same way;
 # monthly_report_full excluded: it is a jobs-level plan, not a catalog
 # entry, and is exercised at sf0.01 by test_exports_pipeline's ref-SQL
 # differential).
 HEAVIEST = [
+    "similarity_pq_adc",
+    "corpus_incremental_ingest_bloom",
     "dedup_prefix_jaccard",
     "dedup_simhash",
     "dedup_minhash_lsh",
