@@ -568,3 +568,37 @@ def test_bloom_ingest_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     n_gen = len([l for l in plan.splitlines() if re.match(r"\(\d+\) Generate", l)])
     assert n_gen == 2, f"probe subtree duplicated ({n_gen} Generates):\n{plan}"
+
+
+def test_catalog_wide_plan_hygiene(spark, sf_dir):
+    """r9 consolidation sweep: EVERY catalog entry's physical plan is
+    free of the two unconditional scale-killers —
+
+    * ``BatchEvalPython`` (row-at-a-time Python; every deliberate Python
+      seam in this repo is Arrow-vectorized: ArrowEvalPython /
+      MapInPandas / FlatMapGroupsInPandas, which remain allowed), and
+    * ``CartesianProduct`` (a non-broadcast cartesian; the intended
+      tiny-side cross joins compile to BroadcastNestedLoopJoin and stay
+      allowed).
+
+    The targeted plan tests above pin per-operator shapes; this sweep
+    guarantees no FUTURE entry (or edit to an untested one) can ship
+    either marker unnoticed. Building a plan executes any driver-side
+    model work (counts, Lloyd training), so this also smoke-drives every
+    entry's construction path at sf0.001. ``BatchEvalPythonUDTF`` (the
+    deliberate UDTF API-coverage twin's batched generator) is a
+    different operator from scalar BatchEvalPython and is excluded by
+    the negative lookahead."""
+    import re
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        bad = []
+        if re.search(r"BatchEvalPython(?!UDTF)", plan):
+            bad.append("BatchEvalPython")
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"plan-hygiene offenders: {offenders}"
