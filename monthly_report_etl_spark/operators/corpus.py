@@ -1154,6 +1154,73 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting — one iteration of tokenizer training
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+BPE_PAIR_ORACLE = rf"""
+WITH words AS (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+    WHERE trim(text) <> ''
+),
+wf AS (
+    SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w
+),
+pairs AS (
+    SELECT unnest(list_transform(range(1, length(w)),
+                                 i -> substr(w, CAST(i AS INT), 2))) AS pair,
+           freq
+    FROM wf WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE tokenizer training (Sennrich et al. 2016):
+    count adjacent symbol pairs across the corpus, weighted by word
+    frequency — the top pair is the next merge. Symbols here are the
+    character-level iteration-0 state, so a pair is a 2-char substring;
+    later iterations only change the symbol segmentation, not this
+    counting shape.
+
+    The scale trick is the one every distributed BPE trainer uses:
+    aggregate WORD frequencies first (one corpus-sized shuffle down to
+    vocabulary size), then explode pairs over the VOCAB weighted by
+    freq — the pair explode is vocab x word-length, independent of
+    corpus row count, and the pair aggregation's input is vocab-sized.
+    Counting pairs directly off the corpus would explode corpus x
+    word-length rows — the difference between shuffling the vocabulary
+    and shuffling the corpus every merge iteration. Top-k via
+    TakeOrderedAndProject (per-partition heaps, no global sort) with a
+    total (count desc, pair) tiebreak for cross-engine determinism."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = wf.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_incremental_ingest": (incremental_ingest, INCREMENTAL_INGEST_ORACLE),
     "corpus_incremental_ingest_bucketed": (
@@ -1164,6 +1231,7 @@ CATALOG: dict[str, tuple] = {
         incremental_ingest_bloom,
         INCREMENTAL_INGEST_ORACLE,
     ),
+    "corpus_bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
     "corpus_length_trim": (length_trim, LENGTH_TRIM_ORACLE),
     "corpus_mix_weights": (mix_weights, MIX_WEIGHTS_ORACLE),
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
