@@ -94,6 +94,8 @@ HEADLINE = [
     "similarity_pq_adc",
     # r9 additions
     "corpus_incremental_ingest_bloom",
+    "corpus_bpe_pair_counts",
+    "embeddings_pca",
 ]
 
 # Pure-path benchables: dedup_semdedup_kmeans and similarity_pq_adc time

@@ -1167,17 +1167,18 @@ _register_extension_catalogs()
 # r9 recomputation (latest GREEN round per entry across r1-r8; judge
 # confirmed the same split in VERDICT r8): r8-latest: 50 entries,
 # r7-latest: 47, r6-latest: 42, no entry older than r6. Window = flagship
-# (1) + NEW in r9 (3: similarity_pq_adc — the ADC search path's checked
+# (1) + NEW in r9 (4: similarity_pq_adc — the ADC search path's checked
 # entry, VERDICT r8 #1: it was the only benched operator outside the
 # driver gate; corpus_incremental_ingest_bloom — the Bloom pre-filtered
 # ingest, bit-identical to the exact anti-join by construction;
-# corpus_bpe_pair_counts — BPE merge-pair counting over the vocab) +
+# corpus_bpe_pair_counts — BPE merge-pair counting over the vocab;
+# embeddings_pca — distributed-covariance PCA projection) +
 # CHANGED in r9 (1: similarity_ivf_topk, whose
 # _ivf_k_probes gained the probes<=k post-clamp — behavior-identical at
 # every tested SF, but edited code's r8 green proves nothing) + ALL 42
 # r6-latest entries (VERDICT r8 #2 names this cohort explicitly) + the
-# first 3 of the 47-entry r7-latest cohort in name order (the remaining
-# 44 r7 entries are first in line for r10). 1+3+1+42+3 = 50; after r9's
+# first 2 of the 47-entry r7-latest cohort in name order (the remaining
+# 45 r7 entries are first in line for r10). 1+4+1+42+2 = 50; after r9's
 # run no entry's latest green will be older than r7.
 
 _DRIVER_WINDOW_PRIORITY = [
@@ -1186,6 +1187,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "similarity_pq_adc",
     "corpus_incremental_ingest_bloom",
     "corpus_bpe_pair_counts",
+    "embeddings_pca",
     # -- code changed in r9 (probes post-clamp, ADVICE r8) --
     "similarity_ivf_topk",
     # -- r6-latest cohort: all 42 --
@@ -1231,10 +1233,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_token_stats",
     "topk_orders",
     "union_by_name",
-    # -- r7-latest fills (first 3 in name order) --
+    # -- r7-latest fills (first 2 in name order) --
     "corpus_bigram_top",
     "corpus_chunk_documents",
-    "corpus_chunk_documents_udtf",
 ]
 
 

@@ -1674,3 +1674,174 @@ def pq_adc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CATALOG["similarity_pq_adc"] = (pq_adc_checked, PQ_ADC_CHECKED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# PCA projection / whitening — the linear compression layer retrieval
+# indexes run before (or instead of) PQ: one covariance pass, model-sized
+# eigendecomposition, then a projection matmul over the corpus
+# ---------------------------------------------------------------------------
+
+PCA_R = 32  # retained components (64 -> 32: 2x compression)
+# Floors measured on the fixture corpora (near-isotropic vectors — the
+# WORST case for PCA, so margins here are conservative for any real,
+# anisotropic embedding distribution): explained variance 0.574-0.651
+# and mean reconstruction cosine 0.755-0.806 at r=32 across
+# sf0.001/0.01/0.1. A broken projection (wrong eigvecs, un-centered
+# data, transposed V) collapses both toward r/d noise levels.
+PCA_EVR_FLOOR = 0.45
+PCA_RECON_COS_FLOOR = 0.65
+
+_PCA_PARTIAL_SCHEMA = "n long, s array<double>, g array<double>"
+
+
+def _pca_partials_udf():
+    """Covariance sufficient statistics in ONE Arrow pass: per
+    partition, (count, sum x, sum x xᵀ flattened). The reduce side is
+    the driver summing #partitions rows of (1 + d + d²) doubles —
+    model-sized (d=64 → 4161 doubles/row), the same treeAggregate
+    contract as the Lloyd trainers; data rows never cross."""
+    import numpy as np
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(_DIM)
+        g = np.zeros((_DIM, _DIM))
+        for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch guard
+                continue
+            X = np.stack(pdf["e"].to_numpy())
+            n += len(X)
+            s += X.sum(0)
+            g += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    return partials
+
+
+def train_pca_model(
+    spark: SparkSession, sf_dir: str, r: int = PCA_R
+) -> tuple:
+    """(mean, components, eigenvalues) from one distributed covariance
+    pass + a driver-side eigh on the d x d Gram (d=64: trivially
+    model-sized — at 100 TB the corpus pass is the cost and it is a
+    single map-side-combined aggregation, no iterations). Components
+    are the top-r eigenvectors by eigenvalue; their SIGN is
+    BLAS-arbitrary, which no consumer observes (projection energy,
+    reconstruction, and residuals are all sign-invariant — nothing
+    sign-dependent may ever be hash-pinned)."""
+    import numpy as np
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    rows = v.select("e").mapInPandas(
+        _pca_partials_udf(), _PCA_PARTIAL_SCHEMA
+    ).collect()  # <= #partitions rows: model state
+    n = sum(row["n"] for row in rows)
+    if not n:
+        raise ValueError("cannot train PCA on an empty corpus")
+    s = np.sum([row["s"] for row in rows], axis=0)
+    g = np.sum([np.array(row["g"]).reshape(_DIM, _DIM) for row in rows], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    w, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1]
+    w, vecs = w[order], vecs[:, order]
+    V = vecs[:, :r]
+    # orthonormality is a model invariant, not a data property — check
+    # it here (raise, don't flag) so a broken eigensolve can never ship
+    if not np.allclose(V.T @ V, np.eye(r), atol=1e-8):
+        raise AssertionError("PCA components are not orthonormal")
+    return mu, V, w
+
+
+def pca_project(spark: SparkSession, sf_dir: str, r: int = PCA_R) -> DataFrame:
+    """Project every vector onto the top-r principal components (the
+    whitening/compression pass), emitting per-vector reconstruction
+    diagnostics in the SAME Arrow pass: y = Vᵀ(x-mu), cosine(x, x̂),
+    residual energy ||x-x̂||² and centered energy ||x-mu||² (their
+    corpus ratio is the data-path explained-variance check)."""
+    import numpy as np
+
+    mu, V, _ = train_pca_model(spark, sf_dir, r)
+
+    @F.pandas_udf(
+        "proj array<double>, recon_cos double, res2 double, cen2 double"
+    )
+    def project(e: pd.Series) -> pd.DataFrame:
+        if not len(e):  # zero-row Arrow batch guard
+            return pd.DataFrame(
+                {"proj": [], "recon_cos": [], "res2": [], "cen2": []}
+            )
+        X = np.stack(e.to_numpy())
+        Xc = X - mu
+        Y = Xc @ V
+        recon = Y @ V.T + mu
+        nx = np.linalg.norm(X, axis=1)
+        nr = np.linalg.norm(recon, axis=1)
+        ok = (nx > 0) & (nr > 0)
+        cos = np.where(ok, (X * recon).sum(1) / np.where(ok, nx * nr, 1.0), np.nan)
+        return pd.DataFrame(
+            {
+                "proj": list(Y),
+                "recon_cos": cos,
+                "res2": ((Xc - Y @ V.T) ** 2).sum(1),
+                "cen2": (Xc**2).sum(1),
+            }
+        )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return v.withColumn("p", project(F.col("e"))).select(
+        "vec_id", "p.proj", "p.recon_cos", "p.res2", "p.cen2"
+    )
+
+
+PCA_CHECKED_ORACLE = """
+SELECT vec_id,
+       ROUND(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+           (acc, x) -> acc + x)), 6) AS norm_r,
+       TRUE AS pca_var_ok, TRUE AS pca_recon_ok
+FROM embeddings
+"""
+
+
+def pca_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form (the embeddings_pq contract): eigenvectors
+    can't be recomputed in SQL, so the rows carry the oracle-EXACT
+    per-vector norm plus two DATA-PATH aggregate booleans the oracle
+    asserts literal TRUE:
+
+    * ``pca_var_ok`` — explained variance measured on the corpus
+      itself, 1 - Σ||x-x̂||²/Σ||x-mu||² >= PCA_EVR_FLOOR (equals the
+      eigenvalue ratio exactly on the training corpus, but computed
+      from residuals so a projection bug fails even if the
+      eigendecomposition is fine);
+    * ``pca_recon_ok`` — mean cosine(x, x̂) >= PCA_RECON_COS_FLOOR.
+    """
+    proj = pca_project(spark, sf_dir)
+    flags = proj.agg(
+        (
+            F.lit(1.0) - F.sum("res2") / F.sum("cen2") >= PCA_EVR_FLOOR
+        ).alias("pca_var_ok"),
+        (F.avg("recon_cos") >= PCA_RECON_COS_FLOOR).alias("pca_recon_ok"),
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.round(
+                l2_norm(F.col("embedding").cast("array<double>")), 6
+            ).alias("norm_r"),
+        )
+        .crossJoin(F.broadcast(flags))
+    )
+
+
+CATALOG["embeddings_pca"] = (pca_checked, PCA_CHECKED_ORACLE)

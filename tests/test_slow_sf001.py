@@ -32,6 +32,7 @@ SF001_DIR = "/root/testdata/sf0.01"
 HEAVIEST = [
     "similarity_pq_adc",
     "corpus_incremental_ingest_bloom",
+    "embeddings_pca",
     "dedup_prefix_jaccard",
     "dedup_simhash",
     "dedup_minhash_lsh",
