@@ -522,7 +522,9 @@ def transform_with_state_counts(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
-def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def dedup_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming exact dedup on the event key, with state truly bounded by
     the watermark: ``dropDuplicatesWithinWatermark`` evicts a key's state
     once the watermark passes its event time + delay, so memory is bounded
@@ -533,7 +535,7 @@ def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     which is the only state-bounded contract possible on an unbounded
     stream (the streaming twin of the batch dedup_exact/dedup_latest
     family)."""
-    stream = _read_events_stream(spark, src_dir)
+    stream = _read_events_stream(spark, src_dir, max_files_per_trigger)
     return (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])

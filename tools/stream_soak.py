@@ -82,16 +82,23 @@ def _stage_replica_files(replicas: int) -> str:
     return out
 
 
-def _soak(spark, replicas: int) -> dict:
+def _soak(spark, replicas: int, shape: str = "windowed_counts") -> dict:
+    """shape: 'windowed_counts' (state = open (window, type) groups —
+    must stay FLAT as input scales) or 'dedup' (state = distinct
+    (user_id, event_type) keys inside the 1h lateness horizon — grows
+    with key RATE by contract, never with total history; eviction shows
+    as state << cumulative keys processed)."""
     from monthly_report_etl_spark.streaming.events_stream import (
+        dedup_stream,
         windowed_counts_stream,
     )
 
+    builder = {"windowed_counts": windowed_counts_stream, "dedup": dedup_stream}[shape]
     src = _stage_replica_files(replicas)
     n_rows = spark.read.parquet(src).count()
     t0 = time.perf_counter()
     q = (
-        windowed_counts_stream(spark, src, max_files_per_trigger=1)
+        builder(spark, src, max_files_per_trigger=1)
         .writeStream.outputMode("append")
         .format("noop")
         .start()
@@ -119,6 +126,7 @@ def _soak(spark, replicas: int) -> dict:
         for so in (p.get("stateOperators") or [])
     )
     return {
+        "shape": shape,
         "replicas": replicas,
         "input_rows": n_rows,
         "batches": len(batches),
@@ -132,30 +140,39 @@ def _soak(spark, replicas: int) -> dict:
 
 
 def main() -> None:
+    shapes = [
+        s
+        for s in os.environ.get(
+            "SPARK_GRAFT_SOAK_SHAPES", "windowed_counts,dedup"
+        ).split(",")
+        if s
+    ]
     spark = get_spark(app_name="stream_soak")
-    results = []
-    for r in REPLICA_STEPS:
-        res = _soak(spark, r)
-        results.append(res)
-        print(json.dumps(res), flush=True)
-    if len(results) >= 2:
-        a, b = results[0], results[-1]
-        print(
-            json.dumps(
-                {
-                    "summary": "state growth vs input growth",
-                    "input_ratio": round(b["input_rows"] / a["input_rows"], 2),
-                    "state_rows_ratio": round(
-                        b["state_rows_max"] / max(1, a["state_rows_max"]), 2
-                    ),
-                    "state_mem_ratio": round(
-                        b["state_memory_mb_max"]
-                        / max(0.01, a["state_memory_mb_max"]),
-                        2,
-                    ),
-                }
+    for shape in shapes:
+        results = []
+        for r in REPLICA_STEPS:
+            res = _soak(spark, r, shape)
+            results.append(res)
+            print(json.dumps(res), flush=True)
+        if len(results) >= 2:
+            a, b = results[0], results[-1]
+            print(
+                json.dumps(
+                    {
+                        "shape": shape,
+                        "summary": "state growth vs input growth",
+                        "input_ratio": round(b["input_rows"] / a["input_rows"], 2),
+                        "state_rows_ratio": round(
+                            b["state_rows_max"] / max(1, a["state_rows_max"]), 2
+                        ),
+                        "state_mem_ratio": round(
+                            b["state_memory_mb_max"]
+                            / max(0.01, a["state_memory_mb_max"]),
+                            2,
+                        ),
+                    }
+                )
             )
-        )
     spark.stop()
 
 
