@@ -1357,17 +1357,26 @@ def train_pq_codebooks(
     index stores unit vectors so ADC inner product approximates cosine).
     Init: subvectors of the first K vectors by vec_id (deterministic, no
     RNG — same policy as the IVF trainer). All M subspaces train in the
-    SAME single-stage job per iteration."""
+    SAME single-stage job per iteration.
+
+    Zero-norm inputs cannot be L2-normalized (``_normalized`` maps them
+    to all-NULL arrays, ANSI-off x/0); they are EXCLUDED from training
+    here — one such row would otherwise poison the driver-side centroid
+    sums with Nones — while the ENCODE path keeps a row for them
+    (Arrow surfaces the nulls as NaN, the norm check fails, recon_cos
+    comes out NULL; see the zero-norm pytest)."""
     import numpy as np
 
-    owned = v is None
     stride = 1  # assigned before any statement that can raise
-    if owned:
-        v = _normalized(
+    persisted = None  # the frame WE persisted (pre-filter), if owned
+    if v is None:
+        persisted = _normalized(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("e")
             )
         ).persist()
+        v = persisted
+    v = v.filter(~F.exists("e", lambda x: x.isNull()))
     try:
         n = v.count()
         stride = _train_stride(n, max(256 * PQ_K, 4096))
@@ -1405,8 +1414,8 @@ def train_pq_codebooks(
     finally:
         if stride > 1:
             v.unpersist()  # the training sample; the caller's frame is v_full
-        if owned:
-            (v_full if stride > 1 else v).unpersist()
+        if persisted is not None:
+            persisted.unpersist()
     return codebooks
 
 
@@ -1436,11 +1445,16 @@ def _pq_encode_udf(codebooks):
         nx = np.linalg.norm(X, axis=1)
         nr = np.linalg.norm(recon, axis=1)
         ok = (nx > 0) & (nr > 0)
-        cos = np.where(ok, (X * recon).sum(1) / np.where(ok, nx * nr, 1.0), np.nan)
+        # None (NULL), not NaN, for undefined cosines (ADVICE r9 #2):
+        # avg() SKIPS nulls but PROPAGATES NaN, so one zero-norm vector
+        # would otherwise poison the corpus-mean fidelity boolean —
+        # same convention as the SQL cosine paths' F.when(...) null.
+        raw = (X * recon).sum(1) / np.where(ok, nx * nr, 1.0)
+        cos = [float(c) if o else None for c, o in zip(raw, ok)]
         return pd.DataFrame(
             {
                 "codes": list(codes),
-                "recon_cos": cos,
+                "recon_cos": pd.Series(cos, dtype="object"),
                 "code_min": codes.min(1),
                 "code_max": codes.max(1),
             }
@@ -1784,11 +1798,16 @@ def pca_project(spark: SparkSession, sf_dir: str, r: int = PCA_R) -> DataFrame:
         nx = np.linalg.norm(X, axis=1)
         nr = np.linalg.norm(recon, axis=1)
         ok = (nx > 0) & (nr > 0)
-        cos = np.where(ok, (X * recon).sum(1) / np.where(ok, nx * nr, 1.0), np.nan)
+        # None (NULL), not NaN, for undefined cosines (ADVICE r9 #2):
+        # avg() SKIPS nulls but PROPAGATES NaN, so one zero-norm vector
+        # would otherwise poison pca_recon_ok — same convention as the
+        # SQL cosine paths' F.when(...) null.
+        raw = (X * recon).sum(1) / np.where(ok, nx * nr, 1.0)
+        cos = [float(c) if o else None for c, o in zip(raw, ok)]
         return pd.DataFrame(
             {
                 "proj": list(Y),
-                "recon_cos": cos,
+                "recon_cos": pd.Series(cos, dtype="object"),
                 "res2": ((Xc - Y @ V.T) ** 2).sum(1),
                 "cen2": (Xc**2).sum(1),
             }

@@ -651,3 +651,48 @@ def test_two_level_assignment_sound_and_recall(spark, monkeypatch):
     r_base = len(base_drops) / len(exact_drops)
     assert r_two >= similarity.SEMDEDUP_KM_RECALL_FLOOR, (r_two, r_base)
     assert r_two >= r_base - 0.2, (r_two, r_base)
+
+
+def test_zero_norm_vectors_do_not_poison_checked_flags(spark, tmp_path):
+    """ADVICE r9 #2: avg() skips NULL but propagates NaN, so a single
+    zero-norm embedding emitting recon_cos = NaN would flip
+    pca_recon_ok / pq_fidelity_ok to false (NaN >= floor) and hash-fail
+    the checked entries. Both Arrow encode UDFs must emit NULL (None)
+    for undefined cosines instead. Corpus = sf0.001 + one all-zero
+    vector; assert (a) the zero vector's recon_cos IS NULL in
+    pca_project, (b) both checked entries' booleans stay literal TRUE,
+    (c) the corpus-mean cosine is finite (not NaN)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    base = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    zid = int(base["vec_id"].max()) + 1
+    zero = pd.DataFrame(
+        {
+            "vec_id": [zid],
+            "embedding": [np.zeros(64, dtype=np.float32)],
+            "label": np.array([0], dtype=np.int32),
+        }
+    )
+    pd.concat([base, zero], ignore_index=True).to_parquet(
+        tmp_path / "embeddings.parquet", index=False
+    )
+    sf = str(tmp_path)
+
+    proj = similarity.pca_project(spark, sf)
+    zrow = proj.filter(F.col("vec_id") == zid).collect()[0]
+    assert zrow["recon_cos"] is None, zrow
+    mean_cos = proj.agg(F.avg("recon_cos").alias("m")).collect()[0]["m"]
+    assert mean_cos is not None and math.isfinite(mean_cos), mean_cos
+
+    pca_flags = similarity.pca_checked(spark, sf).select(
+        "pca_var_ok", "pca_recon_ok"
+    ).distinct().collect()
+    assert len(pca_flags) == 1 and all(pca_flags[0]), pca_flags
+
+    pq_flags = similarity.pq_checked(spark, sf).select(
+        "pq_fidelity_ok", "pq_codes_ok"
+    ).distinct().collect()
+    assert len(pq_flags) == 1 and all(pq_flags[0]), pq_flags

@@ -260,7 +260,10 @@ def test_bloom_ingest_matches_exact_and_prunes(spark, sf_dir):
     true duplicate (no false negatives — an existing key always finds
     its own bits set). Also measures the false-positive residue against
     the ~0.8% design rate (assert a loose 10x bound; at fixture scale
-    the floor-sized bitmap makes the rate conservative-low)."""
+    the floor-sized bitmap makes the rate conservative-low). The
+    candidate set probed here is the OPERATOR's own ``_bloom_candidates``
+    (ADVICE r9 #4: a copy-pasted rebuild would test the test, not the
+    code — pruning/no-false-negative now bind to the real probe path)."""
     from monthly_report_etl_spark.operators import corpus as C
 
     exact = {
@@ -279,16 +282,7 @@ def test_bloom_ingest_matches_exact_and_prunes(spark, sf_dir):
     n_in = incoming.count()
     n_existing = existing.count()
     m = max(C.BLOOM_MIN_BITS, n_existing * C.BLOOM_BITS_PER_KEY)
-    pos = C._bloom_positions(m)
-    bits = existing.select(F.explode(pos).alias("pos")).distinct()
-    candidates = (
-        incoming.select("doc_id", F.explode(pos).alias("pos"))
-        .join(F.broadcast(bits), "pos")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-        .filter(F.col("n_hits") == C.BLOOM_HASHES)
-        .select("doc_id")
-    )
+    candidates = C._bloom_candidates(incoming, existing, m)
     cand = {r["doc_id"] for r in candidates.collect()}
     true_dups = {
         r["doc_id"]
