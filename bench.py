@@ -96,13 +96,16 @@ HEADLINE = [
     "corpus_incremental_ingest_bloom",
     "corpus_bpe_pair_counts",
     "embeddings_pca",
+    # r10 additions
+    "corpus_bpe_train_merges",
+    "similarity_pca_ivf",
 ]
 
-# Pure-path benchables: dedup_semdedup_kmeans and similarity_pq_adc time
-# the PURE scale operators (the catalog entries of the same names wrap
-# them in exact-baseline verification harnesses by design — an O(n^2)
-# global pair join / a brute-force KNN — so timing the catalog form would
-# measure the harness, not the operator).
+# Pure-path benchables: dedup_semdedup_kmeans, similarity_pq_adc, and
+# similarity_pca_ivf time the PURE scale operators (the catalog entries
+# of the same names wrap them in exact-baseline verification harnesses
+# by design — an O(n^2) global pair join / a brute-force KNN — so timing
+# the catalog form would measure the harness, not the operator).
 
 
 def _extra_headline():
@@ -111,9 +114,12 @@ def _extra_headline():
         semdedup_kmeans_keep,
     )
 
+    from monthly_report_etl_spark.operators.similarity import pca_ivf_topk
+
     return {
         "dedup_semdedup_kmeans": semdedup_kmeans_keep,
         "similarity_pq_adc": pq_adc_topk,
+        "similarity_pca_ivf": pca_ivf_topk,
     }
 
 

@@ -1164,78 +1164,85 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r9 recomputation (latest GREEN round per entry across r1-r8; judge
-# confirmed the same split in VERDICT r8): r8-latest: 50 entries,
-# r7-latest: 47, r6-latest: 42, no entry older than r6. Window = flagship
-# (1) + NEW in r9 (4: similarity_pq_adc — the ADC search path's checked
-# entry, VERDICT r8 #1: it was the only benched operator outside the
-# driver gate; corpus_incremental_ingest_bloom — the Bloom pre-filtered
-# ingest, bit-identical to the exact anti-join by construction;
-# corpus_bpe_pair_counts — BPE merge-pair counting over the vocab;
-# embeddings_pca — distributed-covariance PCA projection) +
-# CHANGED in r9 (1: similarity_ivf_topk, whose
-# _ivf_k_probes gained the probes<=k post-clamp — behavior-identical at
-# every tested SF, but edited code's r8 green proves nothing) + ALL 42
-# r6-latest entries (VERDICT r8 #2 names this cohort explicitly) + the
-# first 2 of the 47-entry r7-latest cohort in name order (the remaining
-# 45 r7 entries are first in line for r10). 1+4+1+42+2 = 50; after r9's
-# run no entry's latest green will be older than r7.
+# r10 recomputation (latest GREEN round per entry across r1-r9; judge
+# confirmed the same split in VERDICT r9): r9-latest: 50 entries,
+# r8-latest: 48, r7-latest: 45, nothing older. Window = flagship (1) +
+# NEW in r10 (2: corpus_bpe_train_merges — the full N-iteration BPE
+# merge loop, VERDICT r9 #3; similarity_pca_ivf — the composed
+# PCA→IVF→exact-re-rank retrieval stack, VERDICT r9 #4) + CHANGED in
+# r10 (2: corpus_incremental_ingest_bloom — the bit set now packs into
+# 64-bit words and no side is force-broadcast, VERDICT r9 #1, output
+# oracle-identical by construction but the plan changed;
+# embeddings_pca — undefined cosines now emit NULL instead of NaN,
+# ADVICE r9 #2) + ALL 45 r7-latest entries (VERDICT r9 #2 names this
+# cohort explicitly). 1+2+2+45 = 50; after r10's run no entry's latest
+# green will be older than r8.
+#
+# Also CHANGED in r10 but NOT in the window (capacity: the 45-entry r7
+# cohort is non-negotiable): similarity_ivf_topk (search body extracted
+# verbatim into _ivf_search — the wrapper's default plan is unchanged),
+# embeddings_pq / similarity_pq_adc (the NaN→NULL encode fix + the
+# zero-norm training filter — output bit-identical on every corpus
+# without zero-norm vectors, which includes all fixtures). Each carries
+# a direct pytest receipt for exactly the changed behavior
+# (test_zero_norm_vectors_do_not_poison_checked_flags, the IVF/ADC
+# recall gates, test_pca_ivf_rerank_recall_vs_brute_force); they head
+# the r11 window queue together with the 48-entry r8 cohort.
 
 _DRIVER_WINDOW_PRIORITY = [
     "exports_report_events",
-    # -- NEW in r9 (no driver row yet) --
-    "similarity_pq_adc",
+    # -- NEW in r10 (no driver row yet) --
+    "corpus_bpe_train_merges",
+    "similarity_pca_ivf",
+    # -- code changed in r10 (bloom word-packing; PCA NULL cosines) --
     "corpus_incremental_ingest_bloom",
-    "corpus_bpe_pair_counts",
     "embeddings_pca",
-    # -- code changed in r9 (probes post-clamp, ADVICE r8) --
-    "similarity_ivf_topk",
-    # -- r6-latest cohort: all 42 --
-    "corpus_sample_hash_mod",
-    "corpus_stratified_sample",
-    "corpus_tfidf_top_terms",
-    "cube_orders",
-    "date_ops",
-    "dedup_cc_star",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_latest_maxby",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_simhash",
-    "embeddings_quantize_int8",
-    "embeddings_standardize",
-    "events_funnel",
-    "events_sessionize_batch",
-    "events_sliding_window",
-    "events_user_sequences",
-    "global_denominators",
-    "json_extract_props",
-    "multimodal_byte_stats",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "numeric_coercion",
-    "pricing_summary",
-    "rank_in_segment_month",
-    "rank_pivot_merge_back",
-    "regex_clean_strings",
-    "rollup_lineitem",
-    "set_ops",
-    "similarity_ann_lsh",
-    "similarity_knn_brute_force",
-    "streaming_sessionize",
-    "streaming_tumbling_window_batch",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "topk_orders",
-    "union_by_name",
-    # -- r7-latest fills (first 2 in name order) --
-    "corpus_bigram_top",
-    "corpus_chunk_documents",
+    # -- r7-latest cohort: all 45 --
+    "corpus_chunk_documents_udtf",
+    "corpus_feature_hashing",
+    "corpus_length_buckets",
+    "corpus_normalize_dedup",
+    "corpus_pii_flags",
+    "corpus_repetition_stats",
+    "corpus_source_lang_rollup",
+    "corpus_train_val_test_split",
+    "dq_violations",
+    "events_retention_cohort",
+    "islands_active_months",
+    "join_hints_shuffle_hash",
+    "json_variant_extract",
+    "multimodal_audio_rms",
+    "olap_disjunctive_brackets",
+    "olap_dominant_supplier",
+    "olap_dormant_rich_customers",
+    "olap_forecast_revenue",
+    "olap_important_stock",
+    "olap_large_orders",
+    "olap_local_supplier_volume",
+    "olap_order_count_distribution",
+    "olap_order_priority_semijoin",
+    "olap_priority_linecount",
+    "olap_promo_revenue",
+    "olap_regional_revenue",
+    "olap_returned_items",
+    "olap_shipping_priority",
+    "olap_small_quantity_avg",
+    "olap_supplier_part_types",
+    "olap_top_revenue_supplier",
+    "posexplode_tokens",
+    "recursive_order_chains",
+    "scd2_history",
+    "sketch_count_min",
+    "stats_corr",
+    "stats_moments_group",
+    "string_funcs_customer",
+    "text_c4_filter",
+    "text_lang_mismatch",
+    "text_unigram_logprob",
+    "unpivot_part",
+    "upsert_full_outer",
+    "window_distribution",
+    "window_fill_forward",
 ]
 
 

@@ -1265,6 +1265,168 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-table training — the full N-iteration loop
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB replay of the full merge loop, unrolled to ``n_merges``
+    iterations over the VOCAB-sized frequency table (the loop is
+    SQL-expressible per iteration — VERDICT r9 #3). DuckDB 1.0 has no
+    fold-with-initial-value, so the greedy left-to-right merge apply is
+    expressed relationally instead: symbols as (w, pos, sym) rows, match
+    flags via lead(), greedy non-overlap selection as "odd rank within
+    each island of CONSECUTIVE match positions" (two matches conflict
+    iff their positions differ by 1, so greedy == take 1st, 3rd, ... of
+    every run — the exact semantics of the Spark side's aggregate()
+    fold), then reassemble with row_number. Deterministic across both
+    engines via the total (count DESC, left, right) tiebreak."""
+    parts = [
+        r"""
+WITH wf AS MATERIALIZED (
+    SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ) WHERE w <> '' GROUP BY w
+),
+s0 AS MATERIALIZED (
+    SELECT w, CAST(pos AS BIGINT) AS pos, substr(w, CAST(pos AS INT), 1) AS sym
+    FROM (SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM wf)
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p, s_prev = i, i - 1
+        parts.append(f"""
+c{p} AS MATERIALIZED (
+    SELECT l, r, SUM(freq) AS cnt FROM (
+        SELECT s.w, s.sym AS l,
+               lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS r
+        FROM s{s_prev} s
+    ) q JOIN wf USING (w)
+    WHERE r IS NOT NULL GROUP BY l, r
+),
+t{p} AS MATERIALIZED (SELECT l, r, cnt FROM c{p} ORDER BY cnt DESC, l, r LIMIT 1),
+m{p} AS MATERIALIZED (
+    SELECT s.w, s.pos, s.sym,
+           (s.sym = t.l AND
+            lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = t.r) AS is_m
+    FROM s{s_prev} s CROSS JOIN t{p} t
+),
+sel{p} AS MATERIALIZED (
+    SELECT w, pos FROM (
+        SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl
+        FROM m{p} WHERE is_m
+    ) QUALIFY row_number() OVER (PARTITION BY w, isl ORDER BY pos) % 2 = 1
+),
+s{p} AS MATERIALIZED (
+    SELECT z.w, row_number() OVER (PARTITION BY z.w ORDER BY z.pos) AS pos,
+           CASE WHEN a.pos IS NOT NULL THEN t.l || t.r ELSE z.sym END AS sym
+    FROM m{p} z
+    CROSS JOIN t{p} t
+    LEFT JOIN sel{p} a ON a.w = z.w AND a.pos = z.pos
+    LEFT JOIN sel{p} b ON b.w = z.w AND b.pos = z.pos - 1
+    WHERE b.pos IS NULL
+)""")
+    selects = [
+        f"SELECT {i} AS merge_rank, l AS merge_left, r AS merge_right,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank"
+
+
+BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_MERGES)
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The FULL BPE training loop (Sennrich et al. 2016), extending
+    ``bpe_pair_counts`` from one counting pass to the N-iteration merge
+    table a tokenizer build consumes: each iteration counts adjacent
+    symbol pairs weighted by word frequency, takes the top pair
+    (count DESC, then (left, right) — a total order for cross-engine
+    determinism), applies it greedily left-to-right to every word's
+    symbol sequence, and recounts.
+
+    Scale shape (VERDICT r9 #3): the corpus is touched EXACTLY ONCE —
+    the word-frequency aggregation (corpus-sized shuffle down to vocab
+    size). Every iteration after that rides the VOCAB: pair counting
+    explodes vocab × word-length rows, and the merge apply is a pure
+    JVM ``aggregate()`` fold over each word's symbol array (state =
+    (emitted symbols, carry); carry==left ∧ next==right → emit merged,
+    reset — exact greedy non-overlap semantics, no Python, no shuffle).
+    Per-iteration driver crossing is ONE row (the top pair) — model
+    state, like the Lloyd trainers. The vocab frame is re-persisted per
+    iteration and the old one released, so lineage stays one select
+    deep. Stops early if the vocab runs out of pairs."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    vocab = wf.select(F.split("w", "").alias("syms"), "freq").persist()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                vocab.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                        )
+                    ).alias("p"),
+                    "freq",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((rank, left, right, cnt))
+
+            def _acc(out, carry):
+                return F.named_struct(
+                    F.lit("out"), out, F.lit("carry"), carry
+                )
+
+            merged_lit = F.lit(left + right)
+            null_s = F.lit(None).cast("string")
+            new_syms = F.aggregate(
+                "syms",
+                _acc(F.array().cast("array<string>"), null_s),
+                lambda acc, s: F.when(acc["carry"].isNull(), _acc(acc["out"], s))
+                .when(
+                    (acc["carry"] == F.lit(left)) & (s == F.lit(right)),
+                    _acc(F.concat(acc["out"], F.array(merged_lit)), null_s),
+                )
+                .otherwise(_acc(F.concat(acc["out"], F.array(acc["carry"])), s)),
+                lambda acc: F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+                    F.concat(acc["out"], F.array(acc["carry"]))
+                ),
+            )
+            nxt = vocab.select(new_syms.alias("syms"), "freq").persist()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, merge_left string, merge_right string, pair_count long",
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_incremental_ingest": (incremental_ingest, INCREMENTAL_INGEST_ORACLE),
     "corpus_incremental_ingest_bucketed": (
@@ -1276,6 +1438,7 @@ CATALOG: dict[str, tuple] = {
         INCREMENTAL_INGEST_ORACLE,
     ),
     "corpus_bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
+    "corpus_bpe_train_merges": (bpe_train_merges, BPE_TRAIN_ORACLE),
     "corpus_length_trim": (length_trim, LENGTH_TRIM_ORACLE),
     "corpus_mix_weights": (mix_weights, MIX_WEIGHTS_ORACLE),
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),

@@ -838,12 +838,27 @@ def ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
     fraction never improved with scale). Centroids are plan literals
     (k x dim), no broadcast table needed; the count() sizing k is a
     scalar model decision, same as semdedup_kmeans_keep.
+
+    r10: index build + probe extracted into ``_ivf_search`` so the
+    PCA-composed retrieval stack (``pca_ivf_topk``) can run the SAME
+    search over projected vectors — this wrapper's plan is unchanged.
     """
     v = _normalized(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     ).persist()  # shared by the training iterations' repeated actions
+    return _ivf_search(spark, sf_dir, v, top_k)
+
+
+def _ivf_search(
+    spark: SparkSession, sf_dir: str, v: DataFrame, top_k: int
+) -> DataFrame:
+    """Index build + probe over an already-NORMALIZED, PERSISTED
+    (vec_id, e) frame ``v`` (ownership transfers: unpersisted here once
+    the tagged corpus is checkpointed). Dimension-agnostic — every
+    component (Lloyd partials, assign/probe matmuls, cosine fold) takes
+    its width from the vectors themselves."""
     try:
         n = v.count()
         k, probes = _ivf_k_probes(n)
@@ -1864,3 +1879,125 @@ def pca_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CATALOG["embeddings_pca"] = (pca_checked, PCA_CHECKED_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Composed retrieval stack: PCA-reduce → IVF over the PROJECTED vectors
+# (VERDICT r9 #4 — the standard compressed-retrieval pipeline, proving
+# the r8/r9 pieces compose in one plan)
+# ---------------------------------------------------------------------------
+
+# Shortlist width: the compressed index returns SHORTLIST_MULT x top_k
+# candidates per query; the exact full-dimension re-rank then keeps
+# top_k. Same two-phase contract as pq_adc_topk's ADC_SHORTLIST.
+PCA_IVF_SHORTLIST_MULT = 10
+
+# Aggregate recall of the composed PCA(r=32)→IVF→exact-re-rank stack
+# against the FULL-DIMENSION brute force, measured before pinning
+# (r10): the fixture vectors are near-ISOTROPIC — the worst case for
+# PCA truncation, the top-32 subspace holds only ~57-65% of the
+# variance, so the PROJECTED-only search recovers just 0.44-0.48 of
+# the full-dim top-k; the exact re-rank over the 10x shortlist is what
+# restores production recall. Measured with re-rank: recall@5 0.88 /
+# 0.86 / 0.66 and recall@10 0.80 / 0.77 / 0.71 at sf0.001/0.01/0.1 —
+# the slow decay is the constant shortlist covering a shrinking corpus
+# fraction (the standard FAISS refine k_factor trade; raise
+# SHORTLIST_MULT to buy recall back at constant per-query cost). Floor
+# leaves margin for k-means-init sensitivity, same policy as
+# IVF_RECALL_FLOOR.
+PCA_IVF_RECALL_FLOOR = 0.6
+
+
+def pca_ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
+    """PCA-compress → IVF-search → exact re-rank: the standard
+    compressed-retrieval pipeline (FAISS's PCA/OPQ + IVF + refine),
+    composed from the r8/r9 pieces in ONE plan:
+
+    1. project every vector onto the top-r principal components
+       (``pca_project``: one covariance pass + driver eigh + projection
+       matmul), zero-pad the r=32 projections back to d=64 (cosine over
+       a zero-padded vector equals cosine in the r-subspace, so the
+       dim-sized IVF components — Lloyd partials schema, assign/probe
+       matmuls — are reused bit-for-bit);
+    2. IVF index build + probe over the PROJECTED corpus
+       (``_ivf_search``, corpus-scaled k/probes) returning a
+       ``SHORTLIST_MULT x top_k`` candidate shortlist per query scored
+       by the cheap r-dim cosine;
+    3. exact FULL-dimension re-rank of the shortlist only — a
+       shortlist-sized equi-join back to the original vectors, so the
+       expensive d-dim cosine runs on ~mult*k rows/query, never the
+       corpus.
+
+    At 100 TB the index stores r floats per vector instead of d (2x
+    memory/FLOP cut on the scan path) while the re-rank touches a
+    per-query-constant candidate set; recall against the full-dimension
+    ground truth is measured and floored (PCA_IVF_RECALL_FLOOR). The
+    padding is an index-layout convenience, not a storage cost — a
+    production index would store the r-dim arrays and size
+    ``_PARTIAL_SCHEMA`` to r."""
+    proj = pca_project(spark, sf_dir).select(
+        "vec_id",
+        F.concat(
+            F.col("proj"), F.array_repeat(F.lit(0.0), _DIM - PCA_R)
+        ).alias("e"),
+    )
+    v = _normalized(proj).persist()
+    shortlist = _ivf_search(
+        spark, sf_dir, v, top_k * PCA_IVF_SHORTLIST_MULT
+    ).select("query_id", "neighbor_id")
+
+    full = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nrm", l2_norm(F.col("e")))
+    cand = full.join(
+        F.broadcast(shortlist),
+        full["vec_id"] == F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", F.col("e").alias("ne"), F.col("nrm").alias("nn"))
+    q = full.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("nq")
+    )
+    scored = cand.join(F.broadcast(q), F.col("query_id") == F.col("qid")).withColumn(
+        "cos",
+        F.when(
+            (F.col("nq") > 0) & (F.col("nn") > 0),
+            dot(F.col("qe"), F.col("ne")) / (F.col("nq") * F.col("nn")),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+PCA_IVF_CHECKED_ORACLE = f"""
+SELECT query_id, neighbor_id, cosine, rn, TRUE AS recall_ok
+FROM ({KNN_ORACLE}) t
+"""
+
+
+def pca_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form (the similarity_ivf_topk / similarity_pq_adc
+    contract): exact FULL-DIMENSION brute-force top-k rows
+    (hash-checked against the oracle's portable cosine chain) plus a
+    ``recall_ok`` boolean asserting the composed PCA→IVF search
+    recovers at least PCA_IVF_RECALL_FLOOR of those exact pairs in
+    aggregate — a regression in EITHER stage (projection skew, centroid
+    collapse, probe routing) drops the overlap and flips the hash."""
+    exact = knn_brute_force(spark, sf_dir)
+    approx = pca_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    tot = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count("*").alias("n_hit"))  # 1 row
+    )
+    recall_ok = (
+        F.col("n_hit") / F.lit(N_QUERIES * TOP_K) >= PCA_IVF_RECALL_FLOOR
+    ).alias("recall_ok")
+    return exact.crossJoin(F.broadcast(tot)).select(
+        "query_id", "neighbor_id", "cosine", "rn", recall_ok
+    )
+
+
+CATALOG["similarity_pca_ivf"] = (pca_ivf_checked, PCA_IVF_CHECKED_ORACLE)

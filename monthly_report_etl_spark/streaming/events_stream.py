@@ -402,13 +402,20 @@ def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def interval_join_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def interval_join_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming twin: two readStreams, watermarks on BOTH sides, a
     time-interval join condition. The watermarks bound the buffered state
     to the attribution window (+ lateness) — without them a stream-stream
-    join's state grows with the stream."""
+    join's state grows with the stream. State law (measured by
+    ``tools/stream_soak.py``, SCALE.md §8g): buffered rows ≈ arrival
+    rate × (watermark delay + interval span) on each side — it scales
+    with the event RATE inside that horizon, never with stream length;
+    ``max_files_per_trigger`` exists so the soak can drive a
+    multi-batch run where eviction actually happens between batches."""
     def _stream():
-        return _read_events_stream(spark, src_dir)
+        return _read_events_stream(spark, src_dir, max_files_per_trigger)
 
     c = (
         _stream()

@@ -402,3 +402,76 @@ def test_pca_partials_match_direct_covariance(spark, vecs):
     if w_ref[3] - w_ref[4] > 1e-6:
         proj = Vr @ (Vr.T @ V)
         assert np.allclose(proj, V, atol=1e-5)
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxy ", min_size=0, max_size=12),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_bpe_train_merges_match_python_reference(spark, words):
+    """The full N-iteration merge loop (vocab-resident aggregate() fold)
+    must agree with a direct Python BPE trainer on arbitrary corpora:
+    same merge table — rank, pair, count — under the same greedy
+    left-to-right non-overlap apply rule and (count desc, left, right)
+    tiebreak. Overlap runs ("aaa" with pair (a,a)), early vocab
+    exhaustion, and merged-symbol pairs in later iterations are all in
+    scope of the generator."""
+    import os
+    import re as _re
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.operators.corpus import (
+        BPE_MERGES,
+        bpe_train_merges,
+    )
+
+    wf: Counter = Counter()
+    for doc in words:
+        for w in _re.split(r"\s+", doc.strip()):
+            if w:
+                wf[w] += 1
+    vocab = {w: list(w) for w in wf}
+    ref: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((rank, l, r, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    outdir = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(words)),
+            "text": words,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(w) for w in words],
+        }
+    ).to_parquet(os.path.join(outdir, "documents.parquet"), index=False)
+
+    got = [
+        (r["merge_rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_train_merges(spark, outdir).collect()
+    ]
+    assert got == ref

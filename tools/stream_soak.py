@@ -52,12 +52,18 @@ N_BATCH_FILES = int(os.environ.get("SPARK_GRAFT_SOAK_BATCHES", "20"))
 
 def _stage_replica_files(replicas: int) -> str:
     """Rx replica of the SF events table, globally time-sorted and split
-    into N_BATCH_FILES sequential parquet files (zero-padded names: the
-    file source lists lexicographically, so batch order == time order).
+    into N_BATCH_FILES sequential parquet files. Spark's FileStreamSource
+    orders files by MODIFICATION TIME (ties unspecified — ADVICE r9 #3:
+    fast sequential writes can land on the same mtime granularity and
+    process out of time order, silently inflating watermark drops), so
+    each part file gets an explicit strictly-increasing mtime via
+    os.utime() after writing; the zero-padded names are for humans.
     Cached by source (mtime, size) fingerprint."""
     src = os.path.join(SF_DIR, "events.parquet")
     st = os.stat(src)
-    tag = f"{os.path.basename(SF_DIR)}_{replicas}x_{N_BATCH_FILES}f_{int(st.st_mtime)}_{st.st_size}"
+    # v2: explicit strictly-increasing mtimes (a pre-fix staged dir may
+    # carry tied mtimes, so the layout version is part of the cache key)
+    tag = f"{os.path.basename(SF_DIR)}_{replicas}x_{N_BATCH_FILES}f_{int(st.st_mtime)}_{st.st_size}_v2"
     out = f"/tmp/spark_graft_soak_{tag}"
     done = os.path.join(out, "_STAGED")
     if os.path.exists(done):
@@ -75,8 +81,11 @@ def _stage_replica_files(replicas: int) -> str:
     full = pd.concat(parts, ignore_index=True).sort_values(
         "ts", kind="stable", ignore_index=True
     )
+    base = time.time() - 10 * N_BATCH_FILES
     for j, chunk in enumerate(np.array_split(full, N_BATCH_FILES)):
-        chunk.to_parquet(os.path.join(out, f"part-{j:04d}.parquet"), index=False)
+        path = os.path.join(out, f"part-{j:04d}.parquet")
+        chunk.to_parquet(path, index=False)
+        os.utime(path, (base + 10 * j, base + 10 * j))  # strict mtime order
     with open(done, "w") as f:
         f.write("ok")
     return out
@@ -84,16 +93,26 @@ def _stage_replica_files(replicas: int) -> str:
 
 def _soak(spark, replicas: int, shape: str = "windowed_counts") -> dict:
     """shape: 'windowed_counts' (state = open (window, type) groups —
-    must stay FLAT as input scales) or 'dedup' (state = distinct
+    must stay FLAT as input scales), 'dedup' (state = distinct
     (user_id, event_type) keys inside the 1h lateness horizon — grows
     with key RATE by contract, never with total history; eviction shows
-    as state << cumulative keys processed)."""
+    as state << cumulative keys processed), or 'interval_join' (the
+    stream-stream attribution join: BOTH sides buffered within the
+    watermark+interval horizon, so state follows arrival rate × horizon
+    — replicas multiply the rate over a fixed event-time span, so
+    state_rows should scale ~linearly with replicas while staying far
+    below cumulative input, and end < max shows eviction)."""
     from monthly_report_etl_spark.streaming.events_stream import (
         dedup_stream,
+        interval_join_stream,
         windowed_counts_stream,
     )
 
-    builder = {"windowed_counts": windowed_counts_stream, "dedup": dedup_stream}[shape]
+    builder = {
+        "windowed_counts": windowed_counts_stream,
+        "dedup": dedup_stream,
+        "interval_join": interval_join_stream,
+    }[shape]
     src = _stage_replica_files(replicas)
     n_rows = spark.read.parquet(src).count()
     t0 = time.perf_counter()
@@ -143,7 +162,7 @@ def main() -> None:
     shapes = [
         s
         for s in os.environ.get(
-            "SPARK_GRAFT_SOAK_SHAPES", "windowed_counts,dedup"
+            "SPARK_GRAFT_SOAK_SHAPES", "windowed_counts,dedup,interval_join"
         ).split(",")
         if s
     ]
