@@ -99,6 +99,7 @@ HEADLINE = [
     # r10 additions
     "corpus_bpe_train_merges",
     "similarity_pca_ivf",
+    "corpus_incremental_ingest_neardup",
 ]
 
 # Pure-path benchables: dedup_semdedup_kmeans, similarity_pq_adc, and
@@ -110,11 +111,10 @@ HEADLINE = [
 
 def _extra_headline():
     from monthly_report_etl_spark.operators.similarity import (
+        pca_ivf_topk,
         pq_adc_topk,
         semdedup_kmeans_keep,
     )
-
-    from monthly_report_etl_spark.operators.similarity import pca_ivf_topk
 
     return {
         "dedup_semdedup_kmeans": semdedup_kmeans_keep,

@@ -1266,6 +1266,106 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NEAR-duplicate incremental ingest (MinHash/LSH against the corpus)
+# ---------------------------------------------------------------------------
+
+# The incoming batch for the NEAR-dup ingest is a doc_id-mod slice (30%
+# of the corpus) rather than the exact ingest's source-keyed split:
+# the fixture's planted near-dups never cross the src19 boundary at
+# sf0.01, which would leave the drop path green-but-vacuous at the
+# driver's oracle SF. A deterministic mod slice is the same fixture
+# convention as corpus_sample_hash_mod and guarantees both drop paths
+# (incoming×existing and in-batch) execute at every tested SF.
+NEARDUP_BATCH_MOD = 10
+NEARDUP_BATCH_LT = 3
+
+
+def _neardup_oracle() -> str:
+    from monthly_report_etl_spark.operators.dedup import _minhash_oracle
+
+    m, lt = NEARDUP_BATCH_MOD, NEARDUP_BATCH_LT
+    pred = (
+        f"a.doc_id % {m} < {lt} AND "
+        f"(b.doc_id % {m} >= {lt} OR "
+        f"(b.doc_id % {m} < {lt} AND a.doc_id < b.doc_id))"
+    )
+    return f"""
+WITH pairs AS ({_minhash_oracle(cand_pred=pred)})
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % {m} < {lt}
+  AND d.doc_id NOT IN (
+    SELECT CASE WHEN doc_b % {m} < {lt} THEN doc_b ELSE doc_a END
+    FROM pairs)
+"""
+
+
+NEARDUP_INGEST_ORACLE = _neardup_oracle()
+
+
+def incremental_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate incremental ingest — the production daily-batch
+    shape one level up from ``incremental_ingest``'s exact-key
+    anti-join (the CCNet/Dolma fuzzy-dedup stage): an incoming doc is
+    dropped iff exact n-gram Jaccard >= 0.5 against (a) ANY existing
+    corpus doc, or (b) a LOWER-doc_id doc within its own batch (the
+    pairwise lower-id drop rule SemDeDup uses — no transitive closure,
+    so the result is SQL-replayable). Candidates come from the portable
+    MinHash/LSH banding (``dedup.portable_band_rows`` — the identical
+    signature → band chain the hash-green dedup_minhash_lsh entry
+    pins), verified by exact Jaccard; the whole chain is recomputed by
+    the oracle, so this entry is FULLY hash-checked, not bounds-checked.
+
+    Scale shape: the existing corpus NEVER self-joins — candidate
+    generation is incoming-bands ⋈ existing-bands plus the batch-sized
+    incoming self-join, both equi-joins on 8-byte (band, key); exact
+    verification touches candidates only. At steady state the
+    existing-side signatures/bands are a write-once table bucketed on
+    (band, key) next to the exact-key table (the
+    ``incremental_ingest_bucketed`` pattern), so a daily batch shuffles
+    only itself. Docs with < 3 tokens have no shingles and always
+    survive — by construction in both engines."""
+    from monthly_report_etl_spark.operators.dedup import (
+        _verify_jaccard,
+        minhash_signature_columns,
+        portable_band_rows,
+    )
+
+    is_inc = (F.col("doc_id") % NEARDUP_BATCH_MOD) < NEARDUP_BATCH_LT
+    incoming_ids = _docs(spark, sf_dir).select("doc_id").filter(is_inc)
+    bands = portable_band_rows(minhash_signature_columns(spark, sf_dir))
+    inc_b = bands.filter(is_inc)
+    ex_b = bands.filter(~is_inc)
+    a, b = inc_b.alias("a"), ex_b.alias("b")
+    cross = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ia, ib = inc_b.alias("ia"), inc_b.alias("ib")
+    inbatch = (
+        ia.join(
+            ib,
+            (F.col("ia.band") == F.col("ib.band"))
+            & (F.col("ia.key") == F.col("ib.key"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .select(F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ver = _verify_jaccard(spark, sf_dir, cross.union(inbatch).distinct())
+    # cross pairs: doc_a is the incoming side -> drop doc_a;
+    # in-batch pairs: doc_a < doc_b, both incoming -> drop doc_b
+    dropped = ver.select(
+        F.when(
+            (F.col("doc_b") % NEARDUP_BATCH_MOD) < NEARDUP_BATCH_LT, F.col("doc_b")
+        )
+        .otherwise(F.col("doc_a"))
+        .alias("doc_id")
+    ).distinct()
+    return incoming_ids.join(dropped, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # BPE merge-table training — the full N-iteration loop
 # ---------------------------------------------------------------------------
 
@@ -1439,6 +1539,10 @@ CATALOG: dict[str, tuple] = {
     ),
     "corpus_bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_ORACLE),
     "corpus_bpe_train_merges": (bpe_train_merges, BPE_TRAIN_ORACLE),
+    "corpus_incremental_ingest_neardup": (
+        incremental_ingest_neardup,
+        NEARDUP_INGEST_ORACLE,
+    ),
     "corpus_length_trim": (length_trim, LENGTH_TRIM_ORACLE),
     "corpus_mix_weights": (mix_weights, MIX_WEIGHTS_ORACLE),
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),

@@ -429,14 +429,11 @@ def _portable_band_key(i: int):
     return k
 
 
-def minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via portable-hash MinHash banding + exact-Jaccard
-    verification — hash-checkable against MINHASH_LSH_ORACLE, which
-    recomputes the identical signature → band → candidate → verify chain
-    in DuckDB. Same shuffle shape as minhash_lsh_pairs: candidate
-    generation moves (doc_id, band, key) triples only."""
-    sigs = minhash_signature_columns(spark, sf_dir)
-    bands = sigs.select(
+def portable_band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from portable signature columns — the
+    8-byte exchange unit every LSH consumer joins on (extracted r10 so
+    the near-dup INGEST shape reuses the identical banding)."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -450,6 +447,16 @@ def minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via portable-hash MinHash banding + exact-Jaccard
+    verification — hash-checkable against MINHASH_LSH_ORACLE, which
+    recomputes the identical signature → band → candidate → verify chain
+    in DuckDB. Same shuffle shape as minhash_lsh_pairs: candidate
+    generation moves (doc_id, band, key) triples only."""
+    sigs = minhash_signature_columns(spark, sf_dir)
+    bands = portable_band_rows(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -475,7 +482,12 @@ def _duckdb_fingerprint(expr: str) -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(cand_pred: str = "a.doc_id < b.doc_id") -> str:
+    """The full portable MinHash chain as DuckDB SQL. ``cand_pred``
+    parameterizes the candidate-pair predicate (r10): the default is
+    the symmetric all-pairs dedup; the near-dup INGEST oracle
+    (corpus.py) restricts pairs to incoming×existing ∪ incoming<incoming
+    with the SAME signature/band/verify chain."""
     m = FINGERPRINT_MOD
     mins = ",\n           ".join(
         f"min((h * {a} + {b}) % {m}) AS m{j}"
@@ -516,7 +528,7 @@ bands AS (
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      ON a.band = b.band AND a.key = b.key AND ({cand_pred})
 ),
 sets AS (
     SELECT doc_id,

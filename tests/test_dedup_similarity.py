@@ -730,3 +730,50 @@ def test_pca_ivf_checked_flags_are_true(spark, sf_dir):
         .collect()
     )
     assert len(flags) == 1 and flags[0]["recall_ok"] is True, flags
+
+
+def test_neardup_ingest_drop_paths_non_vacuous(spark, sf_dir):
+    """corpus_incremental_ingest_neardup must actually exercise BOTH
+    drop paths at the oracle-tested SFs (the doc_id-mod batch split was
+    chosen over the exact ingest's source split precisely because the
+    latter has zero near-dup crossings at sf0.01 — a green row over an
+    empty drop set proves nothing). Assert: survivors < incoming
+    (something dropped), at least one incoming×existing drop and at
+    least one in-batch lower-id drop, and every dropped doc has a
+    verified near-dup justifying it (soundness — recomputed through the
+    hash-green all-pairs entry)."""
+    from monthly_report_etl_spark.operators.corpus import (
+        NEARDUP_BATCH_LT,
+        NEARDUP_BATCH_MOD,
+        incremental_ingest_neardup,
+    )
+
+    inc = lambda i: i % NEARDUP_BATCH_MOD < NEARDUP_BATCH_LT  # noqa: E731
+    survivors = {
+        r["doc_id"] for r in incremental_ingest_neardup(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    incoming = {r["doc_id"] for r in docs.select("doc_id").collect() if inc(r["doc_id"])}
+    dropped = incoming - survivors
+    assert dropped, "drop path vacuous: nothing dropped"
+    assert survivors < incoming
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs_portable(spark, sf_dir).collect()
+    }
+    sym = pairs | {(b, a) for a, b in pairs}
+    cross_drops = {
+        d for d in dropped if any(not inc(o) for o, x in sym if x == d)
+    }
+    inbatch_drops = {
+        d
+        for d in dropped
+        if any(inc(o) and o < d for o, x in sym if x == d)
+    }
+    assert cross_drops, "no incoming-vs-existing drop exercised"
+    assert inbatch_drops, "no in-batch lower-id drop exercised"
+    # soundness: every drop is justified by a verified pair
+    assert dropped == cross_drops | inbatch_drops, (
+        dropped - (cross_drops | inbatch_drops)
+    )
