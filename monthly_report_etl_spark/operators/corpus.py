@@ -1461,8 +1461,10 @@ def bpe_train_merges(
     reset — exact greedy non-overlap semantics, no Python, no shuffle).
     Per-iteration driver crossing is ONE row (the top pair) — model
     state, like the Lloyd trainers. The vocab frame is re-persisted per
-    iteration and the old one released, so lineage stays one select
-    deep. Stops early if the vocab runs out of pairs."""
+    iteration and the PARENT released only after the child has
+    materialized (the top-pair collect), so lineage stays one cached
+    select deep and the corpus is never re-read. Stops early if the
+    vocab runs out of pairs."""
     d = _docs(spark, sf_dir)
     words = (
         d.filter(F.trim("text") != "")
@@ -1471,6 +1473,7 @@ def bpe_train_merges(
     )
     wf = words.groupBy("w").agg(F.count("*").alias("freq"))
     vocab = wf.select(F.split("w", "").alias("syms"), "freq").persist()
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
@@ -1491,6 +1494,15 @@ def bpe_train_merges(
                 .limit(1)
                 .collect()
             )
+            # the collect above MATERIALIZED the current (persisted)
+            # vocab, so its parent's cache is no longer needed — only
+            # now is it safe to release (unpersisting before the child
+            # materializes would force every iteration to recompute the
+            # whole lineage back to the corpus: N corpus passes instead
+            # of one, exactly the claim this operator makes)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
@@ -1517,9 +1529,10 @@ def bpe_train_merges(
                 ),
             )
             nxt = vocab.select(new_syms.alias("syms"), "freq").persist()
-            vocab.unpersist()
-            vocab = nxt
+            prev, vocab = vocab, nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         vocab.unpersist()
     return spark.createDataFrame(
         merges,
