@@ -705,7 +705,11 @@ def _assign_centroid_udf(centroids: list[list[float]]):
     return assign
 
 
-_PARTIAL_SCHEMA = "cid int, n long, " + ", ".join(f"s{d} double" for d in range(_DIM))
+def _partial_schema(dim: int) -> str:
+    return "cid int, n long, " + ", ".join(f"s{d} double" for d in range(dim))
+
+
+_PARTIAL_SCHEMA = _partial_schema(_DIM)
 
 
 def _lloyd_partials_udf(centroids: list[list[float]]):
@@ -717,10 +721,10 @@ def _lloyd_partials_udf(centroids: list[list[float]]):
     import numpy as np
 
     c = np.array(centroids, dtype=np.float64).T  # dim x k
-    k = c.shape[1]
+    dim, k = c.shape
 
     def partials(batches):
-        sums = np.zeros((k, _DIM))
+        sums = np.zeros((k, dim))
         counts = np.zeros(k, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):  # zero-row Arrow batch: np.stack([]) would raise
@@ -730,7 +734,7 @@ def _lloyd_partials_udf(centroids: list[list[float]]):
             np.add.at(sums, cid, m)
             counts += np.bincount(cid, minlength=k)
         out = pd.DataFrame({"cid": np.arange(k, dtype=np.int32), "n": counts})
-        for d in range(_DIM):
+        for d in range(dim):
             out[f"s{d}"] = sums[:, d]
         yield out[counts > 0]
 
@@ -803,16 +807,20 @@ def train_ivf_centroids(
     try:
         centroids = [
             r["e"] for r in v.orderBy("vec_id").limit(k).collect()
-        ]  # k x 64 floats: model init, not a data path
+        ]  # k x dim floats: model init, not a data path
+        if not centroids:
+            raise ValueError("cannot train IVF centroids on an empty corpus")
+        dim = len(centroids[0])  # r10: dim from the data, not _DIM — the
+        # PCA-composed stack trains over r=32-dim projected vectors
         for _ in range(iters):
             parts = v.select("e").mapInPandas(
-                _lloyd_partials_udf(centroids), _PARTIAL_SCHEMA
+                _lloyd_partials_udf(centroids), _partial_schema(dim)
             )
-            sums = np.zeros((k, _DIM))
+            sums = np.zeros((k, dim))
             counts = np.zeros(k, dtype=np.int64)
             for r in parts.collect():  # ≤ #partitions x k rows: model state
                 counts[r["cid"]] += r["n"]
-                sums[r["cid"]] += [r[f"s{d}"] for d in range(_DIM)]
+                sums[r["cid"]] += [r[f"s{d}"] for d in range(dim)]
             centroids = [
                 (sums[cid] / counts[cid]).tolist() if counts[cid] else centroids[cid]
                 for cid in range(k)
@@ -1915,31 +1923,29 @@ def pca_ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFr
 
     1. project every vector onto the top-r principal components
        (``pca_project``: one covariance pass + driver eigh + projection
-       matmul), zero-pad the r=32 projections back to d=64 (cosine over
-       a zero-padded vector equals cosine in the r-subspace, so the
-       dim-sized IVF components — Lloyd partials schema, assign/probe
-       matmuls — are reused bit-for-bit);
-    2. IVF index build + probe over the PROJECTED corpus
-       (``_ivf_search``, corpus-scaled k/probes) returning a
-       ``SHORTLIST_MULT x top_k`` candidate shortlist per query scored
-       by the cheap r-dim cosine;
+       matmul);
+    2. IVF index build + probe over the r=32-dim PROJECTED corpus
+       (``_ivf_search``, corpus-scaled k/probes — every component reads
+       its width from the vectors, so the index genuinely stores and
+       scans r-dim data) returning a ``SHORTLIST_MULT x top_k``
+       candidate shortlist per query scored by the cheap r-dim cosine;
     3. exact FULL-dimension re-rank of the shortlist only — a
        shortlist-sized equi-join back to the original vectors, so the
        expensive d-dim cosine runs on ~mult*k rows/query, never the
        corpus.
 
-    At 100 TB the index stores r floats per vector instead of d (2x
-    memory/FLOP cut on the scan path) while the re-rank touches a
-    per-query-constant candidate set; recall against the full-dimension
-    ground truth is measured and floored (PCA_IVF_RECALL_FLOOR). The
-    padding is an index-layout convenience, not a storage cost — a
-    production index would store the r-dim arrays and size
-    ``_PARTIAL_SCHEMA`` to r."""
+    At 100 TB the index stores r floats per vector instead of d — a
+    REAL 2x memory/FLOP cut on the index scan path (r10: the first
+    build zero-padded projections back to d=64 as a layout convenience,
+    which kept the FLOP cut but forfeited the memory cut; the Lloyd
+    partials schema/sums now size from the data) — while the re-rank
+    touches a per-query-constant candidate set; recall against the
+    full-dimension ground truth is measured and floored
+    (PCA_IVF_RECALL_FLOOR), and is IDENTICAL to the padded form's:
+    cosine over a zero-padded vector equals cosine in the r-subspace,
+    so dropping the padding changes no assignment, probe, or score."""
     proj = pca_project(spark, sf_dir).select(
-        "vec_id",
-        F.concat(
-            F.col("proj"), F.array_repeat(F.lit(0.0), _DIM - PCA_R)
-        ).alias("e"),
+        "vec_id", F.col("proj").alias("e")
     )
     v = _normalized(proj).persist()
     shortlist = _ivf_search(
