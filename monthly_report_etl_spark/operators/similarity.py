@@ -709,9 +709,6 @@ def _partial_schema(dim: int) -> str:
     return "cid int, n long, " + ", ".join(f"s{d} double" for d in range(dim))
 
 
-_PARTIAL_SCHEMA = _partial_schema(_DIM)
-
-
 def _lloyd_partials_udf(centroids: list[list[float]]):
     """One Lloyd iteration's map side as a single Arrow pass: per
     partition, assign every vector to its argmax-dot centroid and emit k
@@ -794,16 +791,23 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    owned = v is None
-    if owned:
+    persisted = None  # the frame WE persisted (pre-filter), if owned
+    if v is None:
         # persist: every Lloyd iteration re-reads the normalized corpus;
         # without the cache each iteration re-runs the scan + HOF
         # normalization (measured ~3x the training time)
-        v = _normalized(
+        persisted = _normalized(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("e")
             )
         ).persist()
+        v = persisted
+    # zero-norm inputs normalize to all-NULL arrays (ANSI-off x/0) and
+    # would poison the driver-side centroid sums with Nones — exclude
+    # them from TRAINING only (code-review r10: train_pq_codebooks got
+    # this guard first; the search path tolerates the row — its cosine
+    # is F.when-null-guarded and sorts last)
+    v = v.filter(~F.exists("e", lambda x: x.isNull()))
     try:
         centroids = [
             r["e"] for r in v.orderBy("vec_id").limit(k).collect()
@@ -826,9 +830,9 @@ def train_ivf_centroids(
                 for cid in range(k)
             ]
     finally:
-        if owned:
+        if persisted is not None:
             # training's collects are the last actions that need the cache
-            v.unpersist()
+            persisted.unpersist()
     return centroids
 
 

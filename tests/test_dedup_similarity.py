@@ -697,6 +697,15 @@ def test_zero_norm_vectors_do_not_poison_checked_flags(spark, tmp_path):
     ).distinct().collect()
     assert len(pq_flags) == 1 and all(pq_flags[0]), pq_flags
 
+    # the IVF trainer shares the same exposure (code-review r10: the
+    # Lloyd partials crashed on the all-NULL normalized row before the
+    # training filter was mirrored there) — the checked entry must
+    # survive the zero-norm corpus end-to-end with recall intact
+    ivf_flags = similarity.ivf_topk_checked(spark, sf).select(
+        "recall_ok"
+    ).distinct().collect()
+    assert len(ivf_flags) == 1 and ivf_flags[0]["recall_ok"] is True, ivf_flags
+
 
 def test_pca_ivf_rerank_recall_vs_brute_force(spark, sf_dir):
     """The composed compressed-retrieval stack (PCA r=32 → IVF over
