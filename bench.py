@@ -100,6 +100,7 @@ HEADLINE = [
     "corpus_bpe_train_merges",
     "similarity_pca_ivf",
     "corpus_incremental_ingest_neardup",
+    "corpus_bpe_tokenize",  # staged r10; catalog promotion queued for r11
 ]
 
 # Pure-path benchables: dedup_semdedup_kmeans, similarity_pq_adc, and
@@ -110,6 +111,7 @@ HEADLINE = [
 
 
 def _extra_headline():
+    from monthly_report_etl_spark.operators.corpus import bpe_tokenize
     from monthly_report_etl_spark.operators.similarity import (
         pca_ivf_topk,
         pq_adc_topk,
@@ -120,6 +122,9 @@ def _extra_headline():
         "dedup_semdedup_kmeans": semdedup_kmeans_keep,
         "similarity_pq_adc": pq_adc_topk,
         "similarity_pca_ivf": pca_ivf_topk,
+        # staged r10 (the pq_adc_topk r8 precedent): benched + pytest
+        # differentials now, catalog entry when the r11 window opens
+        "corpus_bpe_tokenize": bpe_tokenize,
     }
 
 

@@ -1384,7 +1384,7 @@ def incremental_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 8
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_oracle_ctes(n_merges: int) -> str:
     """DuckDB replay of the full merge loop, unrolled to ``n_merges``
     iterations over the VOCAB-sized frequency table (the loop is
     SQL-expressible per iteration — VERDICT r9 #3). DuckDB 1.0 has no
@@ -1441,42 +1441,39 @@ s{p} AS MATERIALIZED (
     LEFT JOIN sel{p} a ON a.w = z.w AND a.pos = z.pos
     LEFT JOIN sel{p} b ON b.w = z.w AND b.pos = z.pos - 1
     WHERE b.pos IS NULL
+    UNION ALL
+    SELECT w, pos, sym FROM s{s_prev}
+    WHERE NOT EXISTS (SELECT 1 FROM t{p})
 )""")
+    return ",".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Merge-table final select over the shared CTE chain."""
     selects = [
         f"SELECT {i} AS merge_rank, l AS merge_left, r AS merge_right,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
         for i in range(1, n_merges + 1)
     ]
-    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_rank"
+    return (
+        _bpe_oracle_ctes(n_merges)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY merge_rank"
+    )
 
 
 BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_MERGES)
 
 
-def bpe_train_merges(
+def _bpe_train(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
-) -> DataFrame:
-    """The FULL BPE training loop (Sennrich et al. 2016), extending
-    ``bpe_pair_counts`` from one counting pass to the N-iteration merge
-    table a tokenizer build consumes: each iteration counts adjacent
-    symbol pairs weighted by word frequency, takes the top pair
-    (count DESC, then (left, right) — a total order for cross-engine
-    determinism), applies it greedily left-to-right to every word's
-    symbol sequence, and recounts.
-
-    Scale shape (VERDICT r9 #3): the corpus is touched EXACTLY ONCE —
-    the word-frequency aggregation (corpus-sized shuffle down to vocab
-    size). Every iteration after that rides the VOCAB: pair counting
-    explodes vocab × word-length rows, and the merge apply is a pure
-    JVM ``aggregate()`` fold over each word's symbol array (state =
-    (emitted symbols, carry); carry==left ∧ next==right → emit merged,
-    reset — exact greedy non-overlap semantics, no Python, no shuffle).
-    Per-iteration driver crossing is ONE row (the top pair) — model
-    state, like the Lloyd trainers. The vocab frame is re-persisted per
-    iteration and the PARENT released only after the child has
-    materialized (the top-pair collect), so lineage stays one cached
-    select deep and the corpus is never re-read. Stops early if the
-    vocab runs out of pairs."""
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Core BPE training loop; returns (merge table, final vocab frame
+    ``(w, syms, freq)``) — the vocab is PERSISTED and ownership
+    transfers to the caller (``bpe_train_merges`` releases it
+    immediately; ``bpe_tokenize`` checkpoints the word→symbols map off
+    it first). See ``bpe_train_merges`` for the scale contract."""
     d = _docs(spark, sf_dir)
     words = (
         d.filter(F.trim("text") != "")
@@ -1484,7 +1481,7 @@ def bpe_train_merges(
         .filter(F.col("w") != "")
     )
     wf = words.groupBy("w").agg(F.count("*").alias("freq"))
-    vocab = wf.select(F.split("w", "").alias("syms"), "freq").persist()
+    vocab = wf.select("w", F.split("w", "").alias("syms"), "freq").persist()
     prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -1540,15 +1537,122 @@ def bpe_train_merges(
                     F.concat(acc["out"], F.array(acc["carry"]))
                 ),
             )
-            nxt = vocab.select(new_syms.alias("syms"), "freq").persist()
+            nxt = vocab.select("w", new_syms.alias("syms"), "freq").persist()
             prev, vocab = vocab, nxt
-    finally:
+    except BaseException:
         if prev is not None:
             prev.unpersist()
         vocab.unpersist()
+        raise
+    if prev is not None:
+        prev.unpersist()
+    return merges, vocab
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The FULL BPE training loop (Sennrich et al. 2016), extending
+    ``bpe_pair_counts`` from one counting pass to the N-iteration merge
+    table a tokenizer build consumes: each iteration counts adjacent
+    symbol pairs weighted by word frequency, takes the top pair
+    (count DESC, then (left, right) — a total order for cross-engine
+    determinism), applies it greedily left-to-right to every word's
+    symbol sequence, and recounts.
+
+    Scale shape (VERDICT r9 #3): the corpus is touched EXACTLY ONCE —
+    the word-frequency aggregation (corpus-sized shuffle down to vocab
+    size). Every iteration after that rides the VOCAB: pair counting
+    explodes vocab × word-length rows, and the merge apply is a pure
+    JVM ``aggregate()`` fold over each word's symbol array (state =
+    (emitted symbols, carry); carry==left ∧ next==right → emit merged,
+    reset — exact greedy non-overlap semantics, no Python, no shuffle).
+    Per-iteration driver crossing is ONE row (the top pair) — model
+    state, like the Lloyd trainers. The vocab frame is re-persisted per
+    iteration and the PARENT released only after the child has
+    materialized (the top-pair collect), so lineage stays one cached
+    select deep and the corpus is never re-read. Stops early if the
+    vocab runs out of pairs."""
+    merges, vocab = _bpe_train(spark, sf_dir, n_merges)
+    vocab.unpersist()  # merges already collected; the vocab feeds only bpe_tokenize
     return spark.createDataFrame(
         merges,
         "merge_rank int, merge_left string, merge_right string, pair_count long",
+    )
+
+
+BPE_TOKENIZE_ORACLE = f"""
+{{ctes}},
+docw AS MATERIALIZED (
+    SELECT doc_id, wpos, w FROM (
+        SELECT doc_id,
+               unnest(range(1, len(ws) + 1)) AS wpos,
+               unnest(ws) AS w
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> '')
+    ) WHERE w <> ''
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       list(s.sym ORDER BY d.wpos, s.pos) AS tokens
+FROM docw d JOIN s{BPE_MERGES} s USING (w)
+GROUP BY d.doc_id
+""".format(ctes=_bpe_oracle_ctes(BPE_MERGES))
+
+
+def bpe_tokenize(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the trained merge table to the corpus — the CONSUMER side
+    of BPE, completing train → tokenize: every document's whitespace
+    words are segmented by the final vocab state ``_bpe_train`` already
+    holds (the word → symbol-sequence map IS the tokenizer), emitting
+    (doc_id, n_tokens, tokens in document order).
+
+    Scale shape: training rides the vocab (see ``bpe_train_merges``);
+    tokenization is ONE corpus pass — explode word instances with
+    position, equi-join the word → symbols map on the word string
+    (vocab-sized right side, AQE picks broadcast vs shuffle), reassemble
+    per doc with an ``array_sort(struct(wpos, syms))`` + ``flatten``
+    (no window, the groupBy's exchange is the only shuffle). The map is
+    ``localCheckpoint``ed off the training cache so repeated actions on
+    the result never replay the merge folds.
+
+    Staged r10 (the ``pq_adc_topk`` precedent: operator + differential
+    tests + bench first, catalog promotion when the r11 driver window
+    has a slot): BPE_TOKENIZE_ORACLE replays the segmentation in DuckDB
+    over the same CTE chain as the merge-table oracle and is pinned by
+    the pytest differential now. The oracle assumes the corpus yields
+    at least BPE_MERGES merges (every fixture SF does — with fewer, the
+    early-stop CTE guard keeps s{{i}} at the last trained state, same
+    as the Spark loop)."""
+    _, vocab = _bpe_train(spark, sf_dir, n_merges)
+    seg = vocab.select("w", "syms").localCheckpoint(eager=True)
+    vocab.unpersist()
+    d = _docs(spark, sf_dir)
+    docw = (
+        d.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("wpos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    return (
+        docw.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.array_sort(F.collect_list(F.struct("wpos", "syms"))).getField(
+                    "syms"
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
     )
 
 

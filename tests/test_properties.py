@@ -475,3 +475,115 @@ def test_bpe_train_merges_match_python_reference(spark, words):
         for r in bpe_train_merges(spark, outdir).collect()
     ]
     assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxy ", min_size=0, max_size=12),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_bpe_tokenize_matches_python_reference(spark, words):
+    """bpe_tokenize (staged r10, catalog promotion queued for r11) must
+    reproduce a direct Python BPE tokenizer exactly: train BPE_MERGES
+    merges, apply them greedily left-to-right per word in rank order,
+    and emit every document's token sequence in document order —
+    including early vocab exhaustion (fewer pairs than merges leaves
+    the last trained state in force) and documents that vanish because
+    they hold no non-empty words."""
+    import os
+    import re as _re
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.operators.corpus import (
+        BPE_MERGES,
+        bpe_tokenize,
+    )
+
+    wf: Counter = Counter()
+    doc_words: list[list[str]] = []
+    for doc in words:
+        ws = [w for w in _re.split(r"\s+", doc.strip()) if w]
+        doc_words.append(ws)
+        wf.update(ws)
+    vocab = {w: list(w) for w in wf}
+    for _ in range(BPE_MERGES):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (l, r), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    ref = {
+        doc_id: [t for w in ws for t in vocab[w]]
+        for doc_id, ws in enumerate(doc_words)
+        if ws
+    }
+
+    outdir = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(words)),
+            "text": words,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(w) for w in words],
+        }
+    ).to_parquet(os.path.join(outdir, "documents.parquet"), index=False)
+
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_tokenize(spark, outdir).collect()
+    }
+    assert got == ref
+
+
+def test_bpe_tokenize_matches_duckdb_oracle(spark, sf_dir):
+    """The r11-ready BPE_TOKENIZE_ORACLE replays the whole
+    train-then-segment chain in DuckDB; pin the differential at the
+    fixture SF now so catalog promotion is a two-line change."""
+    import duckdb
+
+    from monthly_report_etl_spark.operators.corpus import (
+        BPE_TOKENIZE_ORACLE,
+        bpe_tokenize,
+    )
+
+    sdf = (
+        bpe_tokenize(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    odf = (
+        con.execute(BPE_TOKENIZE_ORACLE)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(sdf) == len(odf)
+    assert sdf["doc_id"].astype("int64").equals(odf["doc_id"].astype("int64"))
+    assert sdf["n_tokens"].astype("int64").equals(odf["n_tokens"].astype("int64"))
+    for a, b in zip(sdf["tokens"], odf["tokens"]):
+        assert list(a) == list(b)

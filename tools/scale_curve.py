@@ -60,17 +60,12 @@ def _resolve(name: str):
     dedup_semdedup_kmeans's catalog twin wraps the operator in an O(n^2)
     exact-baseline verification harness — timing that would measure the
     harness."""
+    from bench import _extra_headline
     from monthly_report_etl_spark.catalog import QUERIES
-    from monthly_report_etl_spark.operators.similarity import (
-        pq_adc_topk,
-        semdedup_kmeans_keep,
-    )
 
-    extras = {
-        "dedup_semdedup_kmeans": semdedup_kmeans_keep,
-        "similarity_pq_adc": pq_adc_topk,
-    }
-    return extras.get(name) or QUERIES[name]
+    # single registry (r10): bench.py owns the pure-path extras list;
+    # duplicating it here had already drifted once
+    return _extra_headline().get(name) or QUERIES[name]
 
 
 def main() -> None:
