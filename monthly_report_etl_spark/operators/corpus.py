@@ -1302,7 +1302,77 @@ WHERE d.doc_id % {m} < {lt}
 NEARDUP_INGEST_ORACLE = _neardup_oracle()
 
 
-def incremental_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _existing_bands_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per source fingerprint) the EXISTING corpus'
+    MinHash band table, bucketed AND sorted by the join key
+    ``(band, key)`` — the write-once signature build every subsequent
+    near-dup ingest amortizes (the ``_existing_keys_table`` pattern one
+    level up). Returns the table name."""
+    import hashlib
+    import tempfile
+
+    from monthly_report_etl_spark.operators.dedup import (
+        minhash_signature_columns,
+        portable_band_rows,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:neardup".encode("utf-8")
+    ).hexdigest()[:12]
+    name = f"existing_corpus_bands_{key}"
+    if not spark.catalog.tableExists(name):
+        is_inc = (F.col("doc_id") % NEARDUP_BATCH_MOD) < NEARDUP_BATCH_LT
+        bands = portable_band_rows(
+            minhash_signature_columns(spark, sf_dir)
+        ).filter(~is_inc)
+        (
+            bands.write.mode("overwrite")
+            # external location: a managed table whose warehouse dir
+            # survived a previous session would refuse to recreate
+            .option("path", os.path.join(tempfile.gettempdir(), name))
+            .bucketBy(INGEST_KEY_BUCKETS, "band", "key")
+            .sortBy("band", "key")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def neardup_cross_candidates(
+    spark: SparkSession, sf_dir: str, bucketed_existing: bool = False
+) -> DataFrame:
+    """Incoming×existing candidate pairs from the shared MinHash
+    banding — the subtree the bucketed twin changes (and the one the
+    plan test pins): with ``bucketed_existing`` the existing side reads
+    the write-once bucketed band table with ZERO Exchange (only the
+    batch shuffles to the bucket partitioning; ``merge`` hint for the
+    same reason as ``incremental_ingest_bucketed`` — at fixture scale
+    the band table would otherwise broadcast, which reads the table but
+    proves nothing about the layout)."""
+    from monthly_report_etl_spark.operators.dedup import (
+        minhash_signature_columns,
+        portable_band_rows,
+    )
+
+    is_inc = (F.col("doc_id") % NEARDUP_BATCH_MOD) < NEARDUP_BATCH_LT
+    bands = portable_band_rows(minhash_signature_columns(spark, sf_dir))
+    inc_b = bands.filter(is_inc)
+    if bucketed_existing:
+        ex_b = spark.table(_existing_bands_table(spark, sf_dir)).hint("merge")
+    else:
+        ex_b = bands.filter(~is_inc)
+    a, b = inc_b.alias("a"), ex_b.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def incremental_ingest_neardup(
+    spark: SparkSession, sf_dir: str, bucketed_existing: bool = False
+) -> DataFrame:
     """NEAR-duplicate incremental ingest — the production daily-batch
     shape one level up from ``incremental_ingest``'s exact-key
     anti-join (the CCNet/Dolma fuzzy-dedup stage): an incoming doc is
@@ -1346,13 +1416,7 @@ def incremental_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes from the daily path entirely.
     bands = portable_band_rows(minhash_signature_columns(spark, sf_dir))
     inc_b = bands.filter(is_inc)
-    ex_b = bands.filter(~is_inc)
-    a, b = inc_b.alias("a"), ex_b.alias("b")
-    cross = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cross = neardup_cross_candidates(spark, sf_dir, bucketed_existing)
     ia, ib = inc_b.alias("ia"), inc_b.alias("ib")
     inbatch = (
         ia.join(
@@ -1375,6 +1439,23 @@ def incremental_ingest_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id")
     ).distinct()
     return incoming_ids.join(dropped, "doc_id", "left_anti")
+
+
+def incremental_ingest_neardup_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``incremental_ingest_neardup`` with the existing-corpus band
+    table persisted bucketed+sorted by ``(band, key)`` — the code form
+    of the docstring's steady-state claim (the
+    ``incremental_ingest_bucketed`` pattern one level up): the
+    corpus-sized signature build happens ONCE at table-build time, and
+    every subsequent daily ingest's incoming×existing candidate join
+    reads the bucketed layout with ZERO Exchange on the existing side —
+    only the batch's bands shuffle. Same result set as the plain form
+    (same oracle on promotion); plan shape pinned by
+    ``test_plans.py::test_neardup_bucketed_cross_plan``. Staged r10
+    alongside ``bpe_tokenize``; catalog promotion queued for r11."""
+    return incremental_ingest_neardup(spark, sf_dir, bucketed_existing=True)
 
 
 # ---------------------------------------------------------------------------

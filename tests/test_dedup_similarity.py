@@ -786,3 +786,22 @@ def test_neardup_ingest_drop_paths_non_vacuous(spark, sf_dir):
     assert dropped == cross_drops | inbatch_drops, (
         dropped - (cross_drops | inbatch_drops)
     )
+
+
+def test_neardup_bucketed_twin_identical(spark, sf_dir):
+    """The bucketed-existing-bands twin must produce the exact survivor
+    set of the plain form (same oracle on r11 promotion) — the layout
+    changes the plan, never the rows."""
+    from monthly_report_etl_spark.operators.corpus import (
+        incremental_ingest_neardup,
+        incremental_ingest_neardup_bucketed,
+    )
+
+    plain = {
+        r["doc_id"] for r in incremental_ingest_neardup(spark, sf_dir).collect()
+    }
+    buck = {
+        r["doc_id"]
+        for r in incremental_ingest_neardup_bucketed(spark, sf_dir).collect()
+    }
+    assert plain == buck and plain

@@ -619,3 +619,30 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"plan-hygiene offenders: {offenders}"
+
+
+def test_neardup_bucketed_cross_plan(spark, sf_dir):
+    """incremental_ingest_neardup_bucketed's steady-state contract
+    (staged r10): the existing-corpus BAND table is read through its
+    bucketed (band, key) layout (``Bucketed: true``) and contributes NO
+    Exchange to the incoming×existing candidate join — the only hash
+    exchange in the cross-candidates subtree is the incoming batch's
+    bands shuffling to the bucket partitioning, plus the distinct's
+    own aggregation exchange. The join is the sort-merge strategy the
+    bucketed+sorted layout serves."""
+    from monthly_report_etl_spark.operators.corpus import neardup_cross_candidates
+
+    plan = _plan(neardup_cross_candidates(spark, sf_dir, bucketed_existing=True))
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # exactly THREE hashpartitioning exchanges, all on the incoming /
+    # post-join path: (a) the signature window's doc_id exchange while
+    # building the BATCH's bands, (b) the batch bands aligning to the
+    # (band, key) bucket partitioning, (c) the candidate distinct. The
+    # bucketed existing side contributes NONE — a fourth exchange means
+    # the corpus-side bands started shuffling again.
+    n = len(_lines(plan, "hashpartitioning"))
+    assert n == 3, f"expected doc_id + bucket-align + distinct, got {n}:\n{plan}"
+    # and none of them keys on the existing table's columns: the only
+    # (band, key) exchange is the batch's ENSURE_REQUIREMENTS
+    assert len([ln for ln in _lines(plan, "hashpartitioning") if "band#" in ln]) == 1, plan
