@@ -1193,6 +1193,14 @@ _register_extension_catalogs()
 # (test_zero_norm_vectors_do_not_poison_checked_flags, the IVF/ADC
 # recall gates, test_pca_ivf_rerank_recall_vs_brute_force); they head
 # the r11 window queue together with the 48-entry r8 cohort.
+#
+# r11 window arithmetic, planned now: the r8 cohort (48) + the two
+# STAGED r10 operators due for catalog promotion (corpus_bpe_tokenize,
+# corpus_incremental_ingest_neardup_bucketed — both already carry
+# oracles/differentials/plan gates/bench entries) = 50 exactly; the
+# flagship (r10-green after this round) sits out one window, which the
+# invariant permits, and the r10-changed receipts-only entries queue
+# for r12 with the r9 cohort.
 
 _DRIVER_WINDOW_PRIORITY = [
     "exports_report_events",
