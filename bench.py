@@ -101,6 +101,7 @@ HEADLINE = [
     "similarity_pca_ivf",
     "corpus_incremental_ingest_neardup",
     "corpus_bpe_tokenize",  # staged r10; catalog promotion queued for r11
+    "corpus_incremental_ingest_neardup_bucketed",  # staged r10, ditto
 ]
 
 # Pure-path benchables: dedup_semdedup_kmeans, similarity_pq_adc, and
@@ -111,7 +112,10 @@ HEADLINE = [
 
 
 def _extra_headline():
-    from monthly_report_etl_spark.operators.corpus import bpe_tokenize
+    from monthly_report_etl_spark.operators.corpus import (
+        bpe_tokenize,
+        incremental_ingest_neardup_bucketed,
+    )
     from monthly_report_etl_spark.operators.similarity import (
         pca_ivf_topk,
         pq_adc_topk,
@@ -123,8 +127,9 @@ def _extra_headline():
         "similarity_pq_adc": pq_adc_topk,
         "similarity_pca_ivf": pca_ivf_topk,
         # staged r10 (the pq_adc_topk r8 precedent): benched + pytest
-        # differentials now, catalog entry when the r11 window opens
+        # differentials now, catalog entries when the r11 window opens
         "corpus_bpe_tokenize": bpe_tokenize,
+        "corpus_incremental_ingest_neardup_bucketed": incremental_ingest_neardup_bucketed,
     }
 
 
