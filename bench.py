@@ -100,8 +100,9 @@ HEADLINE = [
     "corpus_bpe_train_merges",
     "similarity_pca_ivf",
     "corpus_incremental_ingest_neardup",
-    "corpus_bpe_tokenize",  # staged r10; catalog promotion queued for r11
-    "corpus_incremental_ingest_neardup_bucketed",  # staged r10, ditto
+    # r11 promotions (staged r10)
+    "corpus_bpe_tokenize",
+    "corpus_incremental_ingest_neardup_bucketed",
 ]
 
 # Pure-path benchables: dedup_semdedup_kmeans, similarity_pq_adc, and
@@ -126,8 +127,8 @@ def _extra_headline():
         "dedup_semdedup_kmeans": semdedup_kmeans_keep,
         "similarity_pq_adc": pq_adc_topk,
         "similarity_pca_ivf": pca_ivf_topk,
-        # staged r10 (the pq_adc_topk r8 precedent): benched + pytest
-        # differentials now, catalog entries when the r11 window opens
+        # promoted to the catalog in r11; kept here so the bench times
+        # the raw operator without the catalog's _engine_semantics wrap
         "corpus_bpe_tokenize": bpe_tokenize,
         "corpus_incremental_ingest_neardup_bucketed": incremental_ingest_neardup_bucketed,
     }

@@ -1452,9 +1452,11 @@ def incremental_ingest_neardup_bucketed(
     every subsequent daily ingest's incoming×existing candidate join
     reads the bucketed layout with ZERO Exchange on the existing side —
     only the batch's bands shuffle. Same result set as the plain form
-    (same oracle on promotion); plan shape pinned by
+    (same oracle — NEARDUP_INGEST_ORACLE); plan shape pinned by
     ``test_plans.py::test_neardup_bucketed_cross_plan``. Staged r10
-    alongside ``bpe_tokenize``; catalog promotion queued for r11."""
+    alongside ``bpe_tokenize``, promoted to the catalog in r11; this
+    bucketed form is the DEPLOYMENT HEADLINE for near-dup ingest (the
+    plain form is its semantics-oracle twin — COVERAGE.md taxonomy)."""
     return incremental_ingest_neardup(spark, sf_dir, bucketed_existing=True)
 
 
@@ -1680,6 +1682,18 @@ FROM docw d JOIN s{BPE_MERGES} s USING (w)
 GROUP BY d.doc_id
 """.format(ctes=_bpe_oracle_ctes(BPE_MERGES))
 
+# Catalog form: the hash-compare harness sorts rows by every column, so
+# the document-ordered token ARRAY is flattened to one space-joined
+# string (the catalog's collected-list convention; symbols cannot
+# contain whitespace — words were split on it). Same rows, same order
+# information, value-hashable.
+BPE_TOKENIZE_CATALOG_ORACLE = BPE_TOKENIZE_ORACLE.replace(
+    f"list(s.sym ORDER BY d.wpos, s.pos) AS tokens\nFROM docw d JOIN s{BPE_MERGES} s",
+    "array_to_string(list(s.sym ORDER BY d.wpos, s.pos), ' ') AS tokens_str\n"
+    f"FROM docw d JOIN s{BPE_MERGES} s",
+)
+assert BPE_TOKENIZE_CATALOG_ORACLE != BPE_TOKENIZE_ORACLE
+
 
 def bpe_tokenize(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
@@ -1699,9 +1713,10 @@ def bpe_tokenize(
     ``localCheckpoint``ed off the training cache so repeated actions on
     the result never replay the merge folds.
 
-    Staged r10 (the ``pq_adc_topk`` precedent: operator + differential
-    tests + bench first, catalog promotion when the r11 driver window
-    has a slot): BPE_TOKENIZE_ORACLE replays the segmentation in DuckDB
+    Staged r10, promoted to the catalog in r11 (the ``pq_adc_topk``
+    precedent: operator + differential tests + bench first, catalog
+    promotion when the driver window has a slot):
+    BPE_TOKENIZE_ORACLE replays the segmentation in DuckDB
     over the same CTE chain as the merge-table oracle and is pinned by
     the pytest differential now. The oracle assumes the corpus yields
     at least BPE_MERGES merges (every fixture SF does — with fewer, the
@@ -1737,6 +1752,18 @@ def bpe_tokenize(
     )
 
 
+def bpe_tokenize_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_tokenize`` in the catalog's hash-comparable shape: the
+    document-ordered token array joined to one string (see
+    BPE_TOKENIZE_CATALOG_ORACLE). The array form stays the public API;
+    the property/differential tests pin it directly."""
+    return bpe_tokenize(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(" ", "tokens").alias("tokens_str"),
+    )
+
+
 CATALOG: dict[str, tuple] = {
     "corpus_incremental_ingest": (incremental_ingest, INCREMENTAL_INGEST_ORACLE),
     "corpus_incremental_ingest_bucketed": (
@@ -1753,6 +1780,11 @@ CATALOG: dict[str, tuple] = {
         incremental_ingest_neardup,
         NEARDUP_INGEST_ORACLE,
     ),
+    "corpus_incremental_ingest_neardup_bucketed": (
+        incremental_ingest_neardup_bucketed,
+        NEARDUP_INGEST_ORACLE,
+    ),
+    "corpus_bpe_tokenize": (bpe_tokenize_catalog, BPE_TOKENIZE_CATALOG_ORACLE),
     "corpus_length_trim": (length_trim, LENGTH_TRIM_ORACLE),
     "corpus_mix_weights": (mix_weights, MIX_WEIGHTS_ORACLE),
     "corpus_chunk_documents": (chunk_documents, CHUNK_ORACLE),
