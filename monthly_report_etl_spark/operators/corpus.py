@@ -913,6 +913,28 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 INGEST_KEY_BUCKETS = 8
 
 
+def _external_table_needs_build(spark: SparkSession, name: str) -> bool:
+    """True when the fingerprint-named bucketed table must be (re)built:
+    the metastore has no entry, OR the entry exists but its external
+    backing files under the temp dir are gone (tmp cleaners run
+    independently of the session metastore — without this check a
+    registered table whose files vanished silently reads as empty and
+    the ingest returns wrong survivors with no error; ADVICE r10 #1).
+    When the backing data is missing the stale entry is dropped so the
+    caller's ``saveAsTable`` recreates both."""
+    import tempfile
+
+    if not spark.catalog.tableExists(name):
+        return True
+    path = os.path.join(tempfile.gettempdir(), name)
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return False
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return True
+
+
 def _existing_keys_table(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per source fingerprint) the existing-corpus key
     table, bucketed AND sorted by the join key ``(k, klen)`` — the
@@ -928,7 +950,7 @@ def _existing_keys_table(spark: SparkSession, sf_dir: str) -> str:
         f"{src}:{st.st_size}:{st.st_mtime_ns}".encode("utf-8")
     ).hexdigest()[:12]
     name = f"existing_corpus_keys_{key}"
-    if not spark.catalog.tableExists(name):
+    if _external_table_needs_build(spark, name):
         existing = (
             _docs(spark, sf_dir)
             .filter(F.col("source") != INGEST_SOURCE)
@@ -1322,7 +1344,7 @@ def _existing_bands_table(spark: SparkSession, sf_dir: str) -> str:
         f"{src}:{st.st_size}:{st.st_mtime_ns}:neardup".encode("utf-8")
     ).hexdigest()[:12]
     name = f"existing_corpus_bands_{key}"
-    if not spark.catalog.tableExists(name):
+    if _external_table_needs_build(spark, name):
         is_inc = (F.col("doc_id") % NEARDUP_BATCH_MOD) < NEARDUP_BATCH_LT
         bands = portable_band_rows(
             minhash_signature_columns(spark, sf_dir)
@@ -1551,12 +1573,18 @@ BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_MERGES)
 
 def _bpe_train(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
-) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame | None]:
     """Core BPE training loop; returns (merge table, final vocab frame
-    ``(w, syms, freq)``) — the vocab is PERSISTED and ownership
-    transfers to the caller (``bpe_train_merges`` releases it
-    immediately; ``bpe_tokenize`` checkpoints the word→symbols map off
-    it first). See ``bpe_train_merges`` for the scale contract."""
+    ``(w, syms, freq)``, parent frame). BOTH frames are PERSISTED and
+    ownership transfers to the caller. The final vocab's cache is NOT
+    yet materialized — only its parent's is (by the last top-pair
+    collect) — so a caller that needs the vocab must materialize it (or
+    a derivative, e.g. ``bpe_tokenize``'s eager checkpoint) BEFORE
+    unpersisting the parent; releasing the parent first would force the
+    whole word-freq aggregation + N merge folds to replay from the
+    corpus, breaking the corpus-touched-once contract (ADVICE r10 #2).
+    ``bpe_train_merges`` needs neither and releases both immediately.
+    See ``bpe_train_merges`` for the scale contract."""
     d = _docs(spark, sf_dir)
     words = (
         d.filter(F.trim("text") != "")
@@ -1627,9 +1655,7 @@ def _bpe_train(
             prev.unpersist()
         vocab.unpersist()
         raise
-    if prev is not None:
-        prev.unpersist()
-    return merges, vocab
+    return merges, vocab, prev
 
 
 def bpe_train_merges(
@@ -1656,8 +1682,10 @@ def bpe_train_merges(
     materialized (the top-pair collect), so lineage stays one cached
     select deep and the corpus is never re-read. Stops early if the
     vocab runs out of pairs."""
-    merges, vocab = _bpe_train(spark, sf_dir, n_merges)
+    merges, vocab, parent = _bpe_train(spark, sf_dir, n_merges)
     vocab.unpersist()  # merges already collected; the vocab feeds only bpe_tokenize
+    if parent is not None:
+        parent.unpersist()
     return spark.createDataFrame(
         merges,
         "merge_rank int, merge_left string, merge_right string, pair_count long",
@@ -1722,9 +1750,14 @@ def bpe_tokenize(
     at least BPE_MERGES merges (every fixture SF does — with fewer, the
     early-stop CTE guard keeps s{{i}} at the last trained state, same
     as the Spark loop)."""
-    _, vocab = _bpe_train(spark, sf_dir, n_merges)
+    _, vocab, parent = _bpe_train(spark, sf_dir, n_merges)
+    # the eager checkpoint materializes the word→symbols map off the
+    # PARENT's still-live cache (one fold, zero corpus reads); only then
+    # is it safe to release both training caches (ADVICE r10 #2)
     seg = vocab.select("w", "syms").localCheckpoint(eager=True)
     vocab.unpersist()
+    if parent is not None:
+        parent.unpersist()
     d = _docs(spark, sf_dir)
     docw = (
         d.filter(F.trim("text") != "")

@@ -814,6 +814,11 @@ def train_ivf_centroids(
         ]  # k x dim floats: model init, not a data path
         if not centroids:
             raise ValueError("cannot train IVF centroids on an empty corpus")
+        # fewer than k trainable vectors (the zero-norm filter makes
+        # sub-k corpora reachable): clamp — the empty-cluster fallback
+        # below indexes centroids[cid] for cid in range(k) and would
+        # IndexError past the init length (ADVICE r10 #3)
+        k = min(k, len(centroids))
         dim = len(centroids[0])  # r10: dim from the data, not _DIM — the
         # PCA-composed stack trains over r=32-dim projected vectors
         for _ in range(iters):

@@ -653,7 +653,7 @@ def test_two_level_assignment_sound_and_recall(spark, monkeypatch):
     assert r_two >= r_base - 0.2, (r_two, r_base)
 
 
-def test_zero_norm_vectors_do_not_poison_checked_flags(spark, tmp_path):
+def test_zero_norm_vectors_do_not_poison_checked_flags(spark, sf_dir, tmp_path):
     """ADVICE r9 #2: avg() skips NULL but propagates NaN, so a single
     zero-norm embedding emitting recon_cos = NaN would flip
     pca_recon_ok / pq_fidelity_ok to false (NaN >= floor) and hash-fail
@@ -667,12 +667,12 @@ def test_zero_norm_vectors_do_not_poison_checked_flags(spark, tmp_path):
     import numpy as np
     import pandas as pd
 
-    base = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     zid = int(base["vec_id"].max()) + 1
     zero = pd.DataFrame(
         {
             "vec_id": [zid],
-            "embedding": [np.zeros(64, dtype=np.float32)],
+            "embedding": [np.zeros(len(base["embedding"].iloc[0]), dtype=np.float32)],
             "label": np.array([0], dtype=np.int32),
         }
     )
@@ -805,3 +805,48 @@ def test_neardup_bucketed_twin_identical(spark, sf_dir):
         for r in incremental_ingest_neardup_bucketed(spark, sf_dir).collect()
     }
     assert plain == buck and plain
+
+
+def test_existing_tables_rebuilt_when_backing_files_vanish(spark, sf_dir):
+    """ADVICE r10 #1: the fingerprint-named bucketed tables live in the
+    temp dir while the metastore entry is per-session state — if /tmp is
+    cleaned under a live session, tableExists stays true but the table
+    reads empty and the ingest silently returns wrong survivors. The
+    guard must detect the vanished backing files and rebuild."""
+    import os
+    import shutil
+    import tempfile
+
+    from monthly_report_etl_spark.operators.corpus import (
+        _existing_bands_table,
+        incremental_ingest_neardup,
+        incremental_ingest_neardup_bucketed,
+    )
+
+    expected = {
+        r["doc_id"] for r in incremental_ingest_neardup(spark, sf_dir).collect()
+    }
+    name = _existing_bands_table(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), name)
+    assert os.path.isdir(path)
+    shutil.rmtree(path)  # the tmp-cleaner scenario
+    assert spark.catalog.tableExists(name)  # the stale state ADVICE describes
+    got = {
+        r["doc_id"]
+        for r in incremental_ingest_neardup_bucketed(spark, sf_dir).collect()
+    }
+    assert got == expected and expected
+    assert os.path.isdir(path)  # rebuilt, not read-through-empty
+
+
+def test_ivf_trainer_clamps_k_on_sub_k_corpus(spark):
+    """ADVICE r10 #3: fewer trainable vectors than k (reachable via the
+    zero-norm training filter) must clamp k instead of IndexError-ing in
+    the empty-cluster fallback."""
+    v = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.6, 0.8])],
+        "vec_id long, e array<double>",
+    )
+    cents = similarity.train_ivf_centroids(spark, sf_dir="", k=8, iters=2, v=v)
+    assert 1 <= len(cents) <= 3
+    assert all(len(c) == 2 for c in cents)

@@ -587,3 +587,23 @@ def test_bpe_tokenize_matches_duckdb_oracle(spark, sf_dir):
     assert sdf["n_tokens"].astype("int64").equals(odf["n_tokens"].astype("int64"))
     for a, b in zip(sdf["tokens"], odf["tokens"]):
         assert list(a) == list(b)
+
+
+def test_bpe_train_cache_ownership(spark, sf_dir):
+    """ADVICE r10 #2: _bpe_train must hand BOTH persisted frames to the
+    caller — the final vocab's cache is unmaterialized, so the parent's
+    (materialized by the last top-pair collect) must still be live when
+    bpe_tokenize checkpoints the word→symbols map; the old code
+    unpersisted the parent on return, forcing a full corpus replay."""
+    from monthly_report_etl_spark.operators.corpus import _bpe_train
+
+    merges, vocab, parent = _bpe_train(spark, sf_dir)
+    try:
+        assert merges, "fixture corpora always yield merges"
+        assert parent is not None
+        assert vocab.storageLevel.useMemory
+        assert parent.storageLevel.useMemory
+    finally:
+        vocab.unpersist()
+        if parent is not None:
+            parent.unpersist()
