@@ -1180,6 +1180,19 @@ _register_extension_catalogs()
 # similarity_ivf_topk — all r10-latest-green, pytest receipts in
 # test_dedup_similarity.py) head the r12 queue with the r9 cohort
 # (VERDICT r10 #3).
+#
+# Also CHANGED in r11 but NOT in this window (r12 queue, after the
+# four above): similarity_pca_ivf (re-rank forced broadcasts dropped,
+# VERDICT r10 #6 — AQE picks the same broadcast at every fixture
+# scale, plan gate test_pca_ivf_no_data_proportional_hints, sf0.01
+# oracle re-verified by hand in r11), corpus_bpe_train_merges
+# (ADVICE r10 #2 cache-ownership refactor — identical merge rows, the
+# python-reference differential and sf0.01 oracle re-verified in r11).
+# The r11-window entries whose code also changed
+# (corpus_incremental_ingest_bucketed / _neardup_bucketed: the
+# stale-external-table guard; corpus_bpe_tokenize: checkpoints off the
+# parent cache) get their fresh driver rows THIS round by
+# construction.
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- promoted this round (staged r10; no driver row yet) --

@@ -1964,14 +1964,20 @@ def pca_ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFr
     full = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("nrm", l2_norm(F.col("e")))
+    # no forced broadcast on the shortlist or query set (VERDICT r10 #6,
+    # the post-Bloom no-forced-hints policy): both are bounded by the
+    # fixed N_QUERIES query set today, so AQE picks broadcast anyway —
+    # but if the query set ever becomes an input table the hint would be
+    # the scale bug, and the plan-hygiene gate now forbids ResolvedHint
+    # across the similarity family
     cand = full.join(
-        F.broadcast(shortlist),
+        shortlist,
         full["vec_id"] == F.col("neighbor_id"),
     ).select("query_id", "neighbor_id", F.col("e").alias("ne"), F.col("nrm").alias("nn"))
     q = full.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("nq")
     )
-    scored = cand.join(F.broadcast(q), F.col("query_id") == F.col("qid")).withColumn(
+    scored = cand.join(q, F.col("query_id") == F.col("qid")).withColumn(
         "cos",
         F.when(
             (F.col("nq") > 0) & (F.col("nn") > 0),

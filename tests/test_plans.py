@@ -646,3 +646,26 @@ def test_neardup_bucketed_cross_plan(spark, sf_dir):
     # and none of them keys on the existing table's columns: the only
     # (band, key) exchange is the batch's ENSURE_REQUIREMENTS
     assert len([ln for ln in _lines(plan, "hashpartitioning") if "band#" in ln]) == 1, plan
+
+
+def test_pca_ivf_no_data_proportional_hints(spark, sf_dir):
+    """VERDICT r10 #6 (the post-Bloom no-forced-hints policy, extended
+    to the similarity family): pca_ivf_topk's re-rank must NOT force-
+    broadcast the shortlist or the query frame — both are bounded by
+    the fixed N_QUERIES set today, so AQE broadcasts them anyway, but a
+    hint would become the scale bug the moment the query set becomes an
+    input table. A family-wide zero-ResolvedHint ban would be WRONG:
+    the constant-bounded broadcasts (the 10-row probe/query sets, the
+    1-row checked-flag aggregates) are load-bearing, because a
+    stats-blind crossJoin against a filter whose static sizeInBytes is
+    the whole corpus would otherwise degrade to CartesianProduct. So
+    the gate pins the hint COUNT to exactly the known bounded set:
+    1 in the raw operator (_ivf_search's probe-set broadcast) —
+    reintroducing the two dropped re-rank hints bumps it to 3."""
+    from monthly_report_etl_spark.operators.similarity import pca_ivf_topk
+
+    analyzed = (
+        pca_ivf_topk(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    )
+    n = analyzed.count("ResolvedHint")
+    assert n == 1, f"expected exactly the bounded probe-set hint, got {n}"
