@@ -1571,6 +1571,20 @@ def _bpe_oracle_sql(n_merges: int) -> str:
 BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_MERGES)
 
 
+# Iterations between lineage truncations in _bpe_train. Each iteration
+# stacks one fold-Project and one InMemoryRelation onto the vocab's
+# logical plan; the DATA path is fine (every iteration reads the parent
+# cache) but the PLAN grows superlinearly in text/analysis cost — at
+# N≈50 on an 8g driver, merely rendering the collect job's plan string
+# OOMs the heap (measured in the r11 N-stress, SCALE.md §8k). An eager
+# localCheckpoint every K iterations resets plan depth to zero at the
+# cost of one vocab-sized materialization; K=8 keeps the worst plan at
+# the depth the N=8 catalog entry always had. (localCheckpoint trades
+# replay-on-executor-loss for speed — on a multi-node cluster a
+# reliable checkpoint dir makes the same truncation fault-tolerant.)
+BPE_LINEAGE_TRUNC_EVERY = 8
+
+
 def _bpe_train(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame | None]:
@@ -1648,14 +1662,187 @@ def _bpe_train(
                     F.concat(acc["out"], F.array(acc["carry"]))
                 ),
             )
-            nxt = vocab.select("w", new_syms.alias("syms"), "freq").persist()
-            prev, vocab = vocab, nxt
+            if rank % BPE_LINEAGE_TRUNC_EVERY == 0 and rank < n_merges:
+                # lineage truncation point: the eager checkpoint
+                # materializes this fold NOW off the parent's cache (one
+                # vocab-sized job) and resets the logical plan, so the
+                # next pair-count job analyzes a depth-1 plan instead of
+                # a rank-deep fold/InMemoryRelation stack
+                nxt = vocab.select(
+                    "w", new_syms.alias("syms"), "freq"
+                ).localCheckpoint(eager=True)
+                vocab.unpersist()
+                vocab = nxt
+            else:
+                nxt = vocab.select("w", new_syms.alias("syms"), "freq").persist()
+                prev, vocab = vocab, nxt
     except BaseException:
         if prev is not None:
             prev.unpersist()
         vocab.unpersist()
         raise
     return merges, vocab, prev
+
+
+# Default pairs-per-round for the batched trainer. Driver crossings and
+# pair-count jobs shrink ~batch_m-fold; the fold expression grows O(m)
+# (one array_contains over m keys per element), so m stays modest.
+BPE_BATCH_M = 16
+
+
+def _batched_merge_fold(pairs: list) -> "F.Column":
+    """One left-to-right ``aggregate()`` fold applying EVERY pair of a
+    batch round in a single pass. Equivalent to applying the pairs
+    sequentially in rank order because batch admissibility (see
+    ``_bpe_train_batched``) fixes each pair's match sites: no batch
+    pair's symbols appear in another's inputs or output, so
+    applications neither create nor destroy each other's occurrences,
+    and an emitted merged symbol never re-enters the carry (greedy
+    non-overlap). Membership is an ``array_contains`` over the m
+    space-joined keys — symbols come from whitespace splits and merged
+    symbols are concatenations of them, so they never contain spaces."""
+    keys = F.lit([f"{l} {r}" for l, r in pairs])
+    null_s = F.lit(None).cast("string")
+
+    def _acc(out, carry):
+        return F.named_struct(F.lit("out"), out, F.lit("carry"), carry)
+
+    return F.aggregate(
+        "syms",
+        _acc(F.array().cast("array<string>"), null_s),
+        lambda acc, s: F.when(acc["carry"].isNull(), _acc(acc["out"], s))
+        .when(
+            F.array_contains(keys, F.concat_ws(" ", acc["carry"], s)),
+            _acc(
+                F.concat(acc["out"], F.array(F.concat(acc["carry"], s))), null_s
+            ),
+        )
+        .otherwise(_acc(F.concat(acc["out"], F.array(acc["carry"])), s)),
+        lambda acc: F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["carry"]))
+        ),
+    )
+
+
+def _bpe_train_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    batch_m: int = BPE_BATCH_M,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame | None]:
+    """``_bpe_train`` with BATCHED merge selection (VERDICT r10 #5 — the
+    standard trick for production merge counts): each round counts pairs
+    ONCE, collects the top ``batch_m + 1`` rows, and applies the maximal
+    provably-greedy-equivalent batch in one fold, cutting pair-count
+    jobs and driver round-trips ~batch_m-fold. Returns bit-identical
+    merges to the sequential loop (pinned by pytest equivalence +
+    python-reference differentials).
+
+    Why the batch equals pure sequential greedy — the admissible batch
+    is a PREFIX p1..pk of the (count desc, l, r)-ordered pair list
+    such that
+
+    * no skipping: the walk stops at the FIRST pair sharing a symbol
+      with any earlier batch pair's inputs {l,r} OR output l+r, so
+      every conflicting pair ranks BELOW the whole batch;
+    * strict dominance: trailing batch pairs tying the first excluded
+      pair's count are dropped (keeping at least p1), so every batch
+      count strictly exceeds every non-batch count.
+
+    Then, inductively: applying p1..p_{i-1} leaves count(p_i) exactly
+    unchanged (disjoint inputs/outputs), existing non-batch pairs can
+    only lose occurrences, and any CREATED pair (x, l·r) obeys
+    count_new ≤ count_old(x, l) where (x, l) conflicts with the batch
+    and therefore counts ≤ the excluded pair's count < count(p_i) —
+    so greedy's next pick after p1..p_{i-1} is p_i, for every i. When
+    the collected list is exhausted (fewer pairs than the batch), no
+    boundary pairs exist, so no creations can outrank the batch."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    vocab = wf.select("w", F.split("w", "").alias("syms"), "freq").persist()
+    prev: DataFrame | None = None
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    try:
+        while len(merges) < n_merges:
+            m = min(batch_m, n_merges - len(merges))
+            top = (
+                vocab.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                        )
+                    ).alias("p"),
+                    "freq",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(m + 1)
+                .collect()  # model-sized: m+1 rows per ROUND
+            )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top:
+                break
+            rows = [(t["l"], t["r"], int(t["cnt"])) for t in top]
+            touched: set[str] = set()
+            batch: list[tuple[str, str, int]] = []
+            for left, right, cnt in rows[:m]:
+                if left in touched or right in touched:
+                    break
+                batch.append((left, right, cnt))
+                touched.update((left, right, left + right))
+            stop_cnt = rows[len(batch)][2] if len(batch) < len(rows) else None
+            while len(batch) > 1 and stop_cnt is not None and batch[-1][2] == stop_cnt:
+                batch.pop()  # strict-dominance truncation
+            for left, right, cnt in batch:
+                merges.append((len(merges) + 1, left, right, cnt))
+            new_syms = _batched_merge_fold([(l, r) for l, r, _ in batch])
+            rounds += 1
+            if rounds % BPE_LINEAGE_TRUNC_EVERY == 0 and len(merges) < n_merges:
+                nxt = vocab.select(
+                    "w", new_syms.alias("syms"), "freq"
+                ).localCheckpoint(eager=True)
+                vocab.unpersist()
+                vocab = nxt
+            else:
+                nxt = vocab.select("w", new_syms.alias("syms"), "freq").persist()
+                prev, vocab = vocab, nxt
+    except BaseException:
+        if prev is not None:
+            prev.unpersist()
+        vocab.unpersist()
+        raise
+    return merges, vocab, prev
+
+
+def bpe_train_merges_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    batch_m: int = BPE_BATCH_M,
+) -> DataFrame:
+    """Merge table via the batched trainer — the SCALE path twin of
+    ``bpe_train_merges`` (same rows bit-for-bit; not a separate catalog
+    entry under the r11 capacity policy — COVERAGE.md taxonomy ties the
+    two with the pytest equivalence and python-reference tests)."""
+    merges, vocab, parent = _bpe_train_batched(spark, sf_dir, n_merges, batch_m)
+    vocab.unpersist()
+    if parent is not None:
+        parent.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, merge_left string, merge_right string, pair_count long",
+    )
 
 
 def bpe_train_merges(
