@@ -946,8 +946,12 @@ def _existing_keys_table(spark: SparkSession, sf_dir: str) -> str:
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
+    # layout params in the fingerprint: a constants change must mint a
+    # NEW table, never silently reuse one built under the old layout
     key = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode("utf-8")
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:b{INGEST_KEY_BUCKETS}".encode(
+            "utf-8"
+        )
     ).hexdigest()[:12]
     name = f"existing_corpus_keys_{key}"
     if _external_table_needs_build(spark, name):
@@ -1338,10 +1342,18 @@ def _existing_bands_table(spark: SparkSession, sf_dir: str) -> str:
         portable_band_rows,
     )
 
+    from monthly_report_etl_spark.operators.dedup import NUM_BANDS, NUM_PERM
+
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
+    # banding/layout params in the fingerprint: a NUM_PERM/NUM_BANDS/
+    # bucket-count change must mint a NEW table, never silently reuse
+    # bands built under the old scheme (same failure mode as the
+    # vanished-backing-files guard: wrong survivors, no error)
     key = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}:neardup".encode("utf-8")
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:neardup"
+        f":p{NUM_PERM}:nb{NUM_BANDS}:m{NEARDUP_BATCH_MOD}:lt{NEARDUP_BATCH_LT}"
+        f":b{INGEST_KEY_BUCKETS}".encode("utf-8")
     ).hexdigest()[:12]
     name = f"existing_corpus_bands_{key}"
     if _external_table_needs_build(spark, name):
