@@ -100,7 +100,10 @@ HEADLINE = [
     "corpus_bpe_train_merges",
     "similarity_pca_ivf",
     "corpus_incremental_ingest_neardup",
-    # r11 promotions (staged r10)
+    # r11 promotions (staged r10). The bucketed form is the DEPLOYMENT
+    # HEADLINE for near-dup ingest (warm write-once band table,
+    # incoming-only shuffles); the plain form above stays benched as its
+    # semantics-oracle twin (COVERAGE.md taxonomy).
     "corpus_bpe_tokenize",
     "corpus_incremental_ingest_neardup_bucketed",
 ]
