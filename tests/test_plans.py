@@ -669,3 +669,36 @@ def test_pca_ivf_no_data_proportional_hints(spark, sf_dir):
     )
     n = analyzed.count("ResolvedHint")
     assert n == 1, f"expected exactly the bounded probe-set hint, got {n}"
+
+
+def test_bpe_tokenize_plan_shape(spark, sf_dir):
+    """corpus_bpe_tokenize's (r11 promotion) scale contract: the
+    tokenize plan touches the CORPUS exactly once (one parquet scan —
+    the word→symbols map enters as a checkpointed ExistingRDD, so the
+    training lineage never replays), reassembles per doc with
+    array_sort/flatten rather than a Window, carries exactly ONE
+    shuffle Exchange (the groupBy(doc_id); the vocab join broadcasts at
+    fixture scale by AQE's choice), and forces no join strategy — at
+    100 TB the vocab join may downgrade to shuffle-hash, which a hint
+    would forbid."""
+    import re
+
+    from monthly_report_etl_spark.operators.corpus import bpe_tokenize
+
+    df = bpe_tokenize(spark, sf_dir)
+    plan = _plan(df)
+    assert not [
+        ln for ln in plan.splitlines() if re.match(r"\(\d+\) Window", ln)
+    ], f"window crept into the tokenize reassembly:\n{plan}"
+    scans = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scans) == 1, f"corpus scanned {len(scans)}x:\n{plan}"
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.match(r"\(\d+\) Exchange", ln.strip())
+    ]
+    assert len(shuffles) == 1, f"expected one groupBy exchange:\n{plan}"
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
