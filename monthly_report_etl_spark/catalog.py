@@ -1175,14 +1175,17 @@ _register_extension_catalogs()
 # VERDICT r10 #1) + ALL 48 r8-latest entries (VERDICT r10 #1 names
 # this cohort explicitly). 2+48 = 50 exactly; the flagship
 # (r10-green) sits out one window, which the ≤2-round-stale
-# invariant permits, and the four r10-changed receipts-only entries
-# (embeddings_pca, embeddings_pq, similarity_pq_adc,
-# similarity_ivf_topk — all r10-latest-green, pytest receipts in
-# test_dedup_similarity.py) head the r12 queue with the r9 cohort
-# (VERDICT r10 #3).
+# invariant permits. Of the four r10-changed receipts-only entries
+# (pytest receipts in test_dedup_similarity.py, VERDICT r10 #3):
+# embeddings_pq is r8-LATEST-green (CORRECTNESS history: green r8
+# only), so it sits IN this window via the r8 cohort — which also
+# delivers the fresh driver row VERDICT r10 demanded for it — while
+# embeddings_pca, similarity_pq_adc, and similarity_ivf_topk are
+# r9-latest-green and head the r12 queue with the rest of the r9
+# cohort.
 #
 # Also CHANGED in r11 but NOT in this window (r12 queue, after the
-# four above): similarity_pca_ivf (re-rank forced broadcasts dropped,
+# three above): similarity_pca_ivf (re-rank forced broadcasts dropped,
 # VERDICT r10 #6 — AQE picks the same broadcast at every fixture
 # scale, plan gate test_pca_ivf_no_data_proportional_hints, sf0.01
 # oracle re-verified by hand in r11), corpus_bpe_train_merges

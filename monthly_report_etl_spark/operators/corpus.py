@@ -913,24 +913,54 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 INGEST_KEY_BUCKETS = 8
 
 
+# Manifest the table builders stamp into the external dir after a
+# successful build (hidden from Spark's file listing by the leading
+# underscore, like _SUCCESS). Recording the exact part-file set lets
+# the freshness guard catch PARTIAL loss — an age-based tmp cleaner
+# deleting some-but-not-all bucket files would otherwise pass an
+# any-parquet-present check and silently return wrong survivors (r11
+# code review) — and distinguishes a legitimately EMPTY table
+# (manifest present, zero parts: no rebuild-per-run loop) from
+# vanished data.
+_TABLE_MANIFEST = "_GRAFT_MANIFEST.json"
+
+
+def _list_parts(path: str) -> set[str]:
+    return {f for f in os.listdir(path) if f.endswith(".parquet")}
+
+
+def _stamp_table_manifest(name: str) -> None:
+    import json
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), name)
+    with open(os.path.join(path, _TABLE_MANIFEST), "w") as fh:
+        json.dump({"parts": sorted(_list_parts(path))}, fh)
+
+
 def _external_table_needs_build(spark: SparkSession, name: str) -> bool:
     """True when the fingerprint-named bucketed table must be (re)built:
-    the metastore has no entry, OR the entry exists but its external
-    backing files under the temp dir are gone (tmp cleaners run
-    independently of the session metastore — without this check a
-    registered table whose files vanished silently reads as empty and
-    the ingest returns wrong survivors with no error; ADVICE r10 #1).
+    the metastore has no entry, OR the entry exists but the external
+    backing files under the temp dir no longer match the manifest the
+    build stamped (tmp cleaners run independently of the session
+    metastore — without this check a registered table whose files
+    vanished, fully OR partially, silently reads short and the ingest
+    returns wrong survivors with no error; ADVICE r10 #1 + r11 review).
     When the backing data is missing the stale entry is dropped so the
     caller's ``saveAsTable`` recreates both."""
+    import json
     import tempfile
 
     if not spark.catalog.tableExists(name):
         return True
     path = os.path.join(tempfile.gettempdir(), name)
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return False
+    try:
+        with open(os.path.join(path, _TABLE_MANIFEST)) as fh:
+            expected = set(json.load(fh)["parts"])
+        if _list_parts(path) == expected:
+            return False
+    except (OSError, ValueError, KeyError):
+        pass  # missing dir/manifest or unreadable stamp → rebuild
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     return True
 
@@ -973,6 +1003,7 @@ def _existing_keys_table(spark: SparkSession, sf_dir: str) -> str:
             .sortBy("k", "klen")
             .saveAsTable(name)
         )
+        _stamp_table_manifest(name)
     return name
 
 
@@ -1338,11 +1369,11 @@ def _existing_bands_table(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     from monthly_report_etl_spark.operators.dedup import (
+        NUM_BANDS,
+        NUM_PERM,
         minhash_signature_columns,
         portable_band_rows,
     )
-
-    from monthly_report_etl_spark.operators.dedup import NUM_BANDS, NUM_PERM
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
@@ -1370,6 +1401,7 @@ def _existing_bands_table(spark: SparkSession, sf_dir: str) -> str:
             .sortBy("band", "key")
             .saveAsTable(name)
         )
+        _stamp_table_manifest(name)
     return name
 
 
@@ -1597,6 +1629,23 @@ BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_MERGES)
 BPE_LINEAGE_TRUNC_EVERY = 8
 
 
+def _bpe_initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single corpus pass both trainers share: word frequencies
+    (corpus-sized shuffle down to vocab size), each word split to its
+    character symbols. PERSISTED — ownership passes to the trainer.
+    Extracted (r11 review) so a tokenization change can never be
+    applied to one trainer and silently break the pinned bit-for-bit
+    equivalence of the other."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    return wf.select("w", F.split("w", "").alias("syms"), "freq").persist()
+
+
 def _bpe_train(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame | None]:
@@ -1611,14 +1660,7 @@ def _bpe_train(
     corpus, breaking the corpus-touched-once contract (ADVICE r10 #2).
     ``bpe_train_merges`` needs neither and releases both immediately.
     See ``bpe_train_merges`` for the scale contract."""
-    d = _docs(spark, sf_dir)
-    words = (
-        d.filter(F.trim("text") != "")
-        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
-        .filter(F.col("w") != "")
-    )
-    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
-    vocab = wf.select("w", F.split("w", "").alias("syms"), "freq").persist()
+    vocab = _bpe_initial_vocab(spark, sf_dir)
     prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -1769,14 +1811,7 @@ def _bpe_train_batched(
     so greedy's next pick after p1..p_{i-1} is p_i, for every i. When
     the collected list is exhausted (fewer pairs than the batch), no
     boundary pairs exist, so no creations can outrank the batch."""
-    d = _docs(spark, sf_dir)
-    words = (
-        d.filter(F.trim("text") != "")
-        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
-        .filter(F.col("w") != "")
-    )
-    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
-    vocab = wf.select("w", F.split("w", "").alias("syms"), "freq").persist()
+    vocab = _bpe_initial_vocab(spark, sf_dir)
     prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0

@@ -829,7 +829,7 @@ def test_existing_tables_rebuilt_when_backing_files_vanish(spark, sf_dir):
     name = _existing_bands_table(spark, sf_dir)
     path = os.path.join(tempfile.gettempdir(), name)
     assert os.path.isdir(path)
-    shutil.rmtree(path)  # the tmp-cleaner scenario
+    shutil.rmtree(path)  # the tmp-cleaner scenario: everything gone
     assert spark.catalog.tableExists(name)  # the stale state ADVICE describes
     got = {
         r["doc_id"]
@@ -837,6 +837,24 @@ def test_existing_tables_rebuilt_when_backing_files_vanish(spark, sf_dir):
     }
     assert got == expected and expected
     assert os.path.isdir(path)  # rebuilt, not read-through-empty
+
+    # PARTIAL loss (r11 review): an age-based cleaner deleting SOME
+    # bucket files must also trigger a rebuild — an any-parquet-present
+    # check would pass and silently return wrong survivors
+    parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    assert len(parts) > 1, "fixture table too small to exercise partial loss"
+    os.remove(os.path.join(path, parts[0]))
+    got2 = {
+        r["doc_id"]
+        for r in incremental_ingest_neardup_bucketed(spark, sf_dir).collect()
+    }
+    assert got2 == expected
+    # and the rebuild restamped a manifest matching the files on disk
+    from monthly_report_etl_spark.operators.corpus import (
+        _external_table_needs_build,
+    )
+
+    assert not _external_table_needs_build(spark, _existing_bands_table(spark, sf_dir))
 
 
 def test_ivf_trainer_clamps_k_on_sub_k_corpus(spark):
