@@ -1799,18 +1799,30 @@ def _bpe_train_batched(
     * no skipping: the walk stops at the FIRST pair sharing a symbol
       with any earlier batch pair's inputs {l,r} OR output l+r, so
       every conflicting pair ranks BELOW the whole batch;
+    * self-composable terminal: a pair with left == right (ADVICE r11
+      #1) closes the batch — it may only ever be the FINAL member.
+      Applying (a,a) to a run ``aaa`` CREATES pair (aa,a) from an old
+      (a,a) adjacency, so the creation is bounded by the batch pair's
+      OWN count, not by any excluded pair's — it can outrank or
+      tie-break-beat later batch members (counterexample: corpus
+      ['cc','bbb'], batch_m=2 — sequential merges (b,b),(bb,b),(c,c);
+      the unfixed batch emitted (b,b),(c,c),(bb,b)). As the final
+      member its creations land after every batch pick and are
+      recounted next round, where greedy sees them normally;
     * strict dominance: trailing batch pairs tying the first excluded
       pair's count are dropped (keeping at least p1), so every batch
       count strictly exceeds every non-batch count.
 
     Then, inductively: applying p1..p_{i-1} leaves count(p_i) exactly
     unchanged (disjoint inputs/outputs), existing non-batch pairs can
-    only lose occurrences, and any CREATED pair (x, l·r) obeys
+    only lose occurrences, and — since every NON-terminal batch pair
+    has l ≠ r — any pair CREATED by p1..p_{i-1}, say (x, l·r), obeys
     count_new ≤ count_old(x, l) where (x, l) conflicts with the batch
     and therefore counts ≤ the excluded pair's count < count(p_i) —
     so greedy's next pick after p1..p_{i-1} is p_i, for every i. When
     the collected list is exhausted (fewer pairs than the batch), no
-    boundary pairs exist, so no creations can outrank the batch."""
+    boundary pairs exist, so no creations by non-terminal members can
+    outrank the batch."""
     vocab = _bpe_initial_vocab(spark, sf_dir)
     prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
@@ -1848,6 +1860,8 @@ def _bpe_train_batched(
                     break
                 batch.append((left, right, cnt))
                 touched.update((left, right, left + right))
+                if left == right:
+                    break  # self-composable: only safe as the FINAL member
             stop_cnt = rows[len(batch)][2] if len(batch) < len(rows) else None
             while len(batch) > 1 and stop_cnt is not None and batch[-1][2] == stop_cnt:
                 batch.pop()  # strict-dominance truncation
