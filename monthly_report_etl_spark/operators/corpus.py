@@ -915,18 +915,24 @@ INGEST_KEY_BUCKETS = 8
 
 # Manifest the table builders stamp into the external dir after a
 # successful build (hidden from Spark's file listing by the leading
-# underscore, like _SUCCESS). Recording the exact part-file set lets
-# the freshness guard catch PARTIAL loss — an age-based tmp cleaner
-# deleting some-but-not-all bucket files would otherwise pass an
-# any-parquet-present check and silently return wrong survivors (r11
-# code review) — and distinguishes a legitimately EMPTY table
+# underscore, like _SUCCESS). Recording the exact part-file set WITH
+# PER-FILE SIZES lets the freshness guard catch PARTIAL loss — an
+# age-based tmp cleaner deleting some-but-not-all bucket files would
+# otherwise pass an any-parquet-present check and silently return wrong
+# survivors (r11 code review) — AND truncation/same-name overwrite (a
+# crashed cleaner or writer leaving a zero-byte part passes a name-only
+# check; ADVICE r11 #4) — and distinguishes a legitimately EMPTY table
 # (manifest present, zero parts: no rebuild-per-run loop) from
 # vanished data.
 _TABLE_MANIFEST = "_GRAFT_MANIFEST.json"
 
 
-def _list_parts(path: str) -> set[str]:
-    return {f for f in os.listdir(path) if f.endswith(".parquet")}
+def _list_parts(path: str) -> dict[str, int]:
+    return {
+        f: os.stat(os.path.join(path, f)).st_size
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
 
 
 def _stamp_table_manifest(name: str) -> None:
@@ -935,7 +941,7 @@ def _stamp_table_manifest(name: str) -> None:
 
     path = os.path.join(tempfile.gettempdir(), name)
     with open(os.path.join(path, _TABLE_MANIFEST), "w") as fh:
-        json.dump({"parts": sorted(_list_parts(path))}, fh)
+        json.dump({"parts": _list_parts(path)}, fh)
 
 
 def _external_table_needs_build(spark: SparkSession, name: str) -> bool:
@@ -956,7 +962,10 @@ def _external_table_needs_build(spark: SparkSession, name: str) -> bool:
     path = os.path.join(tempfile.gettempdir(), name)
     try:
         with open(os.path.join(path, _TABLE_MANIFEST)) as fh:
-            expected = set(json.load(fh)["parts"])
+            expected = json.load(fh)["parts"]
+        # name->size dict equality: catches deletion, addition,
+        # truncation, and same-name overwrite in one compare (a
+        # pre-r12 name-list manifest never equals a dict → rebuild)
         if _list_parts(path) == expected:
             return False
     except (OSError, ValueError, KeyError):
@@ -1629,6 +1638,35 @@ BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_MERGES)
 BPE_LINEAGE_TRUNC_EVERY = 8
 
 
+def _release_vocab_frame(df: DataFrame) -> None:
+    """Release a trainer vocab frame's storage, whether it came from
+    ``persist()`` or ``localCheckpoint()`` (ADVICE r11 #3): for a
+    checkpointed frame, ``DataFrame.unpersist()`` is a NO-OP — the
+    checkpoint's backing RDD is cached outside the CacheManager — so
+    without this, the large-N path accumulates ~N/BPE_LINEAGE_TRUNC_EVERY
+    vocab-sized RDDs until py4j + JVM GC let the ContextCleaner reclaim
+    them, exactly where memory is tightest. A checkpointed frame's plan
+    is a bare LogicalRDD; dropping that RDD's blocks directly frees the
+    storage immediately (verified: getRDDStorageInfo goes to empty).
+    Callers must invoke this only once no live frame can recompute
+    THROUGH the released one (the same contract the persisted path
+    already had — a localCheckpoint RDD is non-recomputable, so a
+    downstream cache-eviction replay would fail loudly; in-loop we
+    release strictly after the child has materialized its own cache,
+    which is also MEMORY_AND_DISK, so eviction spills rather than
+    drops — the only loss mode is executor death, the documented
+    localCheckpoint tradeoff)."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        df.unpersist()
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # non-classic backends: fall back to GC-deferred reclamation
+
+
 def _bpe_initial_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The single corpus pass both trainers share: word frequencies
     (corpus-sized shuffle down to vocab size), each word split to its
@@ -1689,7 +1727,7 @@ def _bpe_train(
             # whole lineage back to the corpus: N corpus passes instead
             # of one, exactly the claim this operator makes)
             if prev is not None:
-                prev.unpersist()
+                _release_vocab_frame(prev)
                 prev = None
             if not top:
                 break
@@ -1725,15 +1763,15 @@ def _bpe_train(
                 nxt = vocab.select(
                     "w", new_syms.alias("syms"), "freq"
                 ).localCheckpoint(eager=True)
-                vocab.unpersist()
+                _release_vocab_frame(vocab)
                 vocab = nxt
             else:
                 nxt = vocab.select("w", new_syms.alias("syms"), "freq").persist()
                 prev, vocab = vocab, nxt
     except BaseException:
         if prev is not None:
-            prev.unpersist()
-        vocab.unpersist()
+            _release_vocab_frame(prev)
+        _release_vocab_frame(vocab)
         raise
     return merges, vocab, prev
 
@@ -1848,7 +1886,7 @@ def _bpe_train_batched(
                 .collect()  # model-sized: m+1 rows per ROUND
             )
             if prev is not None:
-                prev.unpersist()
+                _release_vocab_frame(prev)
                 prev = None
             if not top:
                 break
@@ -1873,15 +1911,15 @@ def _bpe_train_batched(
                 nxt = vocab.select(
                     "w", new_syms.alias("syms"), "freq"
                 ).localCheckpoint(eager=True)
-                vocab.unpersist()
+                _release_vocab_frame(vocab)
                 vocab = nxt
             else:
                 nxt = vocab.select("w", new_syms.alias("syms"), "freq").persist()
                 prev, vocab = vocab, nxt
     except BaseException:
         if prev is not None:
-            prev.unpersist()
-        vocab.unpersist()
+            _release_vocab_frame(prev)
+        _release_vocab_frame(vocab)
         raise
     return merges, vocab, prev
 
@@ -1897,9 +1935,9 @@ def bpe_train_merges_batched(
     entry under the r11 capacity policy — COVERAGE.md taxonomy ties the
     two with the pytest equivalence and python-reference tests)."""
     merges, vocab, parent = _bpe_train_batched(spark, sf_dir, n_merges, batch_m)
-    vocab.unpersist()
+    _release_vocab_frame(vocab)
     if parent is not None:
-        parent.unpersist()
+        _release_vocab_frame(parent)
     return spark.createDataFrame(
         merges,
         "merge_rank int, merge_left string, merge_right string, pair_count long",
@@ -1931,9 +1969,9 @@ def bpe_train_merges(
     select deep and the corpus is never re-read. Stops early if the
     vocab runs out of pairs."""
     merges, vocab, parent = _bpe_train(spark, sf_dir, n_merges)
-    vocab.unpersist()  # merges already collected; the vocab feeds only bpe_tokenize
+    _release_vocab_frame(vocab)  # merges collected; the vocab feeds only bpe_tokenize
     if parent is not None:
-        parent.unpersist()
+        _release_vocab_frame(parent)
     return spark.createDataFrame(
         merges,
         "merge_rank int, merge_left string, merge_right string, pair_count long",
@@ -2003,9 +2041,9 @@ def bpe_tokenize(
     # PARENT's still-live cache (one fold, zero corpus reads); only then
     # is it safe to release both training caches (ADVICE r10 #2)
     seg = vocab.select("w", "syms").localCheckpoint(eager=True)
-    vocab.unpersist()
+    _release_vocab_frame(vocab)
     if parent is not None:
-        parent.unpersist()
+        _release_vocab_frame(parent)
     d = _docs(spark, sf_dir)
     docw = (
         d.filter(F.trim("text") != "")

@@ -856,6 +856,26 @@ def test_existing_tables_rebuilt_when_backing_files_vanish(spark, sf_dir):
 
     assert not _external_table_needs_build(spark, _existing_bands_table(spark, sf_dir))
 
+    # TRUNCATION (ADVICE r11 #4): a crashed cleaner/writer leaving a
+    # part with the right NAME but wrong SIZE (here: zero bytes) must
+    # also trigger a rebuild — the name-set check passed this and the
+    # read failed later (or read short) instead of rebuilding. Probe
+    # with the captured name: _existing_bands_table itself rebuilds.
+    parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    victim = os.path.join(path, parts[0])
+    assert os.path.getsize(victim) > 0
+    with open(victim, "w"):
+        pass  # truncate in place: same name, zero bytes
+    assert _external_table_needs_build(
+        spark, name
+    ), "zero-byte part with a valid name must fail the manifest size check"
+    got3 = {
+        r["doc_id"]
+        for r in incremental_ingest_neardup_bucketed(spark, sf_dir).collect()
+    }
+    assert got3 == expected
+    assert not _external_table_needs_build(spark, name)
+
 
 def test_ivf_trainer_clamps_k_on_sub_k_corpus(spark):
     """ADVICE r10 #3: fewer trainable vectors than k (reachable via the

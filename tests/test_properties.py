@@ -678,6 +678,40 @@ def test_bpe_batched_selfcomposable_regression(spark):
     )
 
 
+def test_bpe_lineage_truncation_frees_checkpoint_storage(spark, sf_dir):
+    """ADVICE r11 #3: the lineage-truncation branch replaces the vocab
+    with a localCheckpoint frame whose storage the CacheManager does NOT
+    track, so a plain unpersist() leaked one vocab-sized RDD per
+    truncation until GC. `_release_vocab_frame` drops the backing RDD's
+    blocks directly; train past two truncation points and assert the
+    session holds no more cached/checkpointed RDD blocks than before."""
+    from monthly_report_etl_spark.operators.corpus import (
+        BPE_LINEAGE_TRUNC_EVERY,
+        _release_vocab_frame,
+        bpe_train_merges,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_stored():
+        return len(jsc.getRDDStorageInfo())
+
+    # direct helper check: a checkpointed frame's blocks really go away
+    ck = spark.range(10_000).selectExpr("id", "id * 2 AS x").localCheckpoint(
+        eager=True
+    )
+    assert ck.count() == 10_000
+    before = n_stored()
+    _release_vocab_frame(ck)
+    assert n_stored() == before - 1
+
+    # loop-level: two truncations (ranks 8 and 16) must not accumulate
+    baseline = n_stored()
+    merges = bpe_train_merges(spark, sf_dir, 2 * BPE_LINEAGE_TRUNC_EVERY + 1)
+    assert len(merges.collect()) >= 1
+    assert n_stored() <= baseline
+
+
 def test_bpe_batched_fuzz_corpora_regression(spark):
     """The three divergent corpora the 20k-corpus pure-python fuzz found
     against the UNFIXED rule (tools/fuzz_bpe_batch_rule.py, seed 42) —
