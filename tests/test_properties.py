@@ -678,6 +678,149 @@ def test_bpe_batched_selfcomposable_regression(spark):
     )
 
 
+def test_bpe_tokenize_sampled_fraction1_identical(spark, sf_dir):
+    """VERDICT r11 #4: with fraction=1.0 the stratified sample IS the
+    corpus, so the sample-trained merge table equals the full trainer's
+    and the merge-table APPLY path (`_bpe_apply_merge_table`, rank-order
+    fold composition over the full word vocabulary) must reproduce
+    `bpe_tokenize`'s trained-vocab-state segmentation BIT-FOR-BIT —
+    pinning that the encode side and the train side apply merges
+    identically."""
+    from monthly_report_etl_spark.operators.corpus import (
+        bpe_tokenize,
+        bpe_tokenize_sampled,
+    )
+
+    full = {
+        r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in bpe_tokenize(spark, sf_dir).collect()
+    }
+    samp = {
+        r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in bpe_tokenize_sampled(spark, sf_dir, fraction=1.0).collect()
+    }
+    assert samp == full and full
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxy ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_tokenize_sampled_matches_python_reference(spark, words):
+    """End-to-end python differential for the train-on-sample path at
+    fraction=0.5: replicate the deterministic stratified sample (md5
+    rank per lang, keep ceil(f*n)), train sequential-greedy BPE on the
+    sampled docs only, apply the merge table in rank order to EVERY
+    corpus word (including words the trainer never saw — the case
+    fraction=1.0 cannot reach), segment, and compare exactly."""
+    import hashlib
+    import math
+    import os
+    import re as _re
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.operators.corpus import (
+        BPE_MERGES,
+        bpe_tokenize_sampled,
+    )
+
+    frac = 0.5
+    n = len(words)
+    ranked = sorted(
+        range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    keep = set(ranked[: math.ceil(frac * n)])
+
+    def doc_words(doc):
+        return [w for w in _re.split(r"\s+", doc.strip()) if w]
+
+    wf: Counter = Counter()
+    for i in keep:
+        wf.update(doc_words(words[i]))
+    vocab = {w: list(w) for w in wf}
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_MERGES):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for k in range(len(syms) - 1):
+                pc[(syms[k], syms[k + 1])] += wf[w]
+        if not pc:
+            break
+        (l, r), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r))
+        for w, syms in vocab.items():
+            out, k = [], 0
+            while k < len(syms):
+                if k + 1 < len(syms) and syms[k] == l and syms[k + 1] == r:
+                    out.append(l + r)
+                    k += 2
+                else:
+                    out.append(syms[k])
+                    k += 1
+            vocab[w] = out
+
+    def encode(w):
+        syms = list(w)
+        for l, r in merges:
+            out, k = [], 0
+            while k < len(syms):
+                if k + 1 < len(syms) and syms[k] == l and syms[k + 1] == r:
+                    out.append(l + r)
+                    k += 2
+                else:
+                    out.append(syms[k])
+                    k += 1
+            syms = out
+        return syms
+
+    ref = {
+        i: [t for w in doc_words(doc) for t in encode(w)]
+        for i, doc in enumerate(words)
+        if doc_words(doc)
+    }
+
+    outdir = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": list(words),
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(w) for w in words],
+        }
+    ).to_parquet(os.path.join(outdir, "documents.parquet"), index=False)
+
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_tokenize_sampled(spark, outdir, fraction=frac).collect()
+    }
+    assert got == ref
+
+
+def test_bpe_sample_divergence_metrics(spark, sf_dir):
+    """The divergence measurement itself: one metrics row, sane ranges;
+    fraction=1.0 must report zero divergence on every metric."""
+    from monthly_report_etl_spark.operators.corpus import bpe_sample_divergence
+
+    row = bpe_sample_divergence(spark, sf_dir).collect()[0]
+    assert row["n_docs"] > 0
+    assert 0.0 <= row["identical_doc_frac"] <= 1.0
+    assert row["token_inflation"] > 0
+    assert 0.0 <= row["jaccard_tokens_mean"] <= 1.0
+
+    exact = bpe_sample_divergence(spark, sf_dir, fraction=1.0).collect()[0]
+    assert exact["identical_doc_frac"] == 1.0
+    assert exact["token_inflation"] == 1.0
+    assert exact["jaccard_tokens_mean"] == 1.0
+
+
 def test_bpe_lineage_truncation_frees_checkpoint_storage(spark, sf_dir):
     """ADVICE r11 #3: the lineage-truncation branch replaces the vocab
     with a localCheckpoint frame whose storage the CacheManager does NOT
