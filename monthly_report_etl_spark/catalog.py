@@ -1194,7 +1194,11 @@ _register_extension_catalogs()
 # manifest size-check touches the four ingest entries, of which
 # _neardup (plain) and _bloom are r10-latest → fresh rows at r13, and
 # _bucketed / _neardup_bucketed take r13's slack (receipts in
-# test_existing_tables_rebuilt_when_backing_files_vanish).
+# test_existing_tables_rebuilt_when_backing_files_vanish); the §8m
+# inversion fix (adj materialization) touches recursive_order_chains
+# (r10-latest → fresh row arrives with its r13 cohort; receipts:
+# test_recursive_cte_adj_materialized_and_cache_reused + the existing
+# plan gate + sf0.01 oracle hand-run green this round).
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- r11-changed, cohort not due (VERDICT r11 #1 names both) --

@@ -297,29 +297,30 @@ def window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recursive CTE (Spark 4 WITH RECURSIVE): per-customer order-chain walk
 # ---------------------------------------------------------------------------
 
-# ONE SQL template runs on BOTH engines (only the table name differs) —
-# dialect-shared subset: WINDOW clause, LEAD/LAG, INTERVAL arithmetic,
-# UNION ALL recursion (Spark 4 does not yet support UNION-distinct in
-# recursive CTEs, so the traversal must be acyclic by construction: each
-# step follows THE unique next order, strictly later, capped at depth 20).
-_ORDER_CHAINS_SQL = """
-WITH RECURSIVE adj AS (
-    SELECT o_custkey, o_orderkey, o_orderdate,
+# ONE pair of SQL templates runs on BOTH engines (only the adj/orders
+# references differ) — dialect-shared subset: WINDOW clause, LEAD/LAG,
+# INTERVAL arithmetic, UNION ALL recursion (Spark 4 does not yet support
+# UNION-distinct in recursive CTEs, so the traversal must be acyclic by
+# construction: each step follows THE unique next order, strictly later,
+# capped at depth 20). Split into (adj, chain) so Spark can MATERIALIZE
+# adj outside the recursion (see recursive_order_chains) while the
+# oracle splices the same two texts back into a single WITH RECURSIVE.
+_ORDER_CHAINS_ADJ_SQL = """SELECT o_custkey, o_orderkey, o_orderdate,
            LAG(o_orderdate)  OVER w AS prev_date,
            LEAD(o_orderkey)  OVER w AS next_key,
            LEAD(o_orderdate) OVER w AS next_date
     FROM {orders}
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-),
-chain (head_key, o_custkey, cur_key, cur_date, depth) AS (
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+_ORDER_CHAINS_CHAIN_SQL = """chain (head_key, o_custkey, cur_key, cur_date, depth) AS (
     SELECT o_orderkey, o_custkey, o_orderkey, o_orderdate, 1
-    FROM adj
+    FROM {adj}
     WHERE prev_date IS NULL
        OR o_orderdate > prev_date + INTERVAL 30 DAY
     UNION ALL
     SELECT c.head_key, c.o_custkey, a.next_key, a.next_date, c.depth + 1
     FROM chain c
-    JOIN adj a ON a.o_orderkey = c.cur_key
+    JOIN {adj} a ON a.o_orderkey = c.cur_key
     WHERE a.next_date IS NOT NULL
       AND a.next_date <= c.cur_date + INTERVAL 30 DAY
       AND c.depth < 20
@@ -331,7 +332,12 @@ FROM chain
 GROUP BY head_key, o_custkey
 """
 
-ORDER_CHAINS_ORACLE = _ORDER_CHAINS_SQL.format(orders="orders")
+ORDER_CHAINS_ORACLE = (
+    "WITH RECURSIVE adj AS (\n    "
+    + _ORDER_CHAINS_ADJ_SQL.format(orders="orders")
+    + "\n),\n"
+    + _ORDER_CHAINS_CHAIN_SQL.format(adj="adj")
+)
 
 
 def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,23 +352,60 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion is genuinely data-dependent — chain length isn't known
     before execution — yet provably terminates: every step strictly
     advances o_orderdate, and depth is capped at 20 (the same guard the
-    oracle carries, so both engines cut identical chains). The exact
-    SQL text runs on DuckDB as the oracle; only the table reference
-    differs.
+    oracle carries, so both engines cut identical chains). The same two
+    SQL texts run on DuckDB as the oracle, spliced back into one WITH
+    RECURSIVE; only the table references differ.
 
-    Scale design: Spark executes the recursion as iterative UNION ALL
-    steps over the adj frame; both the window and each recursive join
-    key on order/customer ids, and the working set SHRINKS every
-    iteration (only still-extending chains survive the join filter).
-    Depth caps bound the iteration count at the 100 TB tier the same
-    way MAX_SEQ_EVENTS caps per-user sequence state. At-scale config:
+    Scale design — r12, the §8m inversion PINNED and fixed. The adj
+    frame is PERSISTED and materialized (count) BEFORE the recursion,
+    for two independent reasons measured on the orders replicas
+    (SCALE.md §8m addendum, fresh-session walls at the session's 64 MB
+    broadcast threshold):
+
+    * accurate stats: inlined, adj's size estimate derives from the
+      parquet FILE size, and Spark's UnionLoop re-plans the chain⋈adj
+      join at EVERY level — at 30x the 63 MB file sat just under the
+      64 MB session threshold, so every one of the 20 levels
+      broadcast-built a 4.5M-row, data-proportional relation (79.3 s),
+      while at 100x the 207 MB file tipped the same decision to a
+      shuffle join (33.4 s): the §8m "more data ran faster" inversion
+      was the optimizer flipping strategy across the threshold
+      boundary, not engine noise. The materialized InMemoryRelation
+      carries its ACTUAL cached size, so the decision is made on truth
+      at every scale — no forced strategy, no hint, the repo's
+      zero-forced-broadcast rule kept intact (localCheckpoint was
+      tried and rejected: LogicalRDD exposes no accurate stats and the
+      30x broadcast pathology persists, 67.9 s);
+    * no per-level recompute: the REST-level job attribution showed
+      each recursion level re-running the orders scan + custkey window
+      to rebuild adj (a fact-sized shuffle write per level); the cache
+      turns 20 rebuilds into one.
+
+    After the fix: 30x 28.0 s / 100x 25.4 s — monotone-flat, and the
+    100 TB plan is the one you'd want (per-level shuffle join against
+    a disk-backed materialized adj; MEMORY_AND_DISK spills rather than
+    OOMs on a cluster). The cache is keyed by adj's canonicalized plan,
+    so repeated calls on the same orders table REUSE one entry instead
+    of stacking copies; it stays resident for the session (fact-sized —
+    the deliberate trade for the 20-level reuse).
+
+    Working set: the recursion's own state SHRINKS every iteration
+    (only still-extending chains survive the join filter), and depth
+    caps bound the iteration count at the 100 TB tier the same way
+    MAX_SEQ_EVENTS caps per-user sequence state. At-scale config:
     ``spark.sql.cteRecursionRowLimit`` defaults to 1M accumulated rows
     (levels default 100) — a cluster-scale run over a fact table must
     raise it to ~heads x avg depth; the depth-20 guard keeps the level
     limit irrelevant.
     """
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
-    return spark.sql(_ORDER_CHAINS_SQL.format(orders="orders_rcte"))
+    adj = spark.sql(_ORDER_CHAINS_ADJ_SQL.format(orders="orders_rcte")).persist()
+    adj.count()  # materialize so the InMemoryRelation carries real stats
+    adj.createOrReplaceTempView("order_chains_adj")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _ORDER_CHAINS_CHAIN_SQL.format(adj="order_chains_adj")
+    )
 
 
 CATALOG: dict[str, tuple] = {

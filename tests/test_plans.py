@@ -475,6 +475,35 @@ def test_recursive_cte_plan_shape(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
+def test_recursive_cte_adj_materialized_and_cache_reused(spark, sf_dir):
+    """r12 (§8m inversion fix): adj must enter the recursion as a
+    MATERIALIZED InMemoryRelation, for two pinned reasons — (1) every
+    recursion level reads the cache instead of re-running the orders
+    scan + custkey window (the REST attribution showed a fact-sized
+    rebuild per level), and (2) the cache carries adj's ACTUAL size, so
+    UnionLoop's per-level join strategy is decided on truth (inlined,
+    the parquet-file-size estimate sat under the session's 64 MB
+    broadcast threshold at 30x and every level broadcast a 4.5M-row
+    relation — the §8m 30x>100x inversion). Also pins cache REUSE: a
+    second call on the same orders table must not stack a second
+    fact-sized cache entry."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    df = QUERIES["recursive_order_chains"](spark, sf_dir)
+    plan = _plan(df)
+    assert "InMemoryRelation" in plan, (
+        "adj is no longer read from the materialized cache\n" + plan
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = len(jsc.getRDDStorageInfo())
+    QUERIES["recursive_order_chains"](spark, sf_dir).count()
+    n_after = len(jsc.getRDDStorageInfo())
+    assert n_after <= n_before, (
+        "second call stacked a new adj cache entry instead of reusing "
+        f"the canonical-plan-keyed one ({n_before} -> {n_after})"
+    )
+
+
 def test_semdedup_kmeans_plan_shape(spark, sf_dir):
     """The k-means SemDeDup scale path keeps its contract: the tagged
     corpus is consumed from the localCheckpoint (scan + normalize +
