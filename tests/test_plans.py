@@ -731,3 +731,34 @@ def test_bpe_tokenize_plan_shape(spark, sf_dir):
     assert len(shuffles) == 1, f"expected one groupBy exchange:\n{plan}"
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_bpe_tokenize_sampled_plan_shape(spark, sf_dir):
+    """The train-on-sample path (r12) keeps bpe_tokenize's tokenize-side
+    contract: the SEGMENTATION plan still scans the corpus exactly once
+    (the sample-trained word→symbols map enters as a checkpointed
+    ExistingRDD — `_bpe_apply_merge_table`'s fold chain never replays),
+    no Window, exactly one groupBy exchange, no hints, no Python."""
+    import re
+
+    from monthly_report_etl_spark.operators.corpus import bpe_tokenize_sampled
+
+    df = bpe_tokenize_sampled(spark, sf_dir, fraction=0.5)
+    plan = _plan(df)
+    assert not [
+        ln for ln in plan.splitlines() if re.match(r"\(\d+\) Window", ln)
+    ], f"window crept into the sampled tokenize reassembly:\n{plan}"
+    scans = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scans) == 1, f"corpus scanned {len(scans)}x:\n{plan}"
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.match(r"\(\d+\) Exchange", ln.strip())
+    ]
+    assert len(shuffles) == 1, f"expected one groupBy exchange:\n{plan}"
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
