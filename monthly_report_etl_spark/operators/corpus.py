@@ -2113,7 +2113,11 @@ def _bpe_segment_docs(
 # BPE_LINEAGE_TRUNC_EVERY (the apply chain nests fold EXPRESSIONS
 # rather than stacking InMemoryRelations, but analysis cost still grows
 # with depth, and 8 is the depth the N=8 catalog entry has always
-# exercised).
+# exercised). Longer chains were measured (r12) and are NOT a lever:
+# at N=64 on a 294k-word vocabulary, chain 8/32/64 read 24.6/27.1/22.4 s
+# (noise-level; per-element expression cost grows with depth and eats
+# the saved checkpoints), and on a tiny vocab chain=64 regresses ~1.5x
+# from analysis cost alone.
 BPE_APPLY_CHAIN = BPE_LINEAGE_TRUNC_EVERY
 
 
