@@ -846,7 +846,9 @@ def test_bpe_lineage_truncation_frees_checkpoint_storage(spark, sf_dir):
     assert ck.count() == 10_000
     before = n_stored()
     _release_vocab_frame(ck)
-    assert n_stored() == before - 1
+    # <= rather than ==: the async ContextCleaner may concurrently drop
+    # an unrelated entry of the shared test session between the samples
+    assert n_stored() <= before - 1
 
     # loop-level: two truncations (ranks 8 and 16) must not accumulate
     baseline = n_stored()
