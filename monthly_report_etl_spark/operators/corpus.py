@@ -17,6 +17,7 @@ constraint is 100 TB of documents:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -24,6 +25,8 @@ from pyspark.sql import functions as F
 
 from monthly_report_etl_spark.functions.text import fingerprint, whitespace_tokens
 from monthly_report_etl_spark.operators.dedup import TOKS_SQL as _DEDUP_TOKS_SQL
+
+_log = logging.getLogger(__name__)
 
 SAMPLE_MOD = 10  # keep ~1/10 of documents
 TFIDF_TOP_K = 3
@@ -1667,8 +1670,13 @@ def _release_vocab_frame(df: DataFrame) -> None:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
             plan.rdd().unpersist(False)
-    except Exception:
-        pass  # non-classic backends: fall back to GC-deferred reclamation
+    except Exception as exc:  # non-classic backends / renamed internals:
+        # fall back to GC-deferred reclamation — but NOISILY (ADVICE r12
+        # #2): this path rides classic-Spark private accessors, and a
+        # silent py4j failure here would invisibly reintroduce the
+        # checkpoint-RDD accumulation this helper exists to fix.
+        _log.debug("vocab-frame eager release unavailable (%s); "
+                   "falling back to GC-deferred reclamation", exc)
 
 
 def _merge_apply_expr(syms, left: str, right: str):
@@ -2144,22 +2152,33 @@ def _bpe_apply_merge_table(
     own_prev: DataFrame | None = None
     col = F.col("syms")
     pending = 0
-    for _rank, left, right, *_ in merges:
-        col = _merge_apply_expr(col, left, right)
-        pending += 1
-        if pending == chain:
+    # ADVICE r12 #1: release the in-flight intermediate checkpoints on
+    # any failure, mirroring _bpe_train — without this, a fold job dying
+    # mid-chain leaks one vocab-sized localCheckpoint RDD per completed
+    # chain boundary until JVM GC, exactly where memory is tightest.
+    # (`nxt` itself cannot leak: either localCheckpoint raised before it
+    # was bound, or it already became `own_prev`/`df`.)
+    try:
+        for _rank, left, right, *_ in merges:
+            col = _merge_apply_expr(col, left, right)
+            pending += 1
+            if pending == chain:
+                nxt = df.select("w", col.alias("syms")).localCheckpoint(eager=True)
+                if own_prev is not None:
+                    _release_vocab_frame(own_prev)
+                own_prev, df = nxt, nxt
+                col = F.col("syms")
+                pending = 0
+        if pending or own_prev is None:
             nxt = df.select("w", col.alias("syms")).localCheckpoint(eager=True)
             if own_prev is not None:
                 _release_vocab_frame(own_prev)
-            own_prev, df = nxt, nxt
-            col = F.col("syms")
-            pending = 0
-    if pending or own_prev is None:
-        nxt = df.select("w", col.alias("syms")).localCheckpoint(eager=True)
+            df = nxt
+        return df
+    except BaseException:
         if own_prev is not None:
             _release_vocab_frame(own_prev)
-        df = nxt
-    return df
+        raise
 
 
 def bpe_tokenize_sampled(

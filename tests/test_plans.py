@@ -494,13 +494,51 @@ def test_recursive_cte_adj_materialized_and_cache_reused(spark, sf_dir):
     assert "InMemoryRelation" in plan, (
         "adj is no longer read from the materialized cache\n" + plan
     )
+    # ADVICE r12 #4: compare the SET of cached-RDD ids, not global
+    # counts — async ContextCleaner activity can only REMOVE entries
+    # between samples, so "no new ids" is race-free where
+    # "count(after) <= count(before)" was flaky.
     jsc = spark.sparkContext._jsc.sc()
-    n_before = len(jsc.getRDDStorageInfo())
+
+    def _cached_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    ids_before = _cached_ids()
     QUERIES["recursive_order_chains"](spark, sf_dir).count()
-    n_after = len(jsc.getRDDStorageInfo())
-    assert n_after <= n_before, (
+    stacked = _cached_ids() - ids_before
+    assert not stacked, (
         "second call stacked a new adj cache entry instead of reusing "
-        f"the canonical-plan-keyed one ({n_before} -> {n_after})"
+        f"the canonical-plan-keyed one (new cached RDD ids: {stacked})"
+    )
+
+
+def test_recursive_cte_adj_evicted_on_new_table(spark, sf_dir):
+    """r13 (VERDICT r12 #6 / ADVICE r12): the materialized adj cache is
+    SINGLE-SLOT across distinct orders tables — materializing adj for a
+    different orders source must unpersist the previous entry, so a
+    session sweeping many replicas (tools/scale_curve.py) holds at most
+    one fact-sized cache entry, while same-table reuse (pinned above)
+    is untouched."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    other = "/root/testdata/sf0.01"
+    jsc = spark.sparkContext._jsc.sc()
+
+    def _cached_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    # Pin the slot to sf_dir regardless of prior test order, so the
+    # `other` call below must mint a fresh cache entry.
+    QUERIES["recursive_order_chains"](spark, sf_dir).count()
+    base = _cached_ids()
+    QUERIES["recursive_order_chains"](spark, other).count()
+    new_other = _cached_ids() - base
+    assert new_other, "a different orders table should mint a fresh adj entry"
+    QUERIES["recursive_order_chains"](spark, sf_dir).count()
+    leaked = new_other & _cached_ids()
+    assert not leaked, (
+        "previous table's adj cache entry was not evicted on switching "
+        f"orders tables (leaked cached RDD ids: {leaked})"
     )
 
 
