@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -855,6 +856,47 @@ def test_bpe_lineage_truncation_frees_checkpoint_storage(spark, sf_dir):
     merges = bpe_train_merges(spark, sf_dir, 2 * BPE_LINEAGE_TRUNC_EVERY + 1)
     assert len(merges.collect()) >= 1
     assert n_stored() <= baseline
+
+
+def test_bpe_apply_merge_table_releases_on_error(spark, monkeypatch):
+    """ADVICE r12 #1: `_bpe_apply_merge_table` must release its in-flight
+    intermediate checkpoint frames when a fold job dies mid-chain — the
+    same try/BaseException contract `_bpe_train` carries — instead of
+    leaking one vocab-sized localCheckpoint RDD per completed chain
+    boundary until JVM GC. Control-flow pin: boundary 1 checkpoints
+    fine, boundary 2 raises; the boundary-1 frame must be handed to
+    `_release_vocab_frame` before the error propagates."""
+    from monthly_report_etl_spark.operators import corpus as C
+
+    words = spark.createDataFrame(
+        [("ab", ["a", "b"]), ("abc", ["a", "b", "c"])],
+        "w string, syms array<string>",
+    )
+    merges = [(0, "a", "b", 5), (1, "ab", "c", 3)]
+
+    released = []
+    monkeypatch.setattr(C, "_release_vocab_frame", released.append)
+
+    # patch the CONCRETE DataFrame class (classic/connect subclass) —
+    # the pyspark.sql.DataFrame base is abstract in Spark 4
+    cls = type(words)
+    orig = cls.localCheckpoint
+    calls = {"n": 0}
+
+    def failing_second(self, eager=True):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated fold-job failure at boundary 2")
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", failing_second)
+    with pytest.raises(RuntimeError, match="boundary 2"):
+        C._bpe_apply_merge_table(words, merges, chain=1)
+    assert calls["n"] == 2
+    assert len(released) == 1, (
+        "the completed boundary-1 checkpoint frame was not released on "
+        "mid-chain failure"
+    )
 
 
 def test_bpe_batched_fuzz_corpora_regression(spark):
