@@ -1,0 +1,72 @@
+"""Compare two bench check JSONs (artifacts/bench_sf01_r{N}_check.json)
+and print the regression picture the round reviews need: total walls,
+median per-entry ratio, and the movers past a threshold — using the
+WARM medians when both runs carry the r13 cold/warm split, so first-rep
+table/cache builds (dedup_simhash's shingle table, recursive_order_chains'
+adj materialization, corpus_bpe_train_merges' first checkpoint) can't
+masquerade as plan regressions.
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [threshold]
+
+Reads the FIRST JSON document in each file (bench.py historically wrote
+two documents — full then compact — to stdout captures). A move past
+the threshold on the warm medians is worth attributing; a move that
+appears on the all-reps medians but not the warm ones is warmup noise
+(r13 lesson: a check run minutes after a heavy pytest session showed a
+uniform ~5% inflation with 1.3-1.5x movers that fully reverted on an
+idle host — compare on a quiet machine, and compare warm-to-warm).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def load(path: str) -> dict:
+    obj, _ = json.JSONDecoder().raw_decode(open(path).read())
+    return obj
+
+
+def warm_median(run: dict, name: str) -> float | None:
+    s = run.get("spread", {}).get(name)
+    if not s:
+        return run["queries"].get(name)
+    warm = s.get("warm")
+    return (warm or s)["median"]
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.25
+    names = [k for k in new["queries"] if k in old["queries"]]
+    print(f"total: {old['value']} -> {new['value']} "
+          f"({new['value'] / old['value']:.3f}x) over {len(names)} shared entries")
+
+    for label, pick in (
+        ("all-reps median", lambda run, n: run["queries"][n]),
+        ("warm median", warm_median),
+    ):
+        ratios = []
+        for n in names:
+            a, b = pick(old, n), pick(new, n)
+            if a and b:
+                ratios.append((b / a, n, a, b))
+        ratios.sort(reverse=True)
+        med = statistics.median(r for r, *_ in ratios)
+        movers = [(n, round(r, 2), a, b) for r, n, a, b in ratios if r >= thresh]
+        print(f"[{label}] median ratio {med:.3f}; "
+              f"movers >= {thresh}x: {movers or 'none'}")
+
+    s_old = old.get("streaming", {}).get("rows_per_sec")
+    s_new = new.get("streaming", {}).get("rows_per_sec")
+    if s_old and s_new:
+        print(f"streaming rows/s: {s_old} -> {s_new} ({s_new / s_old:.3f}x)")
+
+
+if __name__ == "__main__":
+    main()
