@@ -16,10 +16,13 @@ union-tag + running-last trick — one shuffle, no per-group pandas).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -425,8 +428,12 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif prev is not None:
         try:
             prev[1].unpersist()
-        except Exception:
-            pass  # prior session gone; its caches died with it
+        except Exception as exc:
+            # prior session gone → its caches died with it (benign); any
+            # OTHER failure would silently leak a fact-sized entry, so
+            # say so (same rule as _release_vocab_frame, ADVICE r12 #2)
+            _log.debug("previous adj cache unpersist failed (%s); "
+                       "entry died with its session or leaks until GC", exc)
     adj = spark.sql(_ORDER_CHAINS_ADJ_SQL.format(orders="orders_rcte")).persist()
     adj.count()  # materialize so the InMemoryRelation carries real stats
     _ADJ_CACHE_SLOT["slot"] = (key, adj)
