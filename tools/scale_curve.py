@@ -70,6 +70,11 @@ def _resolve(name: str):
 
 def main() -> None:
     spark = get_spark(app_name="scale_curve")
+    # recursive_order_chains on the orders replicas accumulates
+    # ~heads x avg-depth recursion rows, past the 1M session default —
+    # raise it here (the documented at-scale config, SCALE.md §8m) so
+    # sweeping the recursive CTE works out of the box
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     # warm codegen/session on the tiny SF so no timed column absorbs
     # first-query compile
     for name in QUERIES_UNDER_TEST:
