@@ -406,7 +406,13 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds at most ONE fact-sized entry instead of accumulating one per
     table for the session lifetime. Same-table calls keep the soaked
     plan-keyed reuse (the slot key is the resolved orders path + app
-    id, so a same-table re-call never evicts its own warm entry).
+    id, so a same-table re-call never evicts its own warm entry). The
+    slot assumes SEQUENTIAL driver use (true for the catalog, driver
+    gate, bench, and scale_curve): a concurrent caller on a different
+    table could unpersist an adj whose recursion is still running —
+    Spark would recompute the evicted levels (a perf fallback, never a
+    wrong answer), the same degradation class as cache eviction under
+    MEMORY_AND_DISK pressure.
 
     Working set: the recursion's own state SHRINKS every iteration
     (only still-extending chains survive the join filter), and depth
