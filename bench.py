@@ -8,9 +8,13 @@ Variance-proofing (VERDICT r6 #1): the old harness timed each query ONCE
 in one shared JVM, and its numbers disagreed with the repo's isolated
 measurements by up to 60% (``dedup_simhash`` 4.94 vs 3.07s) while showing
 ±30% drift on untouched code. Every entry is now timed ``REPS`` times
-(default 3); ``queries`` carries the per-query MEDIAN, and ``spread``
-carries ``{median, min, max}`` per query so a regression claim can be
-checked against the run-to-run envelope instead of a single sample.
+(default 3); ``queries`` carries the per-query MEDIAN over all reps, and
+``spread`` carries ``{median, min, max, cold, warm: {median, min, max}}``
+per query (r13, VERDICT r12 #7: ``cold`` is rep 1 — the rep that pays
+any first-use table/cache build — and ``warm`` summarizes reps 2..N) so
+a regression claim can be checked against the run-to-run envelope AND
+separated from warmup noise; ``tools/bench_compare.py`` applies the
+split when diffing two checks.
 
 Each query is timed end-to-end through a ``noop`` sink write — full plan
 execution on every row, nothing collected to the driver. The flagship

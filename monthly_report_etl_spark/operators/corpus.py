@@ -1644,6 +1644,10 @@ BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_MERGES)
 # reliable checkpoint dir makes the same truncation fault-tolerant.)
 BPE_LINEAGE_TRUNC_EVERY = 8
 
+# warn-once latch for _release_vocab_frame's fallback path (a connect
+# backend would hit it on every call; one warning is signal, N are spam)
+_RELEASE_FALLBACK_WARNED = False
+
 
 def _release_vocab_frame(df: DataFrame) -> None:
     """Release a trainer vocab frame's storage, whether it came from
@@ -1674,9 +1678,14 @@ def _release_vocab_frame(df: DataFrame) -> None:
         # fall back to GC-deferred reclamation — but NOISILY (ADVICE r12
         # #2): this path rides classic-Spark private accessors, and a
         # silent py4j failure here would invisibly reintroduce the
-        # checkpoint-RDD accumulation this helper exists to fix.
-        _log.debug("vocab-frame eager release unavailable (%s); "
-                   "falling back to GC-deferred reclamation", exc)
+        # checkpoint-RDD accumulation this helper exists to fix. WARN
+        # once (debug is suppressed under the default root-logger
+        # config), then debug — a connect backend hits this every call.
+        global _RELEASE_FALLBACK_WARNED
+        log = _log.debug if _RELEASE_FALLBACK_WARNED else _log.warning
+        _RELEASE_FALLBACK_WARNED = True
+        log("vocab-frame eager release unavailable (%s); "
+            "falling back to GC-deferred reclamation", exc)
 
 
 def _merge_apply_expr(syms, left: str, right: str):

@@ -433,13 +433,17 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ADJ_CACHE_SLOT["slot"] = prev  # same table: keep the warm entry
     elif prev is not None:
         try:
-            prev[1].unpersist()
+            # blocking=True: the whole point is bounding the footprint —
+            # async removal would let both fact-sized entries coexist
+            # exactly while the new adj materializes
+            prev[1].unpersist(blocking=True)
         except Exception as exc:
             # prior session gone → its caches died with it (benign); any
             # OTHER failure would silently leak a fact-sized entry, so
-            # say so (same rule as _release_vocab_frame, ADVICE r12 #2)
-            _log.debug("previous adj cache unpersist failed (%s); "
-                       "entry died with its session or leaks until GC", exc)
+            # say so at WARNING (debug is suppressed under the default
+            # root-logger config, which would make this silent again)
+            _log.warning("previous adj cache unpersist failed (%s); "
+                         "entry died with its session or leaks until GC", exc)
     adj = spark.sql(_ORDER_CHAINS_ADJ_SQL.format(orders="orders_rcte")).persist()
     adj.count()  # materialize so the InMemoryRelation carries real stats
     _ADJ_CACHE_SLOT["slot"] = (key, adj)

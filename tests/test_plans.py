@@ -519,9 +519,15 @@ def test_recursive_cte_adj_evicted_on_new_table(spark, sf_dir):
     session sweeping many replicas (tools/scale_curve.py) holds at most
     one fact-sized cache entry, while same-table reuse (pinned above)
     is untouched."""
+    import os
+
     from monthly_report_etl_spark.catalog import QUERIES
 
+    # pick a table that is genuinely DIFFERENT from the fixture's, even
+    # when the suite runs with the sf_dir knob pointed at sf0.01
     other = "/root/testdata/sf0.01"
+    if os.path.realpath(other) == os.path.realpath(sf_dir):
+        other = "/root/testdata/sf0.001"
     jsc = spark.sparkContext._jsc.sc()
 
     def _cached_ids():

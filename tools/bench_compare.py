@@ -10,7 +10,10 @@ Usage:
     python tools/bench_compare.py OLD.json NEW.json [threshold]
 
 Reads the FIRST JSON document in each file (bench.py historically wrote
-two documents — full then compact — to stdout captures). A move past
+two documents — full then compact — to stdout captures). When either
+run predates the split (spread = {median,min,max} only), the warm row
+is labelled MIXED — it falls back to that run's all-reps median, which
+still contains the cold rep, biasing ratios. A move past
 the threshold on the warm medians is worth attributing; a move that
 appears on the all-reps medians but not the warm ones is warmup noise
 (r13 lesson: a check run minutes after a heavy pytest session showed a
@@ -47,20 +50,39 @@ def main() -> None:
     print(f"total: {old['value']} -> {new['value']} "
           f"({new['value'] / old['value']:.3f}x) over {len(names)} shared entries")
 
+    def has_warm(run):
+        return all("warm" in s for s in run.get("spread", {}).values())
+
+    warm_label = "warm median"
+    if not (has_warm(old) and has_warm(new)):
+        # pre-r13 checks carry only {median,min,max}: warm_median falls
+        # back to the all-reps median there, so the comparison mixes a
+        # cold-free numerator with a cold-contaminated denominator (or
+        # vice versa) — say so rather than report a biased row silently
+        warm_label = "warm median — MIXED: one run lacks the cold/warm split, fell back to its all-reps median"
+
     for label, pick in (
         ("all-reps median", lambda run, n: run["queries"][n]),
-        ("warm median", warm_median),
+        (warm_label, warm_median),
     ):
         ratios = []
+        dropped = []
         for n in names:
             a, b = pick(old, n), pick(new, n)
-            if a and b:
+            if a is not None and b is not None and a > 0 and b > 0:
                 ratios.append((b / a, n, a, b))
+            else:
+                dropped.append(n)
+        if not ratios:
+            print(f"[{label}] no comparable entries "
+                  f"(all {len(names)} dropped: zero/missing medians)")
+            continue
         ratios.sort(reverse=True)
         med = statistics.median(r for r, *_ in ratios)
         movers = [(n, round(r, 2), a, b) for r, n, a, b in ratios if r >= thresh]
+        note = f"; dropped {len(dropped)} zero/missing: {dropped}" if dropped else ""
         print(f"[{label}] median ratio {med:.3f}; "
-              f"movers >= {thresh}x: {movers or 'none'}")
+              f"movers >= {thresh}x: {movers or 'none'}{note}")
 
     s_old = old.get("streaming", {}).get("rows_per_sec")
     s_new = new.get("streaming", {}).get("rows_per_sec")
