@@ -919,3 +919,48 @@ def test_bpe_batched_fuzz_corpora_regression(spark):
         n_merges=3,
         batch_m=16,
     )
+
+
+def test_recursive_order_chains_matches_python_reference(spark):
+    """Third, ENGINE-INDEPENDENT implementation of the burst-chain
+    semantics (the catalog entry is pinned Spark-vs-DuckDB; this adds a
+    pure-python walk over the same parquet, so a shared SQL-dialect
+    misreading in BOTH engines would still be caught): per customer,
+    orders sorted by (o_orderdate, o_orderkey); a chain starts at an
+    order with no prior order within 30 days and follows THE unique
+    next order while each hop lands within 30 days, depth-capped at 20;
+    output is (head_key, custkey, chain_len, chain_end)."""
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["head_key"], r["o_custkey"]): (r["chain_len"], r["chain_end"])
+        for r in QUERIES["recursive_order_chains"](spark, sf_dir).collect()
+    }
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ]
+    gap = pd.Timedelta(days=30)
+    want = {}
+    for cust, grp in orders.groupby("o_custkey"):
+        seq = grp.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        for i in range(len(seq)):
+            if i > 0 and seq.o_orderdate[i] <= seq.o_orderdate[i - 1] + gap:
+                continue  # has a prior order within 30 days: not a head
+            depth, j = 1, i
+            while (
+                depth < 20
+                and j + 1 < len(seq)
+                and seq.o_orderdate[j + 1] <= seq.o_orderdate[j] + gap
+            ):
+                j += 1
+                depth += 1
+            want[(int(seq.o_orderkey[i]), int(cust))] = (
+                depth,
+                seq.o_orderdate[j].to_pydatetime(),
+            )
+
+    assert got == want
