@@ -964,3 +964,92 @@ def test_recursive_order_chains_matches_python_reference(spark):
             )
 
     assert got == want
+
+
+def test_scd2_and_islands_and_ffill_match_python_reference(spark):
+    """Engine-independent python references for the three classic
+    dialect-footgun window shapes (each catalog entry is pinned
+    Spark-vs-DuckDB; these catch a SHARED misreading): SCD2 validity
+    intervals (IS DISTINCT FROM change flag -> running version ->
+    lead-close), gaps-and-islands over active months (row_number
+    difference trick), and IGNORE NULLS forward fill."""
+    import math
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "ts", "user_id", "event_type", "value"]
+    ]
+
+    # --- window_fill_forward ---
+    got = {
+        r["event_id"]: r["value_ffill"]
+        for r in QUERIES["window_fill_forward"](spark, sf_dir).collect()
+    }
+    want = {}
+    for _, grp in ev.groupby("user_id"):
+        seq = grp.sort_values(["ts", "event_id"])
+        last = None
+        for eid, v in zip(seq.event_id, seq.value):
+            if v is not None and not (isinstance(v, float) and math.isnan(v)):
+                last = float(v)
+            want[int(eid)] = last
+    assert set(got) == set(want)
+    for eid, w in want.items():
+        g = got[eid]
+        assert (g is None and w is None) or g == w, (eid, g, w)
+
+    # --- scd2_history ---
+    got_scd = {
+        (r["user_id"], r["version"]): (
+            r["event_type"],
+            r["valid_from"],
+            r["n_events"],
+            r["valid_to"],
+        )
+        for r in QUERIES["scd2_history"](spark, sf_dir).collect()
+    }
+    want_scd = {}
+    for uid, grp in ev.groupby("user_id"):
+        seq = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        version, prev = 0, object()  # sentinel: first row is a change
+        runs = []  # [event_type, valid_from, n_events]
+        for i in range(len(seq)):
+            if seq.event_type[i] != prev:
+                version += 1 if i > 0 else 0
+                runs.append([seq.event_type[i], seq.ts[i].to_pydatetime(), 0])
+                prev = seq.event_type[i]
+            runs[-1][2] += 1
+        for v, (etype, vfrom, n) in enumerate(runs):
+            vto = runs[v + 1][1] if v + 1 < len(runs) else None
+            want_scd[(int(uid), v + 1)] = (etype, vfrom, n, vto)
+    assert got_scd == want_scd
+
+    # --- islands_active_months ---
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_custkey", "o_orderdate"]
+    ]
+    got_isl = {
+        (r["o_custkey"], r["island_start"]): (r["island_end"], r["months_active"])
+        for r in QUERIES["islands_active_months"](spark, sf_dir).collect()
+    }
+    want_isl = {}
+    for cust, grp in orders.groupby("o_custkey"):
+        months = sorted({(d.year, d.month) for d in grp.o_orderdate})
+        runs = []
+        for ym in months:
+            idx = ym[0] * 12 + ym[1]
+            if runs and idx == runs[-1][-1] + 1:
+                runs[-1].append(idx)
+            else:
+                runs.append([idx])
+        from datetime import datetime
+
+        for run in runs:
+            start = datetime((run[0] - 1) // 12, (run[0] - 1) % 12 + 1, 1)
+            end = datetime((run[-1] - 1) // 12, (run[-1] - 1) % 12 + 1, 1)
+            want_isl[(int(cust), start)] = (end, len(run))
+    assert got_isl == want_isl
