@@ -1053,3 +1053,68 @@ def test_scd2_and_islands_and_ffill_match_python_reference(spark):
             end = datetime((run[-1] - 1) // 12, (run[-1] - 1) % 12 + 1, 1)
             want_isl[(int(cust), start)] = (end, len(run))
     assert got_isl == want_isl
+
+
+def test_window_distribution_and_moments_match_python_reference(spark):
+    """Python references for the distribution window trio (percent_rank
+    = (rank-1)/(n-1), cume_dist = #<=row / n, ntile's uneven-bucket
+    rule: the first n%k buckets take the extra row) and the power-sum
+    moments profile. Comparisons allow half-a-last-digit slack on the
+    ROUNDED Spark outputs: python summation order differs, so a value
+    sitting exactly on a rounding boundary may legally round apart."""
+    import statistics as pystats
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_orderpriority", "o_totalprice", "o_custkey"]
+    ]
+
+    # --- window_distribution ---
+    got = {
+        r["o_orderkey"]: (r["pct_rank"], r["cume"], r["quartile"])
+        for r in QUERIES["window_distribution"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(orders)
+    for _, grp in orders.groupby("o_orderpriority"):
+        seq = grp.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+        n = len(seq)
+        base, extra = divmod(n, 4)
+        for i in range(n):
+            pct = 0.0 if n == 1 else i / (n - 1)
+            cume = (i + 1) / n  # total tiebreak: no peers
+            # ntile: first `extra` buckets hold base+1 rows
+            cut = extra * (base + 1)
+            tile = (i // (base + 1) + 1) if i < cut else ((i - cut) // base + 1 + extra)
+            g = got[int(seq.o_orderkey[i])]
+            assert abs(g[0] - pct) <= 5e-7 + 1e-12, (seq.o_orderkey[i], g, pct)
+            assert abs(g[1] - cume) <= 5e-7 + 1e-12, (seq.o_orderkey[i], g, cume)
+            assert g[2] == tile, (seq.o_orderkey[i], g, tile)
+
+    # --- stats_moments_group ---
+    rows = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["stats_moments_group"](spark, sf_dir).collect()
+    }
+    for prio, grp in orders.groupby("o_orderpriority"):
+        x = [float(v) for v in grp.o_totalprice]
+        n = len(x)
+        m1 = sum(x) / n
+        m2 = sum(v * v for v in x) / n
+        m3 = sum(v**3 for v in x) / n
+        sd = pystats.stdev(x)
+        med = pystats.median(x)
+        skew = (m3 - 3 * m1 * m2 + 2 * m1**3) / (m2 - m1 * m1) ** 1.5
+        r = rows[prio]
+        assert r["n"] == n
+        # 0.0051, not 0.005: a median sitting EXACTLY on the boundary
+        # (x.xx5) legitimately rounds a half-last-digit away, and float
+        # representation pushes |diff| a hair past 0.005 (seen at sf0.001:
+        # 276594.175 -> 276594.18, diff 0.005000000447)
+        assert abs(r["mean_price"] - m1) <= 0.0051 + 1e-9 * abs(m1)
+        assert abs(r["stddev_price"] - sd) <= 0.0051 + 1e-9 * abs(sd)
+        assert abs(r["median_price"] - med) <= 0.0051
+        assert abs(r["skewness_price"] - skew) <= 5.1e-4 + 1e-6 * abs(skew)
