@@ -1118,3 +1118,63 @@ def test_window_distribution_and_moments_match_python_reference(spark):
         assert abs(r["stddev_price"] - sd) <= 0.0051 + 1e-9 * abs(sd)
         assert abs(r["median_price"] - med) <= 0.0051
         assert abs(r["skewness_price"] - skew) <= 5.1e-4 + 1e-6 * abs(skew)
+
+
+def test_retention_cohort_and_funnel_match_python_reference(spark):
+    """Python references for the two event-analytics shapes whose
+    semantics hide conventions: weekly retention (date_trunc('week')
+    truncates to MONDAY 00:00 — a Sunday-week python reading would
+    diverge) and the ordered funnel (first view, first click STRICTLY
+    after it, first purchase STRICTLY after that)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+
+    def monday(ts):
+        d = ts.date()
+        d = d - timedelta(days=d.weekday())
+        return datetime(d.year, d.month, d.day)
+
+    # --- retention cohort ---
+    got = {
+        (r["cohort_week"], r["active_week"]): (r["week_index"], r["n_users"])
+        for r in QUERIES["events_retention_cohort"](spark, sf_dir).collect()
+    }
+    active = {}
+    for uid, grp in ev.groupby("user_id"):
+        weeks = sorted({monday(t) for t in grp.ts})
+        for wk in weeks:
+            active.setdefault((weeks[0], wk), set()).add(uid)
+    want = {
+        k: ((k[1] - k[0]).days // 7, len(users)) for k, users in active.items()
+    }
+    assert got == want
+
+    # --- ordered funnel ---
+    row = QUERIES["events_funnel"](spark, sf_dir).collect()[0]
+    n_users = n_view = n_click = n_purchase = 0
+    for _, grp in ev.groupby("user_id"):
+        n_users += 1
+        tv = min((t for t, e in zip(grp.ts, grp.event_type) if e == "view"),
+                 default=None)
+        if tv is None:
+            continue
+        n_view += 1
+        tc = min((t for t, e in zip(grp.ts, grp.event_type)
+                  if e == "click" and t > tv), default=None)
+        if tc is None:
+            continue
+        n_click += 1
+        tp = min((t for t, e in zip(grp.ts, grp.event_type)
+                  if e == "purchase" and t > tc), default=None)
+        if tp is not None:
+            n_purchase += 1
+    assert (row["n_users"], row["n_view"], row["n_click_after_view"],
+            row["n_purchase_after_click"]) == (n_users, n_view, n_click, n_purchase)
