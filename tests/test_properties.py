@@ -1178,3 +1178,94 @@ def test_retention_cohort_and_funnel_match_python_reference(spark):
             n_purchase += 1
     assert (row["n_users"], row["n_view"], row["n_click_after_view"],
             row["n_purchase_after_click"]) == (n_users, n_view, n_click, n_purchase)
+
+
+def test_sessionize_sliding_attribution_match_python_reference(spark):
+    """Python references for three more convention-laden event shapes:
+    gap sessionization (a session BREAKS only when the gap STRICTLY
+    exceeds 30 min), hopping windows (1h every 15min — each event lands
+    in exactly the 4 epoch-aligned windows covering it), and last-touch
+    attribution (latest click <= purchase within 1h, click_ts then
+    click_id as the tiebreak)."""
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "ts", "user_id", "event_type", "value"]
+    ]
+
+    # --- events_sessionize_batch ---
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"],
+            r["session_start"],
+            r["session_end"],
+            r["duration_us"],
+        )
+        for r in QUERIES["events_sessionize_batch"](spark, sf_dir).collect()
+    }
+    want = {}
+    gap = timedelta(minutes=30)
+    for uid, grp in ev.groupby("user_id"):
+        seq = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        sid, s_rows = 0, []
+        sessions = []
+        for i in range(len(seq)):
+            if i == 0 or seq.ts[i] - seq.ts[i - 1] > gap:
+                if s_rows:
+                    sessions.append(s_rows)
+                s_rows = []
+            s_rows.append(seq.ts[i])
+        sessions.append(s_rows)
+        for k, rows_ in enumerate(sessions, start=1):
+            start, end = rows_[0].to_pydatetime(), rows_[-1].to_pydatetime()
+            dur = (rows_[-1] - rows_[0]) // timedelta(microseconds=1)
+            want[(int(uid), k)] = (len(rows_), start, end, int(dur))
+    assert got == want
+
+    # --- events_sliding_window (1h window, 15min hop) ---
+    got_sw = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in QUERIES["events_sliding_window"](spark, sf_dir).collect()
+    }
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0.0])
+    hop_us = 900_000_000
+    epoch = pd.Timestamp("1970-01-01")
+    for t, etype, v in zip(ev.ts, ev.event_type, ev.value):
+        us = (t - epoch) // pd.Timedelta(microseconds=1)
+        base = us // hop_us
+        for k in range(4):
+            start_us = (base - k) * hop_us
+            acc[(epoch + pd.Timedelta(microseconds=start_us), etype)][0] += 1
+            if v is not None and v == v:
+                acc[(epoch + pd.Timedelta(microseconds=start_us), etype)][1] += float(v)
+    assert set(got_sw) == {(k[0].to_pydatetime(), k[1]) for k in acc}
+    for (ws, etype), (n, sv) in acc.items():
+        g = got_sw[(ws.to_pydatetime(), etype)]
+        assert g[0] == n
+        assert abs(g[1] - sv) <= 0.0051 + 1e-9 * abs(sv)
+
+    # --- events_last_touch_attribution ---
+    got_at = {
+        r["purchase_id"]: (r["attributed_click_id"], r["attributed_click_ts"])
+        for r in QUERIES["events_last_touch_attribution"](spark, sf_dir).collect()
+    }
+    want_at = {}
+    for uid, grp in ev.groupby("user_id"):
+        clicks = [(t, int(e)) for t, e, ty in zip(grp.ts, grp.event_id, grp.event_type)
+                  if ty == "click"]
+        for t, e, ty in zip(grp.ts, grp.event_id, grp.event_type):
+            if ty != "purchase":
+                continue
+            cands = [(ct, cid) for ct, cid in clicks
+                     if ct <= t and ct >= t - timedelta(hours=1)]
+            if cands:
+                ct, cid = max(cands)  # latest ts, then highest id
+                want_at[int(e)] = (cid, ct.to_pydatetime())
+    assert got_at == want_at
