@@ -1269,3 +1269,57 @@ def test_sessionize_sliding_attribution_match_python_reference(spark):
                 ct, cid = max(cands)  # latest ts, then highest id
                 want_at[int(e)] = (cid, ct.to_pydatetime())
     assert got_at == want_at
+
+
+def test_asof_and_range_frame_match_python_reference(spark):
+    """Python references for the as-of join (latest click at-or-before
+    each purchase per user — the union-tag + running-last rewrite must
+    equal the naive definition, including the duplicate-timestamp
+    ordering by event_id) and the time-RANGE frame (rolling 7-day sum:
+    RANGE includes ALL peers of the current o_orderdate, and the frame
+    is inclusive at exactly ts - 7 days)."""
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    # --- asof_join ---
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_id", "ts", "user_id", "event_type"]
+    ]
+    got = {
+        r["event_id"]: r["asof_click_ts"]
+        for r in QUERIES["asof_join"](spark, sf_dir).collect()
+    }
+    want = {}
+    for uid, grp in ev[ev.event_type.isin(["purchase", "click"])].groupby("user_id"):
+        seq = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        last_click = None
+        for i in range(len(seq)):
+            if seq.event_type[i] == "click":
+                last_click = seq.ts[i].to_pydatetime()
+            else:
+                want[int(seq.event_id[i])] = last_click
+    assert got == want
+
+    # --- window_range_frame ---
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ]
+    got_rf = {
+        r["o_orderkey"]: r["rolling_7d_total"]
+        for r in QUERIES["window_range_frame"](spark, sf_dir).collect()
+    }
+    for _, grp in orders.groupby("o_custkey"):
+        for _, row in grp.iterrows():
+            lo = row.o_orderdate - timedelta(days=7)
+            s = float(
+                grp.o_totalprice[
+                    (grp.o_orderdate >= lo) & (grp.o_orderdate <= row.o_orderdate)
+                ].sum()
+            )
+            g = got_rf[int(row.o_orderkey)]
+            assert abs(g - s) <= 0.0051 + 1e-9 * abs(s), (row.o_orderkey, g, s)
