@@ -1323,3 +1323,59 @@ def test_asof_and_range_frame_match_python_reference(spark):
             )
             g = got_rf[int(row.o_orderkey)]
             assert abs(g - s) <= 0.0051 + 1e-9 * abs(s), (row.o_orderkey, g, s)
+
+
+def test_disjunctive_brackets_and_last_shipper_match_python_reference(spark):
+    """Python references for the two OLAP correctness traps: the Q19
+    disjunctive-bracket predicate spanning both join sides (a wrong
+    AND/OR precedence or a pushdown that drops a cross-side conjunct
+    changes the scalar silently) and the Q21 EXISTS / NOT-EXISTS shape
+    (the waiting-supplier semantics: some OTHER supplier in the order,
+    and NO other supplier shipped later)."""
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+
+    # --- olap_disjunctive_brackets ---
+    got = QUERIES["olap_disjunctive_brackets"](spark, sf_dir).collect()[0]["revenue"]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m = (
+        ((j.p_brand == "Brand#12") & j.p_size.between(1, 15) & j.l_quantity.between(1, 11))
+        | ((j.p_brand == "Brand#23") & j.p_size.between(1, 25) & j.l_quantity.between(10, 20))
+        | ((j.p_brand == "Brand#3") & j.p_size.between(1, 35) & j.l_quantity.between(20, 30))
+    )
+    want = float((j.l_extendedprice[m] * (1 - j.l_discount[m])).sum())
+    assert abs(got - want) <= 0.0051 + 1e-9 * abs(want), (got, want)
+
+    # --- olap_last_shipper ---
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_orderstatus"]
+    ]
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")[["s_suppkey", "s_name"]]
+    got_ls = {
+        r["s_name"]: r["n_orders"]
+        for r in QUERIES["olap_last_shipper"](spark, sf_dir).collect()
+    }
+    f_orders = set(orders.o_orderkey[orders.o_orderstatus == "F"])
+    by_order = {}
+    for ok, grp in li.groupby("l_orderkey"):
+        if ok in f_orders:
+            by_order[ok] = list(zip(grp.l_suppkey, grp.l_shipdate))
+    want_ls = {}
+    sname = dict(zip(sup.s_suppkey, sup.s_name))
+    for ok, rows_ in by_order.items():
+        counted = set()  # COUNT(DISTINCT l_orderkey) per supplier
+        for sk, ship in rows_:
+            others = [(s2, d2) for s2, d2 in rows_ if s2 != sk]
+            if not others:
+                continue  # EXISTS fails: single-supplier order
+            if any(d2 > ship for _, d2 in others):
+                continue  # NOT EXISTS fails: someone shipped later
+            if sk not in counted:
+                counted.add(sk)
+                want_ls[sname[sk]] = want_ls.get(sname[sk], 0) + 1
+    assert got_ls == want_ls
