@@ -1379,3 +1379,89 @@ def test_disjunctive_brackets_and_last_shipper_match_python_reference(spark):
                 counted.add(sk)
                 want_ls[sname[sk]] = want_ls.get(sname[sk], 0) + 1
     assert got_ls == want_ls
+
+
+def test_event_ops_boundary_cases_match_python_reference(spark, tmp_path):
+    """Deterministic ADVERSARIAL events fixture for the convention
+    boundaries the sf tables don't guarantee to contain: a gap of
+    EXACTLY 30 minutes (not a session break — the rule is strictly
+    greater), a gap one microsecond past it (a break), same-timestamp
+    ties ordered by event_id (asof: a same-ts click counts only if its
+    event_id sorts before the purchase), a click exactly one hour
+    before a purchase (attribution window inclusive at both ends), and
+    an all-null-value user (fill stays null)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    s = lambda sec: t0 + timedelta(seconds=sec)
+    rows = [
+        # user 1: session boundary cases. gap of exactly 1800s at e2,
+        # gap of 1800s + 1us at e3
+        (1, s(0), 1, "view", 1.0),
+        (2, s(1800), 1, "view", None),
+        (3, s(1800) + timedelta(seconds=1800, microseconds=1), 1, "view", 3.0),
+        # user 2: same-ts tie — click id 10 sorts BEFORE purchase id 11
+        # (counts for asof), click id 13 sorts AFTER purchase id 12 at a
+        # later shared ts (does not count for that purchase)
+        (10, s(100), 2, "click", None),
+        (11, s(100), 2, "purchase", 5.0),
+        (12, s(200), 2, "purchase", None),
+        (13, s(200), 2, "click", 7.0),
+        # user 3: attribution window inclusive at exactly 1h
+        (20, s(0), 3, "click", None),
+        (21, s(3600), 3, "purchase", 9.0),
+        (22, s(3601), 3, "purchase", None),  # 1h+1s after the click: outside
+        # user 4: single event, all-null value
+        (30, s(50), 4, "view", None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["props"] = "{}"
+    d = str(tmp_path / "boundary")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    # sessionize: user 1 = ONE session through the exact-1800s gap, then
+    # a second session after the 1800s+1us gap
+    sess = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in QUERIES["events_sessionize_batch"](spark, d).collect()
+    }
+    # (user 3's events sit 3600s apart — a break: sessions {e20}, {e21,e22})
+    assert sess == {(1, 1): 2, (1, 2): 1, (2, 1): 4, (3, 1): 1, (3, 2): 2, (4, 1): 1}
+
+    # asof: purchase 11 sees the same-ts click (id 10 sorts first);
+    # purchase 12 does NOT see click 13 (sorts after) but carries click 10
+    asof = {
+        r["event_id"]: r["asof_click_ts"]
+        for r in QUERIES["asof_join"](spark, d).collect()
+    }
+    assert asof[11] == s(100)
+    assert asof[12] == s(100)
+    assert asof[21] == s(0) and asof[22] == s(0)
+
+    # attribution: purchase 21 attributed (exactly 1h, inclusive);
+    # purchase 22 not (3601s); purchase 11 attributed to same-ts click 10;
+    # purchase 12 attributed to click 10 (click 13 is later than it... at
+    # the SAME ts: c.click_ts <= p.purchase_ts holds, so 13 DOES qualify
+    # for purchase 12 by timestamp — last-touch picks it by (ts, id))
+    att = {
+        r["purchase_id"]: r["attributed_click_id"]
+        for r in QUERIES["events_last_touch_attribution"](spark, d).collect()
+    }
+    assert att == {11: 10, 12: 13, 21: 20}
+
+    # fill-forward: user 1's null at e2 takes 1.0; user 4 stays null
+    ff = {
+        r["event_id"]: r["value_ffill"]
+        for r in QUERIES["window_fill_forward"](spark, d).collect()
+    }
+    assert ff[2] == 1.0 and ff[3] == 3.0 and ff[30] is None
