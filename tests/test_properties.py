@@ -1465,3 +1465,76 @@ def test_event_ops_boundary_cases_match_python_reference(spark, tmp_path):
         for r in QUERIES["window_fill_forward"](spark, d).collect()
     }
     assert ff[2] == 1.0 and ff[3] == 3.0 and ff[30] is None
+
+
+def test_order_ops_boundary_cases_match_hand_derivation(spark, tmp_path):
+    """Adversarial orders fixture for the orders-side conventions: an
+    order EXACTLY 30 days after its predecessor is not a chain head and
+    DOES extend the chain (both rules are inclusive at 30 days, heads
+    break strictly past it); the recursion depth cap truncates a 25-link
+    chain at 20; month islands run across a year boundary (Dec-Jan is
+    consecutive); the 7-day RANGE frame is inclusive at exactly 7 days
+    and includes same-date peers regardless of row position."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    rows = []
+    # cust 1: exact-30-day extension then a 31-day break
+    t1 = datetime(2024, 1, 10)
+    rows += [(101, 1, t1, 100.0), (102, 1, t1 + timedelta(days=30), 100.0),
+             (103, 1, t1 + timedelta(days=61), 100.0)]
+    # cust 2: 25 orders one day apart — depth cap at 20
+    t2 = datetime(2024, 5, 1)
+    rows += [(200 + i, 2, t2 + timedelta(days=i), 50.0) for i in range(25)]
+    # cust 3: active Dec 2023 and Jan 2024 (one island), then Mar 2024
+    rows += [(301, 3, datetime(2023, 12, 5), 10.0),
+             (302, 3, datetime(2024, 1, 5), 10.0),
+             (303, 3, datetime(2024, 3, 5), 10.0)]
+    # cust 4: RANGE frame inclusive at exactly 7 days, exclusive past it
+    t4 = datetime(2024, 7, 1)
+    rows += [(401, 4, t4, 100.0), (402, 4, t4 + timedelta(days=7), 200.0),
+             (403, 4, t4 + timedelta(days=7, microseconds=1), 400.0)]
+    # cust 5: same-date peers — both rows see both
+    t5 = datetime(2024, 6, 15)
+    rows += [(501, 5, t5, 10.0), (502, 5, t5, 20.0)]
+
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    import os
+
+    d = str(tmp_path / "orders_boundary")
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+
+    chains = {
+        (r["head_key"], r["o_custkey"]): (r["chain_len"], r["chain_end"])
+        for r in QUERIES["recursive_order_chains"](spark, d).collect()
+    }
+    assert chains[(101, 1)] == (2, t1 + timedelta(days=30))  # 30d extends
+    assert chains[(103, 1)] == (1, t1 + timedelta(days=61))  # 31d breaks
+    assert chains[(200, 2)] == (20, t2 + timedelta(days=19))  # depth cap
+    assert (201, 2) not in chains  # day-1 order is not a head
+    assert chains[(501, 5)] == (2, t5)  # same-date pair: one chain of 2
+
+    islands = {
+        (r["o_custkey"], r["island_start"]): (r["island_end"], r["months_active"])
+        for r in QUERIES["islands_active_months"](spark, d).collect()
+    }
+    assert islands[(3, datetime(2023, 12, 1))] == (datetime(2024, 1, 1), 2)
+    assert islands[(3, datetime(2024, 3, 1))] == (datetime(2024, 3, 1), 1)
+    assert islands[(1, datetime(2024, 1, 1))] == (datetime(2024, 3, 1), 3)
+    assert islands[(2, datetime(2024, 5, 1))] == (datetime(2024, 5, 1), 1)
+
+    rf = {
+        r["o_orderkey"]: r["rolling_7d_total"]
+        for r in QUERIES["window_range_frame"](spark, d).collect()
+    }
+    assert rf[401] == 100.0
+    assert rf[402] == 300.0  # exactly 7 days: inclusive
+    assert rf[403] == 600.0  # 7 days + 1us: the t4 order falls out
+    assert rf[501] == 30.0 and rf[502] == 30.0  # peers both ways
