@@ -1538,3 +1538,116 @@ def test_order_ops_boundary_cases_match_hand_derivation(spark, tmp_path):
     assert rf[402] == 300.0  # exactly 7 days: inclusive
     assert rf[403] == 600.0  # 7 days + 1us: the t4 order falls out
     assert rf[501] == 30.0 and rf[502] == 30.0  # peers both ways
+
+
+def _gate_compare(spark, con, sf_dir, names):
+    """Driver-gate-style rows+schema+value-hash compare of Spark vs the
+    registered DuckDB oracle for the given catalog entries over an
+    arbitrary table directory."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    queries = entrymod.queries()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    def vhash(df):
+        return hashlib.sha256(
+            df.to_csv(index=False, float_format="%.9g").encode()
+        ).hexdigest()
+
+    for name in names:
+        s = canon(queries[name](spark, sf_dir).toPandas())
+        o = canon(con.execute(oracles[name]).fetchdf())
+        for c in s.columns:
+            if c in o.columns and s[c].dtype != o[c].dtype:
+                try:
+                    o[c] = o[c].astype(s[c].dtype)
+                except Exception:
+                    pass
+        assert len(s) == len(o), (name, len(s), len(o))
+        assert list(s.columns) == list(o.columns), (name, s.columns, o.columns)
+        assert vhash(s) == vhash(o), f"{name}: value hash mismatch on boundary fixture"
+
+
+def test_oracles_agree_on_boundary_fixtures(spark, tmp_path):
+    """The driver gate compares Spark vs DuckDB on the sf tables, which
+    need not contain the convention boundaries; the two adversarial
+    fixtures above pin Spark vs hand-derivation only. This closes the
+    triangle: run the REGISTERED oracle SQL on the same adversarial
+    parquet and hash-compare — a dialect divergence at exactly 30
+    days/minutes, at the 1h attribution edge, at the depth cap, or on
+    RANGE peers now fails loudly instead of hiding outside the sf data
+    distribution."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pandas as pd
+
+    import os
+
+    # events fixture (same shape as the event boundary test)
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    s = lambda sec: t0 + timedelta(seconds=sec)
+    ev_rows = [
+        (1, s(0), 1, "view", 1.0), (2, s(1800), 1, "view", None),
+        (3, s(1800) + timedelta(seconds=1800, microseconds=1), 1, "view", 3.0),
+        (10, s(100), 2, "click", None), (11, s(100), 2, "purchase", 5.0),
+        (12, s(200), 2, "purchase", None), (13, s(200), 2, "click", 7.0),
+        (20, s(0), 3, "click", None), (21, s(3600), 3, "purchase", 9.0),
+        (22, s(3601), 3, "purchase", None), (30, s(50), 4, "view", None),
+    ]
+    ev = pd.DataFrame(
+        ev_rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["props"] = "{}"
+
+    # orders fixture (same shape as the order boundary test)
+    t1, t2 = datetime(2024, 1, 10), datetime(2024, 5, 1)
+    t4, t5 = datetime(2024, 7, 1), datetime(2024, 6, 15)
+    o_rows = (
+        [(101, 1, t1, 100.0), (102, 1, t1 + timedelta(days=30), 100.0),
+         (103, 1, t1 + timedelta(days=61), 100.0)]
+        + [(200 + i, 2, t2 + timedelta(days=i), 50.0) for i in range(25)]
+        + [(301, 3, datetime(2023, 12, 5), 10.0),
+           (302, 3, datetime(2024, 1, 5), 10.0),
+           (303, 3, datetime(2024, 3, 5), 10.0)]
+        + [(401, 4, t4, 100.0), (402, 4, t4 + timedelta(days=7), 200.0),
+           (403, 4, t4 + timedelta(days=7, microseconds=1), 400.0)]
+        + [(501, 5, t5, 10.0), (502, 5, t5, 20.0)]
+    )
+    orders = pd.DataFrame(
+        o_rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+
+    d = str(tmp_path / "boundary_gate")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "events_sessionize_batch",
+            "asof_join",
+            "events_last_touch_attribution",
+            "window_fill_forward",
+            "recursive_order_chains",
+            "islands_active_months",
+            "window_range_frame",
+        ],
+    )
