@@ -1646,6 +1646,10 @@ def test_oracles_agree_on_boundary_fixtures(spark, tmp_path):
             "asof_join",
             "events_last_touch_attribution",
             "window_fill_forward",
+            "scd2_history",
+            "events_retention_cohort",
+            "events_funnel",
+            "events_sliding_window",
             "recursive_order_chains",
             "islands_active_months",
             "window_range_frame",
