@@ -404,9 +404,13 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     source unpersists the previously materialized one first, so a
     long-lived session sweeping many replicas (tools/scale_curve.py)
     holds at most ONE fact-sized entry instead of accumulating one per
-    table for the session lifetime. Same-table calls keep the soaked
-    plan-keyed reuse (the slot key is the resolved orders path + app
-    id, so a same-table re-call never evicts its own warm entry). The
+    table for the session lifetime. r14 (ADVICE r13): the slot key uses
+    ``os.path.realpath`` — symlink spellings of the same table share the
+    warm entry — and a same-key call reuses the slot's OWN frame (under
+    realpath keying a symlink spelling yields a different canonical scan
+    plan, so plan-keyed reuse alone would double-materialize); a failure
+    during materialization unpersists + clears the slot rather than
+    leaving a registered-but-untracked entry. The
     slot assumes SEQUENTIAL driver use (true for the catalog, driver
     gate, bench, and scale_curve): a concurrent caller on a different
     table could unpersist an adj whose recursion is still running —
@@ -424,29 +428,56 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit irrelevant.
     """
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
+    # realpath, not abspath (ADVICE r13): two symlink spellings of the
+    # SAME orders directory must hit the same slot — abspath treated
+    # them as distinct tables and rebuilt the fact-sized cache on each
+    # alternation (perf only, never wrong results)
     key = (
         spark.sparkContext.applicationId,
-        os.path.abspath(os.path.join(sf_dir, "orders.parquet")),
+        os.path.realpath(os.path.join(sf_dir, "orders.parquet")),
     )
     prev = _ADJ_CACHE_SLOT.pop("slot", None)
     if prev is not None and prev[0] == key:
-        _ADJ_CACHE_SLOT["slot"] = prev  # same table: keep the warm entry
-    elif prev is not None:
+        # same table: reuse the slot's OWN frame rather than rebuilding
+        # and leaning on plan-keyed cache reuse — under realpath keying a
+        # symlink spelling of the same table produces a DIFFERENT
+        # canonical plan (the scan's file paths differ), so a rebuilt
+        # frame would materialize a second fact-sized entry while the
+        # slot forgets the first
+        _ADJ_CACHE_SLOT["slot"] = prev
+        adj = prev[1]
+    else:
+        if prev is not None:
+            try:
+                # blocking=True: the whole point is bounding the
+                # footprint — async removal would let both fact-sized
+                # entries coexist exactly while the new adj materializes
+                prev[1].unpersist(blocking=True)
+            except Exception as exc:
+                # prior session gone → its caches died with it (benign);
+                # any OTHER failure would silently leak a fact-sized
+                # entry, so say so at WARNING (debug is suppressed under
+                # the default root-logger config, which would make this
+                # silent again)
+                _log.warning("previous adj cache unpersist failed (%s); "
+                             "entry died with its session or leaks until GC", exc)
+        adj = spark.sql(_ORDER_CHAINS_ADJ_SQL.format(orders="orders_rcte")).persist()
+        # store the slot BEFORE materializing (ADVICE r13): persist()
+        # already registered adj's plan in the CacheManager, so if
+        # count() dies the next call can still find and evict this
+        # entry — previously a mid-materialization failure left the slot
+        # empty while the plan stayed registered, quietly defeating the
+        # single-slot bound
+        _ADJ_CACHE_SLOT["slot"] = (key, adj)
         try:
-            # blocking=True: the whole point is bounding the footprint —
-            # async removal would let both fact-sized entries coexist
-            # exactly while the new adj materializes
-            prev[1].unpersist(blocking=True)
-        except Exception as exc:
-            # prior session gone → its caches died with it (benign); any
-            # OTHER failure would silently leak a fact-sized entry, so
-            # say so at WARNING (debug is suppressed under the default
-            # root-logger config, which would make this silent again)
-            _log.warning("previous adj cache unpersist failed (%s); "
-                         "entry died with its session or leaks until GC", exc)
-    adj = spark.sql(_ORDER_CHAINS_ADJ_SQL.format(orders="orders_rcte")).persist()
-    adj.count()  # materialize so the InMemoryRelation carries real stats
-    _ADJ_CACHE_SLOT["slot"] = (key, adj)
+            adj.count()  # materialize: the InMemoryRelation carries real stats
+        except BaseException:
+            _ADJ_CACHE_SLOT.pop("slot", None)
+            try:
+                adj.unpersist(blocking=False)
+            except Exception:
+                pass  # the original failure is the signal worth propagating
+            raise
     adj.createOrReplaceTempView("order_chains_adj")
     return spark.sql(
         "WITH RECURSIVE "

@@ -548,6 +548,36 @@ def test_recursive_cte_adj_evicted_on_new_table(spark, sf_dir):
     )
 
 
+def test_recursive_cte_adj_symlink_spelling_keeps_warm_slot(spark, sf_dir, tmp_path):
+    """r14 (ADVICE r13): the slot key uses os.path.realpath, so a
+    SYMLINKED spelling of the same orders directory reuses the warm adj
+    entry instead of evicting + re-materializing it — and, because the
+    same-key branch reuses the slot's own frame, the differently-spelled
+    scan plan cannot mint a second fact-sized cache entry either (the
+    leak a rebuild-under-realpath-keying would silently introduce)."""
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    link = tmp_path / "orders_symlink_dir"
+    os.symlink(os.path.realpath(sf_dir), link)
+    jsc = spark.sparkContext._jsc.sc()
+
+    def _cached_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    # pin the slot to sf_dir, then call through the symlink spelling
+    r_direct = QUERIES["recursive_order_chains"](spark, sf_dir).count()
+    base = _cached_ids()
+    r_link = QUERIES["recursive_order_chains"](spark, str(link)).count()
+    assert r_link == r_direct
+    stacked = _cached_ids() - base
+    assert not stacked, (
+        "a symlink spelling of the same orders table evicted or stacked "
+        f"instead of reusing the warm slot (new cached RDD ids: {stacked})"
+    )
+
+
 def test_semdedup_kmeans_plan_shape(spark, sf_dir):
     """The k-means SemDeDup scale path keeps its contract: the tagged
     corpus is consumed from the localCheckpoint (scan + normalize +
