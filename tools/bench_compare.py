@@ -29,7 +29,10 @@ import sys
 
 
 def load(path: str) -> dict:
-    obj, _ = json.JSONDecoder().raw_decode(open(path).read())
+    # lstrip: raw_decode rejects leading whitespace/newlines, plausible
+    # in a shell-captured check file
+    with open(path) as f:
+        obj, _ = json.JSONDecoder().raw_decode(f.read().lstrip())
     return obj
 
 
@@ -51,7 +54,11 @@ def main() -> None:
           f"({new['value'] / old['value']:.3f}x) over {len(names)} shared entries")
 
     def has_warm(run):
-        return all("warm" in s for s in run.get("spread", {}).values())
+        # a missing/empty spread is NOT warm — all() over an empty dict
+        # is vacuously True, which would label a legacy check file
+        # 'warm median' while silently falling back to all-reps medians
+        s = run.get("spread")
+        return bool(s) and all("warm" in v for v in s.values())
 
     warm_label = "warm median"
     if not (has_warm(old) and has_warm(new)):
