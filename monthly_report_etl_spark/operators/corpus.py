@@ -1644,9 +1644,12 @@ BPE_TRAIN_ORACLE = _bpe_oracle_sql(BPE_MERGES)
 # reliable checkpoint dir makes the same truncation fault-tolerant.)
 BPE_LINEAGE_TRUNC_EVERY = 8
 
-# warn-once latch for _release_vocab_frame's fallback path (a connect
-# backend would hit it on every call; one warning is signal, N are spam)
-_RELEASE_FALLBACK_WARNED = False
+# warn-once-per-cause latch for _release_vocab_frame's fallback path (a
+# connect backend would hit it on every call; one warning per DISTINCT
+# exception type is signal, N repeats are spam — latching globally would
+# hide a NEW failure cause appearing after a mid-session backend switch
+# or Spark upgrade behind the first cause's suppressed-debug shadow)
+_RELEASE_FALLBACK_WARNED_TYPES: set = set()
 
 
 def _release_vocab_frame(df: DataFrame) -> None:
@@ -1679,11 +1682,14 @@ def _release_vocab_frame(df: DataFrame) -> None:
         # #2): this path rides classic-Spark private accessors, and a
         # silent py4j failure here would invisibly reintroduce the
         # checkpoint-RDD accumulation this helper exists to fix. WARN
-        # once (debug is suppressed under the default root-logger
-        # config), then debug — a connect backend hits this every call.
-        global _RELEASE_FALLBACK_WARNED
-        log = _log.debug if _RELEASE_FALLBACK_WARNED else _log.warning
-        _RELEASE_FALLBACK_WARNED = True
+        # once PER EXCEPTION TYPE (debug is suppressed under the default
+        # root-logger config), then debug — a connect backend hits this
+        # every call with the same cause, while a different cause (a new
+        # exception class after a backend switch) stays visible
+        # (VERDICT r13 #2; the type set is small and bounded).
+        log = (_log.debug if type(exc) in _RELEASE_FALLBACK_WARNED_TYPES
+               else _log.warning)
+        _RELEASE_FALLBACK_WARNED_TYPES.add(type(exc))
         log("vocab-frame eager release unavailable (%s); "
             "falling back to GC-deferred reclamation", exc)
 

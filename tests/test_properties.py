@@ -858,6 +858,47 @@ def test_bpe_lineage_truncation_frees_checkpoint_storage(spark, sf_dir):
     assert n_stored() <= baseline
 
 
+def test_release_fallback_warns_once_per_exception_type(monkeypatch, caplog):
+    """VERDICT r13 #2: `_release_vocab_frame`'s GC-deferred fallback
+    warns once PER EXCEPTION TYPE, not once globally — a connect backend
+    repeating the same cause stays quiet after the first warning, but a
+    DIFFERENT exception class appearing later (backend switch, Spark
+    upgrade renaming an internal) must surface at WARNING, not vanish
+    into suppressed debug behind the first cause's latch."""
+    import logging
+
+    from monthly_report_etl_spark.operators import corpus as C
+
+    class _NotCached:
+        useMemory = False
+        useDisk = False
+
+    class _FailingFrame:
+        storageLevel = _NotCached()
+
+        def __init__(self, exc):
+            self._exc = exc
+
+        @property
+        def _jdf(self):
+            raise self._exc
+
+    monkeypatch.setattr(C, "_RELEASE_FALLBACK_WARNED_TYPES", set())
+    logger_name = C._log.name
+
+    def levels_for(exc):
+        with caplog.at_level(logging.DEBUG, logger=logger_name):
+            caplog.clear()
+            C._release_vocab_frame(_FailingFrame(exc))
+            return [r.levelno for r in caplog.records if r.name == logger_name]
+
+    assert levels_for(RuntimeError("cause A")) == [logging.WARNING]
+    assert levels_for(RuntimeError("cause A, again")) == [logging.DEBUG]
+    # a NEW cause after the first latch must still warn
+    assert levels_for(ValueError("cause B")) == [logging.WARNING]
+    assert levels_for(ValueError("cause B, again")) == [logging.DEBUG]
+
+
 def test_bpe_apply_merge_table_releases_on_error(spark, monkeypatch):
     """ADVICE r12 #1: `_bpe_apply_merge_table` must release its in-flight
     intermediate checkpoint frames when a fold job dies mid-chain — the
