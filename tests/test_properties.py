@@ -1696,3 +1696,228 @@ def test_oracles_agree_on_boundary_fixtures(spark, tmp_path):
             "window_range_frame",
         ],
     )
+
+
+def _olap_stats_boundary_fixture(tmp_path):
+    """Adversarial fixture for the four remaining third-pinned operators
+    (VERDICT r13 #2): orders groups sized to hit every distribution
+    boundary (n=1: pct_rank 0 / stddev NULL / skewness 0-over-0; n=2:
+    exactly-symmetric skew 0; n=4: even-count median interpolation and a
+    full ntile(4); n=5 with ties AT the median; n=6: the uneven
+    2,2,1,1 ntile bucket rule), bracket predicates at every inclusive
+    edge plus the Brand#34-vs-Brand#3 equality trap and a cross-side
+    precedence trap, and last-shipper orders covering the
+    single-supplier EXISTS exclusion, the max-shipdate tie (both
+    qualify), a supplier whose earlier line is beaten but whose later
+    line wins (counted once), and a non-'F' order. Returns the fixture
+    dir; totalprices are integers so every power sum is exact in double
+    and both engines round identical values."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    import os
+
+    # orders: (key, status, totalprice, priority). Orders 1001-1006 do
+    # double duty as the last-shipper orders AND the n=6 ntile group.
+    o_rows = (
+        [(1, "O", 128.0, "1-URGENT")]
+        + [(2 + i, "O", p, "2-HIGH") for i, p in enumerate([10.0, 20.0, 30.0, 40.0])]
+        + [(6 + i, "O", p, "3-MEDIUM")
+           for i, p in enumerate([10.0, 20.0, 20.0, 20.0, 100.0])]
+        + [(11, "O", 100.0, "4-NOT SPECIFIED"), (12, "O", 200.0, "4-NOT SPECIFIED")]
+        + [(1001, "F", 50.0, "5-LOW"), (1002, "F", 60.0, "5-LOW"),
+           (1003, "F", 70.0, "5-LOW"), (1004, "F", 80.0, "5-LOW"),
+           (1005, "O", 90.0, "5-LOW"), (1006, "F", 95.0, "5-LOW")]
+    )
+    orders = pd.DataFrame(
+        o_rows, columns=["o_orderkey", "o_orderstatus", "o_totalprice",
+                         "o_orderpriority"]
+    )
+
+    part = pd.DataFrame(
+        [(1, "Brand#12", 15), (2, "Brand#12", 16), (3, "Brand#23", 25),
+         (4, "Brand#3", 35), (5, "Brand#3", 36), (6, "Brand#34", 10),
+         (7, "Brand#12", 1)],
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    part["p_size"] = part["p_size"].astype("int32")
+
+    d0 = datetime(2024, 1, 1)
+    day = lambda y, m, dd: datetime(y, m, dd)
+    # bracket lines ride orderkeys 9001+ (absent from orders) and
+    # suppkey 99, so they are invisible to last_shipper; last-shipper
+    # lines ride partkey 999 (absent from part), invisible to brackets
+    li_rows = [
+        # (orderkey, partkey, suppkey, qty, extprice, discount, shipdate)
+        (9001, 1, 99, 1.0, 100.0, 0.0, d0),     # B12 s15: low qty edge -> +100
+        (9002, 1, 99, 11.0, 200.0, 0.25, d0),   # high qty edge -> +150
+        (9003, 1, 99, 12.0, 400.0, 0.0, d0),    # qty past edge -> out
+        (9004, 1, 99, 0.5, 400.0, 0.0, d0),     # qty below edge -> out
+        (9005, 2, 99, 15.0, 800.0, 0.0, d0),    # B12 s16: size out; qty 15
+        #   sits in B23's 10-20 band -> the AND/OR precedence trap
+        (9006, 3, 99, 10.0, 100.0, 0.5, d0),    # B23 s25: low qty edge -> +50
+        (9007, 3, 99, 20.0, 100.0, 0.0, d0),    # high qty edge -> +100
+        (9008, 3, 99, 9.5, 800.0, 0.0, d0),     # just below -> out
+        (9009, 4, 99, 20.0, 100.0, 0.0, d0),    # B3 s35: low qty edge -> +100
+        (9010, 4, 99, 30.0, 200.0, 0.5, d0),    # high qty edge -> +100
+        (9011, 4, 99, 30.5, 800.0, 0.0, d0),    # just past -> out
+        (9012, 5, 99, 25.0, 800.0, 0.0, d0),    # size 36 -> out
+        (9013, 6, 99, 25.0, 800.0, 0.0, d0),    # Brand#34: equality, not
+        #   prefix -- must NOT fall into the Brand#3 bracket
+        (9014, 7, 99, 5.0, 100.0, 0.0, d0),     # B12 s1: low size edge -> +100
+        (9015, 998, 99, 5.0, 800.0, 0.0, d0),   # no part row -> inner join drops
+        # last-shipper orders
+        (1001, 999, 1, 5.0, 10.0, 0.0, day(2024, 1, 1)),
+        (1001, 999, 2, 5.0, 10.0, 0.0, day(2024, 1, 5)),   # s2 last -> s2
+        (1002, 999, 1, 5.0, 10.0, 0.0, day(2024, 1, 1)),
+        (1002, 999, 1, 5.0, 10.0, 0.0, day(2024, 1, 5)),   # single supplier:
+        #   two lines but EXISTS(other supplier) fails -> excluded
+        (1003, 999, 1, 5.0, 10.0, 0.0, day(2024, 2, 10)),
+        (1003, 999, 2, 5.0, 10.0, 0.0, day(2024, 2, 10)),  # tie: BOTH qualify
+        (1004, 999, 1, 5.0, 10.0, 0.0, day(2024, 3, 1)),
+        (1004, 999, 2, 5.0, 10.0, 0.0, day(2024, 3, 5)),
+        (1004, 999, 1, 5.0, 10.0, 0.0, day(2024, 3, 9)),   # s1's early line is
+        #   beaten by s2, its later line wins -> s1 counted ONCE
+        (1005, 999, 1, 5.0, 10.0, 0.0, day(2024, 4, 1)),
+        (1005, 999, 2, 5.0, 10.0, 0.0, day(2024, 4, 5)),   # status 'O' -> excluded
+        (1006, 999, 1, 5.0, 10.0, 0.0, day(2024, 5, 1)),
+        (1006, 999, 2, 5.0, 10.0, 0.0, day(2024, 5, 3)),
+        (1006, 999, 3, 5.0, 10.0, 0.0, day(2024, 5, 7)),   # three suppliers -> s3
+    ]
+    li = pd.DataFrame(
+        li_rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+
+    supplier = pd.DataFrame(
+        [(1, "Supplier#A"), (2, "Supplier#B"), (3, "Supplier#C"),
+         (9, "Supplier#Unused")],
+        columns=["s_suppkey", "s_name"],
+    )
+
+    d = str(tmp_path / "olap_stats_boundary")
+    os.makedirs(d, exist_ok=True)
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    li.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    part.to_parquet(os.path.join(d, "part.parquet"), index=False)
+    supplier.to_parquet(os.path.join(d, "supplier.parquet"), index=False)
+    return d, orders
+
+
+def test_olap_stats_boundary_cases_match_hand_derivation(spark, tmp_path):
+    """Standalone pure-python references for the four operators on the
+    adversarial fixture: moments recomputed from raw power sums exactly
+    as documented (n=1 -> stddev AND skewness NULL, n=2 -> skew exactly
+    0, even-count median interpolates, ties at the median), the window
+    trio recomputed from first principles including the uneven ntile
+    bucket rule, the bracket revenue summed by hand over the edge lines,
+    and the last-shipper counts derived from the EXISTS/NOT-EXISTS
+    definition directly."""
+    import math
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d, orders = _olap_stats_boundary_fixture(tmp_path)
+
+    # --- stats_moments_group: python power-sum reference ---
+    got_m = {
+        r["o_orderpriority"]: (r["n"], r["mean_price"], r["stddev_price"],
+                               r["median_price"], r["skewness_price"])
+        for r in QUERIES["stats_moments_group"](spark, d).collect()
+    }
+    for prio, grp in orders.groupby("o_orderpriority"):
+        xs = sorted(grp.o_totalprice)
+        n = len(xs)
+        m1 = sum(xs) / n
+        m2 = sum(x * x for x in xs) / n
+        m3 = sum(x ** 3 for x in xs) / n
+        sd = (math.sqrt(sum((x - m1) ** 2 for x in xs) / (n - 1))
+              if n > 1 else None)
+        med = (xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2)
+        var = m2 - m1 * m1
+        skew = ((m3 - 3 * m1 * m2 + 2 * m1 ** 3) / var ** 1.5
+                if var > 0 else None)
+        gn, gmean, gsd, gmed, gskew = got_m[prio]
+        assert gn == n, prio
+        assert abs(gmean - m1) <= 0.005 + 1e-9, (prio, gmean, m1)
+        if sd is None:
+            assert gsd is None, prio
+        else:
+            assert abs(gsd - sd) <= 0.005 + 1e-9, (prio, gsd, sd)
+        assert abs(gmed - med) <= 0.005 + 1e-9, (prio, gmed, med)
+        if skew is None:
+            assert gskew is None, prio
+        else:
+            assert abs(gskew - skew) <= 0.0005 + 1e-9, (prio, gskew, skew)
+    # the boundary groups really are what they claim to be
+    assert got_m["1-URGENT"][0] == 1 and got_m["1-URGENT"][2] is None
+    assert got_m["1-URGENT"][4] is None          # 0/0 skewness -> NULL
+    assert got_m["2-HIGH"][3] == 25.0            # interpolated median
+    assert got_m["2-HIGH"][4] == 0.0             # symmetric -> exactly 0
+    assert got_m["3-MEDIUM"][3] == 20.0          # median inside the tie run
+    assert got_m["4-NOT SPECIFIED"][4] == 0.0    # n=2 is always symmetric
+
+    # --- window_distribution: first-principles reference ---
+    got_w = {
+        r["o_orderkey"]: (r["pct_rank"], r["cume"], r["quartile"])
+        for r in QUERIES["window_distribution"](spark, d).collect()
+    }
+    for prio, grp in orders.groupby("o_orderpriority"):
+        seq = sorted(zip(grp.o_totalprice, grp.o_orderkey))
+        n = len(seq)
+        sizes = [n // 4 + (1 if b < n % 4 else 0) for b in range(4)]
+        tiles = [b + 1 for b in range(4) for _ in range(sizes[b])]
+        for i, (_, key) in enumerate(seq):
+            pct = i / (n - 1) if n > 1 else 0.0
+            cume = (i + 1) / n
+            gp, gc, gt = got_w[key]
+            assert abs(gp - pct) <= 5e-7 + 1e-9, (key, gp, pct)
+            assert abs(gc - cume) <= 5e-7 + 1e-9, (key, gc, cume)
+            assert gt == tiles[i], (key, gt, tiles[i])
+    assert got_w[1] == (0.0, 1.0, 1)                       # n=1 partition
+    assert [got_w[k][2] for k in (1001, 1002, 1003, 1004, 1005, 1006)] == [
+        1, 1, 2, 2, 3, 4]                                  # n=6: 2,2,1,1
+    assert [got_w[k][2] for k in (6, 7, 8, 9, 10)] == [1, 1, 2, 3, 4]  # n=5
+
+    # --- olap_disjunctive_brackets: hand-summed edge lines ---
+    got_rev = QUERIES["olap_disjunctive_brackets"](spark, d).collect()[0]["revenue"]
+    assert got_rev == 700.0, got_rev  # 100+150+50+100+100+100+100
+
+    # --- olap_last_shipper: EXISTS/NOT-EXISTS by hand ---
+    got_ls = {
+        r["s_name"]: r["n_orders"]
+        for r in QUERIES["olap_last_shipper"](spark, d).collect()
+    }
+    assert got_ls == {"Supplier#A": 2, "Supplier#B": 2, "Supplier#C": 1}
+
+
+def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
+    """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
+    run the four REGISTERED DuckDB oracles on the same adversarial
+    parquet and hash-compare gate-style, so Spark == oracle == hand
+    derivation holds AT the distribution/bracket/EXISTS boundaries —
+    with the events/orders twin above, all 15 third-pinned operators'
+    oracles now execute on a boundary fixture."""
+    import duckdb
+
+    d, _ = _olap_stats_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("orders", "lineitem", "part", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "stats_moments_group",
+            "window_distribution",
+            "olap_disjunctive_brackets",
+            "olap_last_shipper",
+        ],
+    )
