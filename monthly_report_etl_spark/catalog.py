@@ -1164,95 +1164,88 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r13 recomputation (latest GREEN round per entry across r1-r12;
-# VERDICT r12 recomputed the identical split): r12-latest: 50 entries,
-# r11-latest: 50, r10-latest: 48, nothing older, nothing never-green.
-# Window = the 48-entry r10-latest cohort — EXACTLY the 48 names
-# COVERAGE.md pre-stated at r12 (verified against the CORRECTNESS_r*
-# history this round); this delivers the queued fresh rows for the
-# r12-changed recursive_order_chains (§8m adj-materialization fix — the
-# one entry whose changed plan had not yet met the driver oracle),
-# corpus_incremental_ingest_neardup, and corpus_incremental_ingest_bloom
-# (manifest size-check) — plus 2 slack slots. Slack assignment follows
-# VERDICT r12 #2's preferred resolution of the receipts-cap ambiguity:
-# corpus_bpe_tokenize (r11-latest, changed r12 via the
-# _release_vocab_frame release seam — its ONLY driver coverage for that
-# seam) and corpus_incremental_ingest_bucketed (r11-latest, changed r12
-# via the manifest guard); corpus_incremental_ingest_neardup_bucketed
-# waits for its r14 cohort — the manifest-guard change it carries is
-# driver-covered THIS round via the due plain/bloom entries, and the
-# clarified policy sentence (COVERAGE.md capacity policy #5) makes the
-# wait compliant. 48 + 2 = 50 exactly.
+# r14 recomputation (latest GREEN round per entry across r1-r13):
+# r13-latest: 50 entries, r12-latest: 50, r11-latest: 48, nothing
+# older, nothing never-green — CORRECTNESS_r13 came back 50/50 green on
+# the declared window, so the pre-stated r14 plan applies verbatim.
+# Window = the 48-entry r11-latest cohort — EXACTLY the 48 names
+# COVERAGE.md pre-stated at r13 (recomputed and verified name-for-name
+# this round); this delivers the queued fresh row for the r13-changed
+# corpus_incremental_ingest_neardup_bucketed (manifest guard) — plus 2
+# slack slots: corpus_bpe_train_merges (pre-assigned at r13 — the
+# warn-once fallback-log receipt rider) and recursive_order_chains
+# (changed THIS round: realpath slot key + same-key frame reuse +
+# materialization-failure slot cleanup, ADVICE r13 / VERDICT r13 #4 —
+# a SUCCESS-path change, so it takes the open slack for a same-round
+# fresh row instead of riding receipts). 48 + 2 = 50 exactly.
 #
-# Changes applied THIS round (r13) under the displacement rule:
-# recursive_order_chains gains the single-slot adj-cache eviction
-# (VERDICT r12 #6 / ADVICE r12) — it is DUE this round, so its fresh
-# row arrives with this window (receipts additionally:
-# test_recursive_cte_adj_evicted_on_new_table + the id-set-filtered
-# reuse pin). _release_vocab_frame gains a debug log on the fallback
-# path and _bpe_apply_merge_table gains exception cleanup (ADVICE r12
-# #1/#2) — corpus_bpe_tokenize is IN the window (slack), and
-# corpus_bpe_train_merges (r12-latest, not due; the log line is
-# success-path inert and the apply helper is not on its path) carries
-# receipts: the existing storage/differential pytest suite + the full
+# Changes applied THIS round (r14) under the displacement rule:
+# recursive_order_chains (above — in the window via slack, no receipts
+# ride needed). _release_vocab_frame's fallback warning is latched per
+# exception type (VERDICT r13 #2) — failure-path logging only,
+# success-path inert; corpus_bpe_train_merges is IN the window (slack),
+# and corpus_bpe_tokenize (r13-latest, not due) carries receipts: the
+# new two-cause unit test
+# (test_release_fallback_warns_once_per_exception_type) + the full
 # sf0.01 oracle sweep hand-run green this round; its fresh row is
-# pre-assigned an r14 slack slot. r14 = the r11-latest cohort minus the
-# two entries this window refreshes (includes
-# corpus_incremental_ingest_neardup_bucketed) + slack — see COVERAGE.md.
+# pre-assigned an r15 slack slot (the strict one-receipts-round cap:
+# change at r14, fresh row at r15). r15 = the r12-latest cohort minus
+# corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
+# (corpus_bpe_tokenize) = 50 exactly — see COVERAGE.md.
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- r12-changed, slack slots (VERDICT r12 #2 resolution) --
-    "corpus_bpe_tokenize",
-    "corpus_incremental_ingest_bucketed",
-    # -- r10-latest cohort: all 48, as pre-stated in COVERAGE.md --
-    "corpus_chunk_documents_udtf",
-    "corpus_feature_hashing",
-    "corpus_incremental_ingest_bloom",
-    "corpus_incremental_ingest_neardup",
-    "corpus_length_buckets",
-    "corpus_normalize_dedup",
-    "corpus_pii_flags",
-    "corpus_repetition_stats",
-    "corpus_source_lang_rollup",
-    "corpus_train_val_test_split",
-    "dq_violations",
-    "events_retention_cohort",
-    "exports_report_events",
-    "islands_active_months",
-    "join_hints_shuffle_hash",
-    "json_variant_extract",
-    "multimodal_audio_rms",
-    "olap_disjunctive_brackets",
-    "olap_dominant_supplier",
-    "olap_dormant_rich_customers",
-    "olap_forecast_revenue",
-    "olap_important_stock",
-    "olap_large_orders",
-    "olap_local_supplier_volume",
-    "olap_order_count_distribution",
-    "olap_order_priority_semijoin",
-    "olap_priority_linecount",
-    "olap_promo_revenue",
-    "olap_regional_revenue",
-    "olap_returned_items",
-    "olap_shipping_priority",
-    "olap_small_quantity_avg",
-    "olap_supplier_part_types",
-    "olap_top_revenue_supplier",
-    "posexplode_tokens",
+    # -- slack slots: pre-assigned receipt rider + this round's change --
+    "corpus_bpe_train_merges",
     "recursive_order_chains",
-    "scd2_history",
-    "sketch_count_min",
-    "stats_corr",
-    "stats_moments_group",
-    "string_funcs_customer",
-    "text_c4_filter",
-    "text_lang_mismatch",
-    "text_unigram_logprob",
-    "unpivot_part",
-    "upsert_full_outer",
-    "window_distribution",
-    "window_fill_forward",
+    # -- r11-latest cohort: all 48, as pre-stated in COVERAGE.md --
+    "approx_aggregates",
+    "array_functions",
+    "asof_join",
+    "calendar_spine_monthly",
+    "case_classifier",
+    "collect_types_sorted",
+    "corpus_decontaminate",
+    "corpus_incremental_ingest",
+    "corpus_incremental_ingest_neardup_bucketed",
+    "corpus_length_trim",
+    "corpus_mix_weights",
+    "corpus_ngram_novelty",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_ranged",
+    "date_funcs_extended",
+    "dedup_canonical_selection",
+    "dedup_duplicate_spans",
+    "dedup_semdedup",
+    "dedup_semdedup_exact",
+    "dedup_semdedup_kmeans",
+    "distinct_event_types",
+    "embeddings_pq",
+    "events_last_touch_attribution",
+    "exact_distinct_bounds",
+    "exists_over_array",
+    "filter_project_window",
+    "filtered_agg_orders",
+    "grouping_sets_orders",
+    "jsonl_roundtrip_docs",
+    "lookup_enrich_broadcast",
+    "map_functions",
+    "month_membership_filter",
+    "null_profile_orders",
+    "olap_cheapest_supplier",
+    "olap_last_shipper",
+    "olap_market_share",
+    "olap_nation_pair_volume",
+    "olap_product_profit",
+    "olap_yearly_growth",
+    "order_nulls_handling",
+    "percentiles_exact",
+    "range_join_bucketized",
+    "salted_join",
+    "semi_anti_join",
+    "sketch_partial_merge",
+    "streaming_interval_join_batch",
+    "window_family",
+    "window_range_frame",
 ]
 
 
