@@ -427,7 +427,6 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise it to ~heads x avg depth; the depth-20 guard keeps the level
     limit irrelevant.
     """
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
     # realpath, not abspath (ADVICE r13): two symlink spellings of the
     # SAME orders directory must hit the same slot — abspath treated
     # them as distinct tables and rebuilt the fact-sized cache on each
@@ -443,10 +442,17 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         # symlink spelling of the same table produces a DIFFERENT
         # canonical plan (the scan's file paths differ), so a rebuilt
         # frame would materialize a second fact-sized entry while the
-        # slot forgets the first
+        # slot forgets the first. Crucially this path must NOT touch the
+        # orders_rcte temp view: replacing a temp view with a
+        # differently-spelled scan cascade-UNCACHES every cached plan
+        # that was built over the old view — the r14 soak caught a
+        # symlink call silently dropping the warm adj entry that way
+        # (results stayed correct; the recursion just recomputed adj per
+        # level, the exact rebuild this cache exists to avoid).
         _ADJ_CACHE_SLOT["slot"] = prev
         adj = prev[1]
     else:
+        _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
         if prev is not None:
             try:
                 # blocking=True: the whole point is bounding the

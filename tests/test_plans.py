@@ -571,10 +571,27 @@ def test_recursive_cte_adj_symlink_spelling_keeps_warm_slot(spark, sf_dir, tmp_p
     base = _cached_ids()
     r_link = QUERIES["recursive_order_chains"](spark, str(link)).count()
     assert r_link == r_direct
-    stacked = _cached_ids() - base
+    after = _cached_ids()
+    stacked = after - base
     assert not stacked, (
         "a symlink spelling of the same orders table evicted or stacked "
         f"instead of reusing the warm slot (new cached RDD ids: {stacked})"
+    )
+    # ...and the warm entry must still EXIST: the r14 soak caught the
+    # orders_rcte view replacement cascade-uncaching the adj entry on
+    # the symlink call — "no new ids" alone is also satisfied by the
+    # cache silently vanishing (reuse of an unpersisted frame recomputes
+    # adj at every recursion level). ContextCleaner can asynchronously
+    # drop UNRELATED entries between samples, so assert on the slot's
+    # own frame rather than set equality.
+    from monthly_report_etl_spark.operators.relational import _ADJ_CACHE_SLOT
+
+    slot = _ADJ_CACHE_SLOT.get("slot")
+    assert slot is not None
+    lvl = slot[1].storageLevel  # queries the CacheManager: NONE if uncached
+    assert lvl.useMemory or lvl.useDisk, (
+        "the warm adj cache entry vanished on the symlink-spelling call "
+        "(slot frame no longer persisted)"
     )
 
 
