@@ -437,6 +437,18 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = _ADJ_CACHE_SLOT.pop("slot", None)
     if prev is not None and prev[0] == key:
+        # self-heal before reusing: if something external uncached the
+        # slot frame (a host app's clearCache, a dropped cache), reusing
+        # it would silently recompute adj at every recursion level on
+        # every future same-key call — fall through to a rebuild instead
+        # (nothing to unpersist: the frame is already uncached)
+        try:
+            lvl = prev[1].storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                prev = None
+        except Exception:
+            prev = None  # stale/unqueryable frame: rebuild
+    if prev is not None and prev[0] == key:
         # same table: reuse the slot's OWN frame rather than rebuilding
         # and leaning on plan-keyed cache reuse — under realpath keying a
         # symlink spelling of the same table produces a DIFFERENT

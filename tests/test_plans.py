@@ -595,6 +595,32 @@ def test_recursive_cte_adj_symlink_spelling_keeps_warm_slot(spark, sf_dir, tmp_p
     )
 
 
+def test_recursive_cte_adj_self_heals_after_external_uncache(spark, sf_dir):
+    """r14: the same-key reuse path must not trust the slot blindly — if
+    something external uncached the slot frame (a host application's
+    clearCache), reuse would silently recompute adj at every recursion
+    level on every future same-key call. The call after an external
+    clearCache must REBUILD: correct rows and a persisted slot frame."""
+    from monthly_report_etl_spark.catalog import QUERIES
+    from monthly_report_etl_spark.operators.relational import _ADJ_CACHE_SLOT
+
+    n_before = QUERIES["recursive_order_chains"](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    slot = _ADJ_CACHE_SLOT.get("slot")
+    assert slot is not None
+    lvl = slot[1].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "clearCache did not uncache"
+
+    assert QUERIES["recursive_order_chains"](spark, sf_dir).count() == n_before
+    slot = _ADJ_CACHE_SLOT.get("slot")
+    assert slot is not None
+    lvl = slot[1].storageLevel
+    assert lvl.useMemory or lvl.useDisk, (
+        "same-key call after an external uncache reused the dead frame "
+        "instead of rebuilding the materialized adj"
+    )
+
+
 def test_semdedup_kmeans_plan_shape(spark, sf_dir):
     """The k-means SemDeDup scale path keeps its contract: the tagged
     corpus is consumed from the localCheckpoint (scan + normalize +
