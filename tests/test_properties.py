@@ -1894,6 +1894,343 @@ def test_olap_stats_boundary_cases_match_hand_derivation(spark, tmp_path):
     assert got_ls == {"Supplier#A": 2, "Supplier#B": 2, "Supplier#C": 1}
 
 
+def _agg_window_boundary_fixture(tmp_path):
+    """Fourth adversarial fixture (r14): the aggregate/window/date
+    convention boundaries not covered by the three third-pin fixtures —
+    real NULL group keys under GROUPING SETS (three all-NULL-key rows
+    distinguished only by the grouping bits), FILTER-style aggregates
+    with an all-filtered group (SUM → NULL → COALESCE 0) and exact
+    threshold edges (strictly-greater 150000, inclusive 1997-01-01, a
+    1996-12-31 23:59:59.999999 row one microsecond outside), interpolated
+    percentiles on even counts / constant groups / n=1, corr/covar's
+    pairwise-NULL deletion vs stddev/var's single-column deletion,
+    NULLS FIRST/LAST rank placement incl. an all-NULL partition,
+    ISO-week year boundaries (2021-01-01 → week 53, 2024-12-30 →
+    week 1), leap last_day/dayofyear, Sunday isodow 7, and window
+    frames whose sliding sum crosses NULL runs. Returns
+    (dir, orders_df, events_df)."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    import os
+
+    us = lambda *a: datetime(*a)
+    o_rows = [
+        # (key, priority, status, price, custkey, date)
+        # P1: even-count percentiles; the 1997-01-01 inclusive edge and
+        # the one-microsecond-before row; duplicate custkey for the
+        # COUNT(DISTINCT)
+        (1, "P1", "F", 100.0, 1, us(1997, 1, 1)),
+        (2, "P1", "F", 200.0, 2, us(1996, 12, 31, 23, 59, 59, 999999)),
+        (3, "P1", "O", 300.0, 3, us(1998, 1, 1)),
+        (4, "P1", "O", 400.0, 3, us(1996, 6, 1)),
+        # P2: n=1 group — percentiles collapse to the value, stddev/var/
+        # covar/corr all NULL, both FILTER aggregates empty
+        (5, "P2", "P", 120.0, 9, us(1996, 3, 1)),
+        # P3: constant price — zero variance (corr undefined, var 0.0)
+        (6, "P3", "F", 500.0, 10, us(1997, 2, 1)),
+        (7, "P3", "F", 500.0, 20, us(1997, 3, 1)),
+        (8, "P3", "F", 500.0, 30, us(1997, 4, 1)),
+        (9, "P3", "O", 500.0, 40, us(1997, 5, 1)),
+        (10, "P3", "O", 500.0, 50, us(1997, 6, 1)),
+        # P4: the strictly-greater 150000 threshold edge
+        (11, "P4", "F", 149000.0, 60, us(1997, 7, 1)),
+        (12, "P4", "O", 150000.0, 61, us(1997, 8, 1)),
+        (13, "P4", "O", 151000.0, 62, us(1997, 9, 1)),
+        # real-NULL priority group: NULL status, NULL custkey, NULL
+        # price, NULL date rows — pins GROUP BY NULL-key grouping,
+        # grouping-bit disambiguation, and per-aggregate NULL deletion
+        (901, None, "X", 1000.0, 71, us(1997, 5, 1)),
+        (902, None, None, 3000.0, None, None),
+        (903, None, "X", None, 72, us(1997, 6, 1)),
+    ]
+    orders = pd.DataFrame(
+        o_rows,
+        columns=["o_orderkey", "o_orderpriority", "o_orderstatus",
+                 "o_totalprice", "o_custkey", "o_orderdate"],
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+
+    e_rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, us(2021, 1, 1), 1, "A", None),        # ISO week 53 of 2020, dow 5
+        (9, us(2023, 1, 1), 1, "A", 2.0),         # ISO week 52 of 2022, dow 7
+        (2, us(2024, 12, 30), 2, "A", None),      # ISO week 1 of 2025, dow 1
+        (3, us(2024, 12, 30), 2, "A", 5.0),       # same-ts tie -> id order
+        (5, us(2023, 2, 15), 3, "A", 1.0),        # non-leap: last_day Feb 28
+        (4, us(2024, 2, 29), 3, "A", 5.0),        # leap day: last_day itself
+        (7, us(2024, 6, 30, 23, 59, 59), 3, "B", None),  # Sunday: isodow 7, Q2
+        (8, us(2024, 7, 1), 3, "C", None),        # quarter edge: Q3
+        (6, us(2024, 12, 31), 3, "B", None),      # doy 366, ISO week 1 of 2025
+    ]
+    ev = pd.DataFrame(
+        e_rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["props"] = "{}"
+
+    d = str(tmp_path / "agg_window_boundary")
+    os.makedirs(d, exist_ok=True)
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return d, orders, ev
+
+
+def test_agg_window_boundary_cases_match_hand_derivation(spark, tmp_path):
+    """Standalone pure-python references for seven more convention-laden
+    entries on the fourth adversarial fixture (tests-only extension of
+    the r13/r14 triangle pattern; these entries are oracle-pinned on the
+    sf tables every rotation window, this pins them AT the boundaries)."""
+    import math
+    from datetime import date, timedelta
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d, orders, ev = _agg_window_boundary_fixture(tmp_path)
+
+    def rows_of(df):
+        return [
+            (None if pd_isna(p) else p, None if pd_isna(s) else s,
+             None if pd_isna(x) else float(x),
+             None if pd_isna(c) else int(c),
+             None if pd_isna(dt) else dt)
+            for p, s, x, c, dt in zip(
+                df.o_orderpriority, df.o_orderstatus, df.o_totalprice,
+                df.o_custkey, df.o_orderdate)
+        ]
+
+    import pandas as pd
+
+    pd_isna = pd.isna
+    R = rows_of(orders)
+
+    # --- grouping_sets_orders: three sets by hand, NULL keys real ---
+    got_gs = {
+        (r["o_orderpriority"], r["o_orderstatus"], r["g_pri"], r["g_st"]):
+            (r["n"], r["total"])
+        for r in QUERIES["grouping_sets_orders"](spark, d).collect()
+    }
+    want_gs = {}
+
+    def add_set(keyfn, g_pri, g_st):
+        groups = {}
+        for p, s, x, c, dt in R:
+            groups.setdefault(keyfn(p, s), [0, 0.0, False])
+        for p, s, x, c, dt in R:
+            g = groups[keyfn(p, s)]
+            g[0] += 1
+            if x is not None:
+                g[1] += x
+                g[2] = True
+        for k, (n, t, any_x) in groups.items():
+            pri, st = k
+            want_gs[(pri, st, g_pri, g_st)] = (
+                n, round(t, 2) if any_x else None)
+
+    add_set(lambda p, s: (p, None), 0, 1)
+    add_set(lambda p, s: (None, s), 1, 0)
+    add_set(lambda p, s: (None, None), 1, 1)
+    assert got_gs == want_gs
+    # the disambiguation trap: three all-NULL-key rows, split only by bits
+    all_null = {k: v for k, v in got_gs.items() if k[0] is None and k[1] is None}
+    assert set(all_null) == {(None, None, 0, 1), (None, None, 1, 0),
+                             (None, None, 1, 1)}
+    assert all_null[(None, None, 0, 1)] == (3, 4000.0)   # real-NULL priority
+    assert all_null[(None, None, 1, 0)] == (1, 3000.0)   # real-NULL status
+    assert all_null[(None, None, 1, 1)] == (len(R), all_null[(None, None, 1, 1)][1])
+
+    # --- filtered_agg_orders ---
+    got_fa = {
+        r["o_orderpriority"]: (r["n_big"], r["recent_total"], r["n_customers"])
+        for r in QUERIES["filtered_agg_orders"](spark, d).collect()
+    }
+    cutoff = pd.Timestamp(1997, 1, 1)
+    for prio in {p for p, *_ in R}:
+        grp = [(x, c, dt) for p, s, x, c, dt in R if p == prio]
+        n_big = sum(1 for x, c, dt in grp if x is not None and x > 150000)
+        recent = sum(x for x, c, dt in grp
+                     if x is not None and dt is not None and dt >= cutoff)
+        n_cust = len({c for x, c, dt in grp if c is not None})
+        assert got_fa[prio] == (n_big, round(recent, 2), n_cust), prio
+    assert got_fa["P2"] == (0, 0.0, 1)    # all-filtered group -> COALESCE 0
+    assert got_fa["P4"][0] == 1           # 150000 is NOT > 150000
+    assert got_fa["P1"] == (0, 400.0, 3)  # µs-before-1997 row excluded; dup custkey
+    assert got_fa[None] == (0, 1000.0, 2)  # NULL date/price rows drop out
+
+    # --- percentiles_exact: linear interpolation by hand ---
+    got_pc = {
+        r["o_orderpriority"]: (r["p25"], r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["percentiles_exact"](spark, d).collect()
+    }
+
+    def pct(xs, q):
+        xs = sorted(xs)
+        idx = (len(xs) - 1) * q
+        lo, frac = int(idx // 1), idx % 1
+        hi = min(lo + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * frac
+
+    for prio in {p for p, *_ in R}:
+        xs = [x for p, s, x, c, dt in R if p == prio and x is not None]
+        for got, q in zip(got_pc[prio], (0.25, 0.5, 0.9, 0.99)):
+            want = pct(xs, q)
+            assert abs(got - want) <= 5e-5 + 1e-9 * abs(want), (prio, q, got, want)
+    assert got_pc["P1"] == (175.0, 250.0, 370.0, 397.0)  # all interpolated
+    assert got_pc["P2"] == (120.0,) * 4                  # n=1 collapses
+    assert got_pc["P3"] == (500.0,) * 4                  # constant group
+
+    # --- stats_corr: pairwise vs single-column NULL deletion ---
+    got_sc = {
+        r["o_orderpriority"]: (r["corr_price_cust"], r["covar_pc"],
+                               r["sd_price"], r["var_price"])
+        for r in QUERIES["stats_corr"](spark, d).collect()
+    }
+
+    def none_or_nan(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    for prio in {p for p, *_ in R}:
+        pairs = [(x, float(c)) for p, s, x, c, dt in R
+                 if p == prio and x is not None and c is not None]
+        xs = [x for p, s, x, c, dt in R if p == prio and x is not None]
+        n, m = len(pairs), len(xs)
+        mx = sum(x for x, _ in pairs) / n if n else None
+        my = sum(y for _, y in pairs) / n if n else None
+        cv = (sum((x - mx) * (y - my) for x, y in pairs) / (n - 1)
+              if n > 1 else None)
+        sx2 = (sum((x - mx) ** 2 for x, _ in pairs) / (n - 1)) if n > 1 else None
+        sy2 = (sum((y - my) ** 2 for _, y in pairs) / (n - 1)) if n > 1 else None
+        corr = (cv / math.sqrt(sx2 * sy2)
+                if cv is not None and sx2 and sy2 else None)
+        mm = sum(xs) / m if m else None
+        var = (sum((x - mm) ** 2 for x in xs) / (m - 1)) if m > 1 else None
+        g_corr, g_cv, g_sd, g_var = got_sc[prio]
+        if corr is None:
+            assert none_or_nan(g_corr), (prio, g_corr)
+        else:
+            assert abs(g_corr - corr) <= 5e-7 + 1e-9, (prio, g_corr, corr)
+        if cv is None:
+            assert g_cv is None, prio
+        else:
+            assert abs(g_cv - cv) <= 5e-5 + 1e-9 * abs(cv), (prio, g_cv, cv)
+        if var is None:
+            assert g_var is None and g_sd is None, prio
+        else:
+            assert abs(g_var - var) <= 5e-5 + 1e-9 * abs(var), prio
+            assert abs(g_sd - math.sqrt(var)) <= 5e-5 + 1e-9, prio
+    assert none_or_nan(got_sc["P3"][0]) and got_sc["P3"][3] == 0.0  # zero var
+    assert got_sc["P2"] == (None, None, None, None)                # n=1
+    # NULL group: corr/covar see ONE complete pair; sd/var see TWO prices
+    assert none_or_nan(got_sc[None][0]) and got_sc[None][1] is None
+    assert got_sc[None][3] == 2000000.0
+
+    # --- order_nulls_handling: rank placement by hand ---
+    got_rk = {
+        r["event_id"]: (r["rnk_desc_nulls_last"], r["rnk_asc_nulls_first"])
+        for r in QUERIES["order_nulls_handling"](spark, d).collect()
+    }
+    E = list(zip(ev.event_id, ev.event_type, ev.value))
+    for etype in {t for _, t, _ in E}:
+        grp = [(i, None if pd_isna(v) else float(v)) for i, t, v in E if t == etype]
+        by_desc = sorted(grp, key=lambda iv: (iv[1] is None,
+                                              -(iv[1] or 0.0), iv[0]))
+        by_asc = sorted(grp, key=lambda iv: (iv[1] is not None,
+                                             iv[1] or 0.0, iv[0]))
+        for pos, (i, _) in enumerate(by_desc):
+            assert got_rk[i][0] == pos + 1, (etype, i)
+        for pos, (i, _) in enumerate(by_asc):
+            assert got_rk[i][1] == pos + 1, (etype, i)
+    assert got_rk[8] == (1, 1)          # single NULL row: rank 1 both ways
+    assert got_rk[1][0] == 5 and got_rk[1][1] == 1  # NULLs flip ends
+
+    # --- date_funcs_extended: python calendar reference ---
+    got_df = {
+        r["event_id"]: r for r in QUERIES["date_funcs_extended"](spark, d).collect()
+    }
+    import calendar
+
+    for i, ts in zip(ev.event_id, ev.ts):
+        t = ts.to_pydatetime()
+        r = got_df[i]
+        iso = t.isocalendar()
+        eom = t.replace(day=calendar.monthrange(t.year, t.month)[1],
+                        hour=0, minute=0, second=0, microsecond=0)
+        assert r["month_end"] == eom, (i, r["month_end"], eom)
+        assert r["iso_dow"] == iso.weekday, i
+        assert r["iso_week"] == iso.week, i
+        assert r["q"] == (t.month - 1) // 3 + 1, i
+        assert r["doy"] == t.timetuple().tm_yday, i
+        assert r["days_since"] == (t.date() - date(2024, 1, 1)).days, i
+        assert r["ts_plus_10d"] == t + timedelta(days=10), i
+    assert got_df[1]["iso_week"] == 53 and got_df[1]["iso_dow"] == 5
+    assert got_df[2]["iso_week"] == 1 and got_df[2]["iso_dow"] == 1
+    assert got_df[9]["iso_week"] == 52 and got_df[9]["iso_dow"] == 7
+    assert got_df[6]["doy"] == 366 and got_df[6]["iso_week"] == 1
+    assert got_df[4]["month_end"].day == 29   # leap February
+    assert got_df[5]["month_end"].day == 28   # non-leap February
+    assert got_df[7]["iso_dow"] == 7          # Sunday is 7, not 0/1
+
+    # --- window_family: frames across NULL runs, tie order, tiny ntile ---
+    got_wf = {
+        r["event_id"]: (r["rn"], r["quartile"], r["prev_value"],
+                        r["next_value"], r["moving_sum_3"])
+        for r in QUERIES["window_family"](spark, d).collect()
+    }
+    EV = [(int(i), ts.to_pydatetime(), int(u), None if pd_isna(v) else float(v))
+          for i, ts, u, v in zip(ev.event_id, ev.ts, ev.user_id, ev.value)]
+    for uid in {u for _, _, u, _ in EV}:
+        seq = sorted([(t, i, v) for i, t, u, v in EV if u == uid])
+        n = len(seq)
+        sizes = [n // 4 + (1 if b < n % 4 else 0) for b in range(4)]
+        tiles = [b + 1 for b in range(4) for _ in range(sizes[b])]
+        for pos, (t, i, v) in enumerate(seq):
+            window = [vv for _, _, vv in seq[max(0, pos - 2):pos + 1]
+                      if vv is not None]
+            want = (
+                pos + 1,
+                tiles[pos],
+                seq[pos - 1][2] if pos > 0 else None,
+                seq[pos + 1][2] if pos + 1 < n else None,
+                round(sum(window), 2) if window else None,
+            )
+            assert got_wf[i] == want, (uid, i, got_wf[i], want)
+    assert got_wf[6][4] is None   # all-NULL frame sums to NULL, not 0
+    assert got_wf[2][0] == 1 and got_wf[3][0] == 2  # same-ts tie by id
+
+
+def test_oracles_agree_on_agg_window_boundary_fixture(spark, tmp_path):
+    """Gate leg of the fourth fixture: the seven REGISTERED DuckDB
+    oracles run on the same adversarial parquet and hash-compare
+    gate-style — NULL grouping keys, FILTER edges, interpolation,
+    degenerate moments, NULL rank placement, ISO-week boundaries, and
+    NULL-run frames now all hold Spark == oracle == hand-derivation."""
+    import duckdb
+
+    d, _, _ = _agg_window_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "grouping_sets_orders",
+            "filtered_agg_orders",
+            "percentiles_exact",
+            "stats_corr",
+            "order_nulls_handling",
+            "date_funcs_extended",
+            "window_family",
+        ],
+    )
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
