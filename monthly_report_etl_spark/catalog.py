@@ -416,7 +416,9 @@ def dedup_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_types_sorted",
     """
     SELECT user_id,
-           array_to_string(list_sort(list(event_type)), ',') AS types_csv,
+           COALESCE(array_to_string(
+               list_sort(list_filter(list(event_type), x -> x IS NOT NULL)),
+               ','), '') AS types_csv,
            CAST(len(list_filter(list(value), x -> x > 500)) AS BIGINT) AS n_big
     FROM events GROUP BY user_id
     """,
@@ -424,6 +426,15 @@ def dedup_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
 def collect_types_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/F13: list aggregate + lambda filter (exports_results.sql:73-76).
     Output sorted-joined for cross-engine determinism.
+
+    r14 oracle fix (caught by the fifth boundary fixture): an ALL-NULL
+    group encodes as '' on the Spark side (collect_list drops SQL NULLs
+    → empty array → array_join '') but DuckDB's array_to_string returns
+    NULL for a list with no non-null elements — invisible on the sf
+    tables (every user has a non-null event_type), divergent at the
+    boundary. The oracle now filters NULLs explicitly (the reference's
+    own list_filter step) and COALESCEs the empty join to '', the
+    faithful encoding of the reference's filtered LIST.
 
     Scale note: faithful reference semantics — the reference's list()
     is per scenario and bounded by the lender count. Against an
@@ -1189,7 +1200,12 @@ _register_extension_catalogs()
 # (test_release_fallback_warns_once_per_exception_type) + the full
 # sf0.01 oracle sweep hand-run green this round; its fresh row is
 # pre-assigned an r15 slack slot (the strict one-receipts-round cap:
-# change at r14, fresh row at r15). r15 = the r12-latest cohort minus
+# change at r14, fresh row at r15). collect_types_sorted's ORACLE gains
+# an explicit null-filter + COALESCE('') (the r14 fifth boundary
+# fixture caught DuckDB's array_to_string returning NULL for an
+# all-NULL list where Spark's collect_list-then-join encodes '') — the
+# entry is DUE this round, so its fresh row arrives with this window
+# and nothing special is needed. r15 = the r12-latest cohort minus
 # corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
 # (corpus_bpe_tokenize) = 50 exactly — see COVERAGE.md.
 

@@ -2231,6 +2231,174 @@ def test_oracles_agree_on_agg_window_boundary_fixture(spark, tmp_path):
     )
 
 
+def _dedup_setops_boundary_fixture(tmp_path):
+    """Fifth adversarial fixture (r14): MAX_BY NULL-skip (the hand-rolled
+    conditional ordering key must return the latest NON-NULL payload when
+    the newest row carries NULLs, per-column independently), list-agg
+    NULL handling and the strict >500 lambda edge, top-k selection when
+    the tie block STRADDLES the k boundary (total-order tiebreak on
+    orderkey), INTERSECT/EXCEPT NULL equality (NULL group keys compare
+    equal in set ops), semi/anti with duplicate probe rows and a
+    dangling lineitem, and the union bucket split at exactly 25 with a
+    NULL quantity that belongs to NEITHER side. Timestamps are unique
+    per user so every MAX_BY is deterministic (ties are genuinely
+    nondeterministic in both engines, matching the reference's own
+    MAX_BY, so they are not pinnable). Returns (dir, orders, events,
+    lineitem) DataFrames."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    import os
+
+    t = lambda k: datetime(2024, 9, 1) + timedelta(hours=k)
+    e_rows = [
+        # u1: newest row is all-NULL payload -> every MAX_BY must reach
+        # back to its own column's latest non-null, while MAX(ts) still
+        # reports the newest row's time
+        (101, t(1), 1, "a", 300.0, "p1"),
+        (102, t(2), 1, "b", 600.0, "p2"),
+        (103, t(3), 1, None, None, None),
+        # u2: value never non-null -> NULL; props null only at the end
+        (201, t(1), 2, "x", None, "q1"),
+        (202, t(2), 2, "x", None, None),
+        # u3: single event, value exactly 500 (strict > excludes), NULL type
+        (301, t(5), 3, None, 500.0, "r1"),
+        # u4: 501 vs 500 around the lambda edge; latest value IS non-null
+        (401, t(1), 4, "m", 501.0, "s1"),
+        (402, t(2), 4, "n", 500.0, "s2"),
+    ]
+    ev = pd.DataFrame(
+        e_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+
+    o_rows = (
+        # 105-row tie block at 9000 straddling the k=100 boundary
+        [(2000 + i, 100 + i, 9000.0, "2-HIGH") for i in range(105)]
+        + [(3001 + i, 201 + i, 9500.0, "2-HIGH") for i in range(3)]
+        + [(4001, 301, 8000.0, "3-MEDIUM"), (4002, 302, 8000.0, "3-MEDIUM")]
+        # set-ops rows: left (>150000) custkeys {NULL,7,8},
+        # right (1-URGENT) custkeys {NULL,7,9}
+        + [(5001, None, 200000.0, "5-LOW"), (5002, None, 100.0, "1-URGENT"),
+           (5003, 7, 200000.0, "3-MEDIUM"), (5004, 7, 50.0, "1-URGENT"),
+           (5005, 8, 160000.0, "4-NOT SPECIFIED"), (5006, 9, 10.0, "1-URGENT")]
+    )
+    orders = pd.DataFrame(
+        o_rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+
+    li_rows = [
+        (2000, 1, 25.0),     # exactly 25: 'high' only (>= is inclusive)
+        (2000, 2, 24.999),   # 'low'; second line of 2000 (semi must not dup)
+        (3001, 1, 30.0),     # 'high'
+        (3001, 2, None),     # NULL quantity: in NEITHER union bucket
+        (9999, 1, 10.0),     # dangling orderkey: 'low'; invisible to semi
+    ]
+    li = pd.DataFrame(li_rows, columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    li["l_linenumber"] = li["l_linenumber"].astype("int32")
+
+    d = str(tmp_path / "dedup_setops_boundary")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    li.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    return d, orders, ev, li
+
+
+def test_dedup_setops_boundary_cases_match_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the fifth fixture."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d, orders, ev, li = _dedup_setops_boundary_fixture(tmp_path)
+
+    # --- dedup_latest_maxby: per-column NULL-skip ---
+    got_dl = {
+        r["user_id"]: (r["time"], r["event_type"], r["value"], r["props"])
+        for r in QUERIES["dedup_latest_maxby"](spark, d).collect()
+    }
+    from datetime import datetime, timedelta
+
+    t = lambda k: datetime(2024, 9, 1) + timedelta(hours=k)
+    assert got_dl[1] == (t(3), "b", 600.0, "p2")  # newest row all-NULL:
+    #   MAX(ts) is still t3, every payload reaches back per-column
+    assert got_dl[2] == (t(2), "x", None, "q1")   # never-non-null stays NULL
+    assert got_dl[3] == (t(5), None, 500.0, "r1")
+    assert got_dl[4] == (t(2), "n", 500.0, "s2")  # latest non-null wins even
+    #   though an OLDER row has the larger value
+
+    # --- collect_types_sorted: NULL drop + strict > edge ---
+    got_ct = {
+        r["user_id"]: (r["types_csv"], r["n_big"])
+        for r in QUERIES["collect_types_sorted"](spark, d).collect()
+    }
+    assert got_ct[1] == ("a,b", 1)   # NULL type dropped from the list
+    assert got_ct[2] == ("x,x", 0)   # duplicates preserved, sorted
+    assert got_ct[3] == ("", 0)      # all-NULL list -> empty CSV; 500 not > 500
+    assert got_ct[4] == ("m,n", 1)   # 501 counts, 500 does not
+
+    # --- topk_orders: tie block straddles k=100 ---
+    rows = QUERIES["topk_orders"](spark, d).collect()
+    assert len(rows) == 100
+    want_order = sorted(
+        zip(orders.o_totalprice, orders.o_orderkey),
+        key=lambda pk: (-pk[0], pk[1]),
+    )[:100]
+    assert [r["o_orderkey"] for r in rows] == [k for _, k in want_order]
+    keys = {r["o_orderkey"] for r in rows}
+    assert 2093 in keys and 2094 not in keys  # the tie cut falls mid-block,
+    #   resolved by the orderkey tiebreak, not by engine luck
+    assert rows[0]["o_orderkey"] == 5001 and rows[0]["o_custkey"] is None
+
+    # --- set_ops: NULL compares EQUAL in INTERSECT/EXCEPT ---
+    got_so = {r["op"]: r["n"] for r in QUERIES["set_ops"](spark, d).collect()}
+    assert got_so == {"intersect": 2, "except": 1}  # {NULL,7} / {8}
+
+    # --- semi_anti_join: duplicate probe lines, dangling lineitem ---
+    got_sa = {r["op"]: r["n"] for r in QUERIES["semi_anti_join"](spark, d).collect()}
+    assert got_sa == {"with_lineitems": 2, "without_lineitems": len(orders) - 2}
+
+    # --- union_by_name: inclusive 25 split, NULL quantity in neither ---
+    got_ub = {
+        (r["l_orderkey"], r["l_linenumber"]): (r["bucket"], r["l_quantity"])
+        for r in QUERIES["union_by_name"](spark, d).collect()
+    }
+    assert got_ub == {
+        (2000, 1): ("high", 25.0),
+        (2000, 2): ("low", 24.999),
+        (3001, 1): ("high", 30.0),
+        (9999, 1): ("low", 10.0),
+    }  # the NULL-quantity line (3001, 2) appears in NEITHER bucket
+
+
+def test_oracles_agree_on_dedup_setops_boundary_fixture(spark, tmp_path):
+    """Gate leg of the fifth fixture: the six REGISTERED DuckDB oracles
+    run on the same adversarial parquet and hash-compare gate-style."""
+    import duckdb
+
+    d, _, _, _ = _dedup_setops_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("orders", "events", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "dedup_latest_maxby",
+            "collect_types_sorted",
+            "topk_orders",
+            "set_ops",
+            "semi_anti_join",
+            "union_by_name",
+        ],
+    )
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
