@@ -693,14 +693,28 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     """
     SELECT event_id,
-           CAST(json_extract_string(props, 'k') AS BIGINT) AS k_value,
-           CASE WHEN json_extract_string(props, 'k') IS NULL THEN true ELSE false END AS k_missing
+           TRY_CAST(json_extract_string(
+               CASE WHEN json_valid(props) THEN props END, 'k') AS BIGINT)
+               AS k_value,
+           CASE WHEN json_extract_string(
+                    CASE WHEN json_valid(props) THEN props END, 'k') IS NULL
+                THEN true ELSE false END AS k_missing
     FROM events
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/F9: JSON probe with missing-key → SQL NULL semantics
-    (exports_results.sql:37-38,89-91)."""
+    (exports_results.sql:37-38,89-91).
+
+    r14 oracle fix (caught by the sixth boundary fixture): Spark's
+    get_json_object is LENIENT — malformed JSON and non-numeric values
+    yield NULL — while DuckDB's json_extract_string RAISES on malformed
+    input and plain CAST raises on a non-numeric string. Invisible on
+    the sf tables (all props well-formed, k numeric); divergent at the
+    boundary. The oracle now guards with json_valid() and coerces with
+    TRY_CAST, reproducing the lenient semantics exactly (probed: both
+    engines agree on '4.2'→4 truncation, 'abc'→NULL, JSON null→NULL +
+    missing, nested object→extracted text→NULL number)."""
     k = F.get_json_object("props", "$.k")
     return _t(spark, sf_dir, "events").select(
         "event_id",
@@ -1200,14 +1214,23 @@ _register_extension_catalogs()
 # (test_release_fallback_warns_once_per_exception_type) + the full
 # sf0.01 oracle sweep hand-run green this round; its fresh row is
 # pre-assigned an r15 slack slot (the strict one-receipts-round cap:
-# change at r14, fresh row at r15). collect_types_sorted's ORACLE gains
-# an explicit null-filter + COALESCE('') (the r14 fifth boundary
-# fixture caught DuckDB's array_to_string returning NULL for an
-# all-NULL list where Spark's collect_list-then-join encodes '') — the
-# entry is DUE this round, so its fresh row arrives with this window
-# and nothing special is needed. r15 = the r12-latest cohort minus
-# corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
-# (corpus_bpe_tokenize) = 50 exactly — see COVERAGE.md.
+# change at r14, fresh row at r15). THREE oracles gained NULL-boundary
+# fixes this round, caught by the r14 fifth/sixth adversarial fixtures
+# (all divergences invisible on the sf tables, which carry no NULL
+# event_type/value rows and only well-formed numeric props):
+# collect_types_sorted (explicit null-filter + COALESCE('') — DUE this
+# round, fresh row arrives with this window, nothing special needed),
+# and array_functions + json_extract_props (FILTER/COALESCE list
+# semantics; json_valid guard + TRY_CAST) — both r12-latest, so their
+# fresh rows arrive with their own r15 cohort after exactly one
+# receipts round (receipts: the sixth-fixture gate/hand tests + the
+# hand-run sf0.01 checks, all green). json_variant_extract's oracle
+# has the SAME latent CAST-raises pattern but is r13-latest (due r16,
+# and r15's slack is taken): per the displacement rule the change
+# itself WAITS — pre-stated for r15, cohort row r16. r15 = the
+# r12-latest cohort minus corpus_bpe_train_merges (refreshed here) =
+# 49 due + 1 slack (corpus_bpe_tokenize) = 50 exactly — see
+# COVERAGE.md.
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- slack slots: pre-assigned receipt rider + this round's change --

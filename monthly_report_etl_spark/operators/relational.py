@@ -562,20 +562,25 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_FUNCTIONS_ORACLE = """
 WITH t AS (
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
-           list_sort(list(value)) AS vals
+    SELECT user_id,
+           COALESCE(list_sort(list(DISTINCT event_type)
+                              FILTER (event_type IS NOT NULL)),
+                    []::VARCHAR[]) AS types,
+           COALESCE(list_sort(list(value) FILTER (value IS NOT NULL)),
+                    []::DOUBLE[]) AS vals
     FROM events GROUP BY user_id
 )
 SELECT user_id,
        CAST(len(types) AS BIGINT) AS n_types,
-       array_to_string(types, '|') AS types_str,
+       COALESCE(array_to_string(types, '|'), '') AS types_str,
        CAST(len(list_filter(vals, v -> v > 500)) AS BIGINT) AS n_big,
        ROUND(list_reduce(list_prepend(0.0::DOUBLE, vals), (a, v) -> a + v), 2)
            AS sum_vals,
        ROUND(list_transform(vals, v -> v * 2)[1], 2) AS first_doubled,
        list_contains(types, 'error') AS has_error,
-       array_to_string(list_sort(list_intersect(types, ['click', 'view', 'error'])), '|')
-           AS common_types
+       COALESCE(array_to_string(
+           list_sort(list_intersect(types, ['click', 'view', 'error'])), '|'),
+           '') AS common_types
 FROM t
 """
 
@@ -587,6 +592,15 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Note: DuckDB's list_intersect preserves no particular order — both
     sides sort before joining to a string.
+
+    r14 oracle fix (caught by the sixth boundary fixture): Spark's
+    collect_set/collect_list DROP SQL NULLs and yield an EMPTY array for
+    an all-NULL group, while DuckDB's list() keeps NULL elements and
+    returns NULL over zero kept rows — and array_to_string returns NULL
+    for an element-less list where array_join returns ''. Invisible on
+    the sf tables (zero NULL event_type/value rows); divergent at the
+    boundary. The oracle now FILTERs NULLs in the aggregates, COALESCEs
+    the empty list, and COALESCEs both string joins to ''.
     """
     ev = _t(spark, sf_dir, "events")
     t = ev.groupBy("user_id").agg(

@@ -2399,6 +2399,210 @@ def test_oracles_agree_on_dedup_setops_boundary_fixture(spark, tmp_path):
     )
 
 
+def _nullsafe_boundary_fixture(tmp_path):
+    """Sixth adversarial fixture (r14): the NULL-handling boundaries of
+    the collection/JSON/coercion entries, which the sf tables cannot
+    exercise (zero NULL event_type/value rows, all props well-formed,
+    all lang strings either valid codes or numbers). Two event
+    directories because map_from_entries RAISES on a NULL key in BOTH
+    engines (not gate-testable): dir A carries NULL event_types/values +
+    adversarial props for array_functions / json_extract_props /
+    rollup / cube / numeric_coercion; dir B is NULL-key-free for
+    map_functions (missing key vs NULL-value probes). Returns
+    (dir_a, dir_b)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    import os
+
+    t = lambda k: datetime(2024, 10, 1) + timedelta(hours=k)
+    a_rows = [
+        # u1: NULL type and NULL value rows interleaved; malformed props
+        (1, t(1), 1, "click", 600.0, '{"k": 42}'),
+        (2, t(2), 1, "view", None, '{"k": "abc"}'),
+        (3, t(3), 1, None, 300.0, "{k:"),
+        # u2: every type and value NULL -> empty arrays, '' joins, sum 0.0
+        (4, t(4), 2, None, None, "{}"),
+        (5, t(5), 2, None, None, "not json"),
+        # u3: strict >500 edge inside the fold/filter; JSON null and a
+        # nested object under k
+        (6, t(6), 3, "error", 500.0, '{"k": null}'),
+        (7, t(7), 3, "error", 501.0, '{"k": {"a": 1}}'),
+        # u4: no overlap with the intersect probe set -> '' not NULL
+        (8, t(8), 4, "purchase", 100.0, '{"k": "4.2"}'),
+    ]
+    ev_a = pd.DataFrame(
+        a_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev_a["ts"] = ev_a["ts"].astype("datetime64[us]")
+
+    li = pd.DataFrame(
+        [("R", "F", 10.0), ("R", None, 20.0), (None, "F", 30.0),
+         (None, None, 40.0), ("A", "F", None)],
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    orders = pd.DataFrame(
+        [("F", "1-URGENT"), ("F", None), (None, "1-URGENT"), (None, None),
+         ("O", "2-HIGH")],
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+    docs = pd.DataFrame(
+        [(1, "en", 10), (2, "abc", 20), (3, "4.2", 30), (4, "NaN", 40),
+         (5, "1e5", 50), (6, " 5 ", 60), (7, "Infinity", 70),
+         (8, "0x10", 80), (9, None, 90)],
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    docs["n_chars"] = docs["n_chars"].astype("int64")
+
+    da = str(tmp_path / "nullsafe_a")
+    os.makedirs(da, exist_ok=True)
+    ev_a.to_parquet(os.path.join(da, "events.parquet"), index=False)
+    li.to_parquet(os.path.join(da, "lineitem.parquet"), index=False)
+    orders.to_parquet(os.path.join(da, "orders.parquet"), index=False)
+    docs.to_parquet(os.path.join(da, "documents.parquet"), index=False)
+
+    b_rows = [
+        (11, t(1), 1, "click", 100.0, "{}"),
+        (12, t(2), 1, "click", 50.0, "{}"),
+        (13, t(3), 1, "purchase", 70.0, "{}"),
+        (14, t(4), 2, "view", 10.0, "{}"),       # no click key at all
+        (15, t(5), 3, "click", None, "{}"),      # click key PRESENT,
+        (16, t(6), 3, "click", None, "{}"),      #   value SUM(NULL) = NULL
+    ]
+    ev_b = pd.DataFrame(
+        b_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev_b["ts"] = ev_b["ts"].astype("datetime64[us]")
+    db = str(tmp_path / "nullsafe_b")
+    os.makedirs(db, exist_ok=True)
+    ev_b.to_parquet(os.path.join(db, "events.parquet"), index=False)
+    return da, db
+
+
+def test_nullsafe_boundary_cases_match_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the sixth fixture."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    da, db = _nullsafe_boundary_fixture(tmp_path)
+
+    # --- array_functions: NULL-dropping collection semantics ---
+    got_af = {
+        r["user_id"]: (r["n_types"], r["types_str"], r["n_big"], r["sum_vals"],
+                       r["first_doubled"], r["has_error"], r["common_types"])
+        for r in QUERIES["array_functions"](spark, da).collect()
+    }
+    assert got_af[1] == (2, "click|view", 1, 900.0, 600.0, False, "click|view")
+    assert got_af[2] == (0, "", 0, 0.0, None, False, "")  # all-NULL group:
+    #   EMPTY arrays (not NULL), fold over [] is the init 0.0, joins are ''
+    assert got_af[3] == (1, "error", 1, 1001.0, 1000.0, True, "error")
+    assert got_af[4] == (1, "purchase", 0, 100.0, 200.0, False, "")  # empty
+    #   intersect joins to '', not NULL
+
+    # --- json_extract_props: lenient extraction semantics ---
+    got_js = {
+        r["event_id"]: (r["k_value"], r["k_missing"])
+        for r in QUERIES["json_extract_props"](spark, da).collect()
+    }
+    assert got_js == {
+        1: (42, False),
+        2: (None, False),   # k present, non-numeric -> NULL value, not missing
+        3: (None, True),    # malformed JSON -> lenient NULL
+        4: (None, True),    # {} -> key missing
+        5: (None, True),    # not json -> lenient NULL
+        6: (None, True),    # JSON null extracts as SQL NULL
+        7: (None, False),   # nested object extracts as text, numbers to NULL
+        8: (4, False),      # '4.2' -> 4: BOTH engines truncate string->long
+    }
+
+    # --- rollup_lineitem / cube_orders: REAL NULL keys vs subtotal NULLs ---
+    got_ru = {
+        (r["l_returnflag"], r["l_linestatus"], r["gid"]): (r["n"], r["sum_qty"])
+        for r in QUERIES["rollup_lineitem"](spark, da).collect()
+    }
+    # real (NULL, NULL) leaf vs (NULL, subtotal) vs grand total: gid splits
+    assert got_ru[(None, None, 0)] == (1, 40.0)
+    assert got_ru[(None, None, 1)] == (2, 70.0)   # flag-NULL subtotal
+    assert got_ru[(None, None, 3)] == (5, 100.0)  # grand total; NULL qty
+    #   skipped by SUM but counted by count(*)
+    assert got_ru[("A", "F", 0)] == (1, None)     # all-NULL qty group sums NULL
+    assert got_ru[("R", None, 0)] == (1, 20.0)    # real NULL status leaf
+    assert got_ru[("R", None, 1)] == (2, 30.0)    # R subtotal
+
+    got_cu = {
+        (r["o_orderstatus"], r["o_orderpriority"], r["gid"]): r["n"]
+        for r in QUERIES["cube_orders"](spark, da).collect()
+    }
+    assert got_cu[(None, None, 0)] == 1   # real NULL/NULL leaf
+    assert got_cu[(None, None, 1)] == 2   # status-NULL x priority subtotal
+    assert got_cu[(None, None, 2)] == 2   # priority-NULL x status subtotal
+    assert got_cu[(None, None, 3)] == 5   # grand total
+    assert got_cu[("F", "1-URGENT", 0)] == 1 and got_cu[("F", None, 0)] == 1
+
+    # --- numeric_coercion: pd.to_numeric(errors='coerce') semantics ---
+    import math
+
+    got_nc = {
+        r["doc_id"]: (r["lang_as_num"], r["n_chars_num"])
+        for r in QUERIES["numeric_coercion"](spark, da).collect()
+    }
+    assert got_nc[1][0] is None          # 'en'
+    assert got_nc[2][0] is None          # 'abc'
+    assert got_nc[3][0] == 4.2
+    assert math.isnan(got_nc[4][0])      # 'NaN' parses to NaN, not NULL
+    assert got_nc[5][0] == 100000.0      # '1e5'
+    assert got_nc[6][0] == 5.0           # ' 5 ' trims
+    assert math.isinf(got_nc[7][0])      # 'Infinity'
+    assert got_nc[8][0] is None          # '0x10' does NOT hex-parse
+    assert got_nc[9][0] is None          # NULL in, NULL out
+    assert all(got_nc[i][1] == i * 10.0 for i in range(1, 10))
+
+    # --- map_functions (dir B): missing key vs NULL value ---
+    got_mf = {
+        r["user_id"]: (r["n_keys"], r["click_sum"], r["purchase_sum"])
+        for r in QUERIES["map_functions"](spark, db).collect()
+    }
+    assert got_mf[1] == (2, 150.0, 70.0)
+    assert got_mf[2] == (1, None, None)   # no click/purchase keys at all
+    assert got_mf[3] == (1, None, None)   # click key PRESENT with NULL sum —
+    #   indistinguishable from missing through element_at, pinned equal
+
+
+def test_oracles_agree_on_nullsafe_boundary_fixture(spark, tmp_path):
+    """Gate leg of the sixth fixture: six REGISTERED oracles on the same
+    adversarial parquet — including the two oracles this fixture caught
+    diverging (array_functions' NULL-keeping list()/NULL-returning
+    array_to_string, json_extract_props' strict json parse + CAST),
+    fixed r14 to mirror the Spark sides' documented semantics."""
+    import duckdb
+
+    da, db = _nullsafe_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("events", "lineitem", "orders", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{da}/{t}.parquet')"
+        )
+    _gate_compare(
+        spark,
+        con,
+        da,
+        [
+            "array_functions",
+            "json_extract_props",
+            "rollup_lineitem",
+            "cube_orders",
+            "numeric_coercion",
+        ],
+    )
+    con_b = duckdb.connect()
+    con_b.execute("SET TimeZone='UTC'")
+    con_b.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{db}/events.parquet')"
+    )
+    _gate_compare(spark, con_b, db, ["map_functions"])
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
