@@ -794,14 +794,20 @@ def case_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            regexp_replace(text, '[aeiou]', '', 'g') AS devoweled,
-           CASE WHEN regexp_matches(text, 'spark') THEN true ELSE false END AS mentions_spark,
+           regexp_matches(text, 'spark') AS mentions_spark,
            length(text) AS n_chars_computed
     FROM documents
     """,
 )
 def regex_clean_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F16/F17: regex strip + regex contains (clean_dataframe,
-    run_exports_query.py:49-67)."""
+    run_exports_query.py:49-67).
+
+    r14 oracle fix (caught by the seventh boundary fixture): the
+    oracle's old CASE wrapper coerced a NULL text to FALSE while
+    Spark's rlike propagates NULL — invisible on the sf tables (no
+    NULL texts), divergent at the boundary. DuckDB's bare
+    regexp_matches is NULL-propagating, matching rlike exactly."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace("text", "[aeiou]", "").alias("devoweled"),
@@ -1214,23 +1220,24 @@ _register_extension_catalogs()
 # (test_release_fallback_warns_once_per_exception_type) + the full
 # sf0.01 oracle sweep hand-run green this round; its fresh row is
 # pre-assigned an r15 slack slot (the strict one-receipts-round cap:
-# change at r14, fresh row at r15). THREE oracles gained NULL-boundary
-# fixes this round, caught by the r14 fifth/sixth adversarial fixtures
-# (all divergences invisible on the sf tables, which carry no NULL
-# event_type/value rows and only well-formed numeric props):
+# change at r14, fresh row at r15). FOUR oracles gained NULL-boundary
+# fixes this round, caught by the r14 fifth/sixth/seventh adversarial
+# fixtures (all divergences invisible on the sf tables, which carry no
+# NULL event_type/value/text rows and only well-formed numeric props):
 # collect_types_sorted (explicit null-filter + COALESCE('') — DUE this
-# round, fresh row arrives with this window, nothing special needed),
-# and array_functions + json_extract_props (FILTER/COALESCE list
-# semantics; json_valid guard + TRY_CAST) — both r12-latest, so their
-# fresh rows arrive with their own r15 cohort after exactly one
-# receipts round (receipts: the sixth-fixture gate/hand tests + the
-# hand-run sf0.01 checks, all green). json_variant_extract's oracle
-# has the SAME latent CAST-raises pattern but is r13-latest (due r16,
-# and r15's slack is taken): per the displacement rule the change
-# itself WAITS — pre-stated for r15, cohort row r16. r15 = the
-# r12-latest cohort minus corpus_bpe_train_merges (refreshed here) =
-# 49 due + 1 slack (corpus_bpe_tokenize) = 50 exactly — see
-# COVERAGE.md.
+# round, fresh row arrives with this window, nothing special needed);
+# array_functions + json_extract_props (FILTER/COALESCE list
+# semantics; json_valid guard + TRY_CAST) and regex_clean_strings
+# (NULL-coercing CASE wrapper dropped: rlike propagates NULL) — all
+# three r12-latest, so their fresh rows arrive with their own r15
+# cohort after exactly one receipts round (receipts: the fixture
+# gate/hand tests + the hand-run sf0.01 checks, all green).
+# json_variant_extract's oracle has the SAME latent CAST-raises
+# pattern but is r13-latest (due r16, and r15's slack is taken): per
+# the displacement rule the change itself WAITS — pre-stated for r15,
+# cohort row r16. r15 = the r12-latest cohort minus
+# corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
+# (corpus_bpe_tokenize) = 50 exactly — see COVERAGE.md.
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- slack slots: pre-assigned receipt rider + this round's change --

@@ -2603,6 +2603,213 @@ def test_oracles_agree_on_nullsafe_boundary_fixture(spark, tmp_path):
     _gate_compare(spark, con_b, db, ["map_functions"])
 
 
+def _scalar_boundary_fixture(tmp_path):
+    """Seventh adversarial fixture (r14): scalar-function conventions —
+    month arithmetic CLAMPING (Mar 31 − 1 month = Feb 29, Jan 31 → Dec
+    31, Dec 31 23:59:59.999999 → Nov 30 with time preserved), the
+    order-sensitive CASE classifier at its exact thresholds (800/300
+    strictly greater, purchase-with-NULL hits the INNER otherwise,
+    error precedes the NULL branch, 50 exactly is not < 50), regex on
+    empty/NULL/multiline/all-vowel/unicode text with case-sensitive
+    containment, string functions on empty/NULL/undelimited inputs
+    (lpad TRUNCATES past 12, strpos miss → 0, levenshtein vs empty),
+    and the calendar spine's inclusive ends with out-of-range months
+    silently absent. Returns (dir, events, docs, customers, orders)."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    import os
+
+    e_rows = [
+        (1, datetime(2024, 3, 31), 1, "purchase", 801.0),
+        (2, datetime(2024, 1, 31), 1, "purchase", 800.0),
+        (3, datetime(2024, 3, 29, 12, 30, 45), 1, "purchase", 300.0),
+        (4, datetime(2024, 2, 29), 1, "purchase", None),
+        (5, datetime(2023, 12, 31, 23, 59, 59, 999999), 2, "view", None),
+        (6, datetime(2024, 1, 1), 2, "view", 49.999),
+        (7, datetime(2024, 5, 15), 2, "view", 50.0),
+        (8, datetime(2024, 7, 4), 2, "click", 801.0),
+        (9, datetime(2024, 8, 31), 2, "error", None),
+    ]
+    ev = pd.DataFrame(
+        e_rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["props"] = "{}"
+
+    docs = pd.DataFrame(
+        [(1, ""), (2, None), (3, "aeiou"), (4, "a\nspark\nb"),
+         (5, "SPARK IS LOUD"), (6, "sparkly stuff"), (7, "café")],
+        columns=["doc_id", "text"],
+    )
+    cust = pd.DataFrame(
+        [(1, "Customer#000000001", "BUILDING"),
+         (2, "no-delim-name", "AUTOMOBILE"),
+         (3, "", ""),
+         (4, "zzz", "FURNITURE-PLUS-LONG"),
+         (5, "Name#1#2", None)],
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    orders = pd.DataFrame(
+        [(1, datetime(1995, 1, 1), 10.0), (2, datetime(2001, 8, 1), 20.0),
+         (3, datetime(2001, 8, 31), 30.0), (4, datetime(1994, 12, 31), 40.0),
+         (5, datetime(2001, 9, 2), 50.0), (6, datetime(1997, 6, 15), 60.0)],
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+
+    d = str(tmp_path / "scalar_boundary")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    cust.to_parquet(os.path.join(d, "customer.parquet"), index=False)
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    return d, ev, docs, cust, orders
+
+
+def test_scalar_boundary_cases_match_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the seventh fixture."""
+    import calendar
+    from datetime import datetime, timedelta
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d, ev, docs, cust, orders = _scalar_boundary_fixture(tmp_path)
+
+    # --- date_ops: month subtraction with day clamping ---
+    def minus_month(t):
+        y, m = (t.year, t.month - 1) if t.month > 1 else (t.year - 1, 12)
+        return t.replace(year=y, month=m,
+                         day=min(t.day, calendar.monthrange(y, m)[1]))
+
+    got_do = {r["event_id"]: r for r in QUERIES["date_ops"](spark, d).collect()}
+    for i, ts in zip(ev.event_id, ev.ts):
+        t = ts.to_pydatetime()
+        r = got_do[i]
+        assert r["month_start"] == t.replace(day=1, hour=0, minute=0,
+                                             second=0, microsecond=0), i
+        assert r["month_label"] == f"{t.year:04d}-{t.month:02d}", i
+        assert r["one_month_before"] == minus_month(t), i
+        assert (r["y"], r["m"]) == (t.year, t.month), i
+    assert got_do[1]["one_month_before"] == datetime(2024, 2, 29)  # clamp to leap
+    assert got_do[2]["one_month_before"] == datetime(2023, 12, 31)
+    assert got_do[5]["one_month_before"] == datetime(
+        2023, 11, 30, 23, 59, 59, 999999)  # 31 -> 30 clamp, time preserved
+
+    # --- case_classifier: exact thresholds and branch precedence ---
+    got_cc = {
+        r["event_id"]: r["label"]
+        for r in QUERIES["case_classifier"](spark, d).collect()
+    }
+    assert got_cc == {
+        1: "Export Winner Deals",       # 801 > 800
+        2: "Secondary Export Deals",    # 800 is NOT > 800
+        3: "Deals Not Exported",        # 300 is NOT > 300
+        4: "Deals Not Exported",        # purchase+NULL: INNER otherwise,
+        #   never reaches the outer NULL branch
+        5: "Not Available Scenarios",
+        6: "Failed Out of Scope Deals",
+        7: "Unknown",                   # 50 is NOT < 50
+        8: "Unknown",
+        9: "Failed In Scope Deals",     # error precedes the NULL branch
+    }
+
+    # --- regex_clean_strings ---
+    import re
+
+    got_rx = {
+        r["doc_id"]: (r["devoweled"], r["mentions_spark"], r["n_chars_computed"])
+        for r in QUERIES["regex_clean_strings"](spark, d).collect()
+    }
+    for i, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            assert got_rx[i] == (None, None, None), i
+        else:
+            assert got_rx[i] == (re.sub("[aeiou]", "", text),
+                                 re.search("spark", text) is not None,
+                                 len(text)), i
+    assert got_rx[3][0] == ""            # all-vowel text strips to empty
+    assert got_rx[5][1] is False         # case-sensitive: SPARK != spark
+    assert got_rx[7] == ("cfé", False, 4)  # unicode char counts, é untouched
+
+    # --- string_funcs_customer ---
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    got_sf = {r["c_custkey"]: r
+              for r in QUERIES["string_funcs_customer"](spark, d).collect()}
+    for _, row in cust.iterrows():
+        k, name, seg = row.c_custkey, row.c_name, row.c_mktsegment
+        r = got_sf[k]
+        assert r["up"] == name.upper() and r["prefix8"] == name[:8], k
+        assert r["name_len"] == len(name), k
+        assert r["name_dash"] == name.replace("#", "-"), k
+        assert r["pos_one"] == name.find("1") + 1, k
+        assert r["name_stem"] == name.split("#")[0], k
+        if seg is None:
+            assert r["seg_rev"] is None and r["seg_pad"] is None, k
+            assert r["lev_building"] is None, k
+            assert r["seg_name"] == name, k  # concat_ws skips NULLs
+        else:
+            assert r["seg_rev"] == seg[::-1], k
+            pad = "*" * max(0, 12 - len(seg)) + seg
+            assert r["seg_pad"] == pad[:12] if len(seg) > 12 else r["seg_pad"] == pad, k
+            assert r["lev_building"] == lev(seg, "BUILDING"), k
+            assert r["seg_name"] == f"{seg}|{name}", k
+    assert got_sf[4]["seg_pad"] == "FURNITURE-PL"  # lpad TRUNCATES past 12
+    assert got_sf[3]["lev_building"] == 8          # empty vs BUILDING
+    assert got_sf[4]["pos_one"] == 0               # strpos miss is 0, not NULL
+    assert got_sf[2]["name_stem"] == "no-delim-name"  # no delimiter: whole
+
+    # --- calendar_spine_monthly: inclusive ends, out-of-range absent ---
+    got_cs = {
+        r["month"]: (r["n_orders"], r["total"])
+        for r in QUERIES["calendar_spine_monthly"](spark, d).collect()
+    }
+    assert len(got_cs) == 80  # 1995-01 .. 2001-08 inclusive
+    assert got_cs[datetime(1995, 1, 1)] == (1, 10.0)   # first spine month
+    assert got_cs[datetime(2001, 8, 1)] == (2, 50.0)   # last spine month
+    assert got_cs[datetime(1997, 6, 1)] == (1, 60.0)
+    assert datetime(1994, 12, 1) not in got_cs         # out-of-range orders
+    assert datetime(2001, 9, 1) not in got_cs          #   silently absent
+    zero = [v for v in got_cs.values() if v == (0, 0.0)]
+    assert len(zero) == 77  # every other spine month densified to zero
+
+
+def test_oracles_agree_on_scalar_boundary_fixture(spark, tmp_path):
+    """Gate leg of the seventh fixture: five REGISTERED oracles on the
+    same adversarial parquet, hash-compared gate-style."""
+    import duckdb
+
+    d, *_ = _scalar_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("events", "documents", "customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "date_ops",
+            "case_classifier",
+            "regex_clean_strings",
+            "string_funcs_customer",
+            "calendar_spine_monthly",
+        ],
+    )
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
