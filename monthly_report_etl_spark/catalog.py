@@ -1220,23 +1220,27 @@ _register_extension_catalogs()
 # (test_release_fallback_warns_once_per_exception_type) + the full
 # sf0.01 oracle sweep hand-run green this round; its fresh row is
 # pre-assigned an r15 slack slot (the strict one-receipts-round cap:
-# change at r14, fresh row at r15). FOUR oracles gained NULL-boundary
-# fixes this round, caught by the r14 fifth/sixth/seventh adversarial
-# fixtures (all divergences invisible on the sf tables, which carry no
-# NULL event_type/value/text rows and only well-formed numeric props):
-# collect_types_sorted (explicit null-filter + COALESCE('') — DUE this
-# round, fresh row arrives with this window, nothing special needed);
-# array_functions + json_extract_props (FILTER/COALESCE list
-# semantics; json_valid guard + TRY_CAST) and regex_clean_strings
-# (NULL-coercing CASE wrapper dropped: rlike propagates NULL) — all
-# three r12-latest, so their fresh rows arrive with their own r15
-# cohort after exactly one receipts round (receipts: the fixture
-# gate/hand tests + the hand-run sf0.01 checks, all green).
-# json_variant_extract's oracle has the SAME latent CAST-raises
-# pattern but is r13-latest (due r16, and r15's slack is taken): per
-# the displacement rule the change itself WAITS — pre-stated for r15,
-# cohort row r16. r15 = the r12-latest cohort minus
-# corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
+# change at r14, fresh row at r15). SEVEN entries gained NULL-boundary
+# fixes this round, caught by the r14 fifth→eighth adversarial
+# fixtures (every divergence invisible on the sf tables, which carry
+# no NULL event_type/value/text rows and only well-formed numeric
+# props): collect_types_sorted (oracle: null-filter + COALESCE('') —
+# DUE this round, fresh row arrives with this window); and six
+# r12-latest entries whose fresh rows arrive with their own r15 cohort
+# after exactly one receipts round (receipts: the fixture gate/hand
+# tests + hand-run sf0.01 checks, all green) — array_functions
+# (oracle: FILTER/COALESCE list semantics), json_extract_props
+# (oracle: json_valid guard + TRY_CAST), regex_clean_strings (oracle:
+# NULL-coercing CASE wrapper dropped), text_fingerprint (oracle: NULL
+# guard — list_prepend(0, NULL) yields [0]), text_token_stats (SPARK
+# side: F.size → F.array_size; -1 for NULL arrays under non-ANSI
+# legacy semantics), text_quality_score (BOTH sides: least/greatest
+# skip NULLs in both dialects, a NULL doc scored 0.7 — now
+# NULL-propagates). json_variant_extract's oracle has the SAME latent
+# CAST-raises pattern but is r13-latest (due r16, and r15's slack is
+# taken): per the displacement rule the change itself WAITS —
+# pre-stated for r15, cohort row r16. r15 = the r12-latest cohort
+# minus corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
 # (corpus_bpe_tokenize) = 50 exactly — see COVERAGE.md.
 
 _DRIVER_WINDOW_PRIORITY = [

@@ -48,11 +48,19 @@ FROM documents
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish-regex token counts per document."""
+    """Whitespace + BPE-ish-regex token counts per document.
+
+    r14 fix (caught by the eighth boundary fixture — a SPARK-side bug,
+    the first the fixture hunt found): ``F.size`` returns -1 for a NULL
+    array under the non-ANSI legacy sizeOfNull semantics this session
+    runs with, so a NULL document reported ``n_ws_tokens = -1`` beside
+    its own NULL ``n_bpe_tokens``/``n_chars_exact`` (and the oracle's
+    NULL). ``F.array_size`` propagates NULL. Invisible on the sf tables
+    (no NULL texts)."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
-        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.array_size(whitespace_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
         regex_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_exact"),
     )
@@ -126,16 +134,24 @@ WITH parts AS (
 SELECT doc_id, n_chars_exact, n_tokens,
        ROUND(n_punct * 1.0 / greatest(n_chars_exact, 1), 6) AS punct_ratio,
        ROUND(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
-       ROUND(0.4 * least(n_stop * 1.0 / greatest(n_tokens, 1), 1.0)
-           + 0.3 * (1.0 - least(n_punct * 1.0 / greatest(n_chars_exact, 1), 1.0))
-           + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+       CASE WHEN n_chars_exact IS NULL THEN NULL
+            ELSE ROUND(0.4 * least(n_stop * 1.0 / greatest(n_tokens, 1), 1.0)
+                + 0.3 * (1.0 - least(n_punct * 1.0 / greatest(n_chars_exact, 1), 1.0))
+                + 0.3 * least(n_tokens / 100.0, 1.0), 6) END AS quality_score
 FROM parts
 """
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio composite quality score —
-    the standard cheap pre-filter for LLM training corpora."""
+    the standard cheap pre-filter for LLM training corpora.
+
+    r14 fix (caught by the eighth boundary fixture): ``least``/``greatest``
+    SKIP NULLs in BOTH engines, so a NULL document scored a consistent
+    but absurd 0.7 (every unknown ratio silently became its extreme)
+    beside its own NULL ratios. Both sides now NULL-propagate the
+    composite: no text, no score. Invisible on the sf tables (no NULL
+    texts)."""
     d = _docs(spark, sf_dir)
     n_chars = F.length("text").cast("long")
     # Three single-pass regexp_counts over the raw column — no array
@@ -147,10 +163,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.regexp_count("text", F.lit("(?i)" + stopword_regex("en"))).cast("long")
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
-    score = (
+    score = F.when(
+        F.col("text").isNotNull(),
         0.4 * F.least(stop_ratio, F.lit(1.0))
         + 0.3 * (1.0 - F.least(punct_ratio, F.lit(1.0)))
-        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)),
     )
     return d.select(
         "doc_id",
@@ -166,13 +183,19 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document fingerprinting
 # ---------------------------------------------------------------------------
 
+# NULL guard (r14, caught by the eighth boundary fixture): DuckDB's
+# list_prepend(0, NULL) yields [0], so the unguarded reduce returned 0
+# for a NULL text where Spark's aggregate-over-split propagates NULL —
+# invisible on the sf tables (no NULL texts), divergent at the boundary.
 FINGERPRINT_ORACLE = f"""
 SELECT doc_id,
-       list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-                        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-           (a, c) -> (a * 31 + c) % {FINGERPRINT_MOD}
-       ) AS doc_fingerprint
+       CASE WHEN text IS NULL THEN NULL
+            ELSE list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                             list_transform(string_split(text, ''),
+                                            c -> CAST(ascii(c) AS BIGINT))),
+                (a, c) -> (a * 31 + c) % {FINGERPRINT_MOD}
+            ) END AS doc_fingerprint
 FROM documents
 """
 

@@ -2810,6 +2810,161 @@ def test_oracles_agree_on_scalar_boundary_fixture(spark, tmp_path):
     )
 
 
+def _text_boundary_fixture(tmp_path):
+    """Eighth adversarial fixture (r14): the text-family operators on
+    empty / NULL / whitespace-only / punctuation-only / unicode text and
+    language-score ties — none of which the sf documents table contains.
+    Returns (dir, docs)."""
+    import pandas as pd
+
+    import os
+
+    docs = pd.DataFrame(
+        [(1, ""), (2, None), (3, "   "),
+         (4, "The quick fox and the dog is that you"),
+         (5, "der und die das ist nicht mit ein"),
+         (6, "!!!???..."),
+         (7, "café déjà vu"),
+         (8, "a"),
+         (9, "the the the"),
+         (10, "le la les et est dans des une"),
+         (11, "the der")],
+        columns=["doc_id", "text"],
+    )
+    d = str(tmp_path / "text_boundary")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d, docs
+
+
+def test_text_boundary_cases_match_python_reference(spark, tmp_path):
+    """Standalone pure-python references for the four text operators on
+    the eighth fixture — token counts, stopword scores with the fixed
+    tie-priority argmax, the quality composite, and the rolling-hash
+    fingerprint, all recomputed with `re`/arithmetic only."""
+    import re
+
+    from monthly_report_etl_spark.catalog import QUERIES
+    from monthly_report_etl_spark.functions.text import (
+        FINGERPRINT_MOD,
+        LANGUAGE_STOPWORDS,
+        TOKEN_REGEX,
+        stopword_regex,
+    )
+
+    d, docs = _text_boundary_fixture(tmp_path)
+    langs = list(LANGUAGE_STOPWORDS)
+
+    def scores_of(text):
+        return {lang: len(re.findall(stopword_regex(lang), text.lower()))
+                for lang in langs}
+
+    def predict(scores):
+        for i, lang in enumerate(langs[:-1]):
+            if all(scores[lang] >= scores[o] for o in langs[i + 1:]):
+                return lang
+        return langs[-1]
+
+    # --- text_token_stats ---
+    got_ts = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"], r["n_chars_exact"])
+        for r in QUERIES["text_token_stats"](spark, d).collect()
+    }
+    for i, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            assert got_ts[i] == (None, None, None), i
+        else:
+            assert got_ts[i] == (len(text.split()),
+                                 len(re.findall(TOKEN_REGEX, text)),
+                                 len(text)), i
+    assert got_ts[1] == (0, 0, 0)      # empty: zero tokens, not ['']
+    assert got_ts[3] == (0, 0, 3)      # whitespace-only: zero tokens
+    assert got_ts[6] == (1, 9, 9)      # punctuation: 1 ws-token, 9 symbols
+
+    # --- text_language_id ---
+    got_li = {
+        r["doc_id"]: (tuple(r[f"score_{l}"] for l in langs), r["predicted_lang"])
+        for r in QUERIES["text_language_id"](spark, d).collect()
+    }
+    for i, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            # all scores NULL: every >= comparison is NULL, every branch
+            # falls through, the CASE lands on the final language
+            assert got_li[i] == ((None,) * 4, langs[-1]), i
+        else:
+            sc = scores_of(text)
+            assert got_li[i] == (tuple(sc[l] for l in langs), predict(sc)), i
+    assert got_li[6][1] == langs[0]    # all-zero tie: first language wins
+    assert got_li[11][1] == "en"       # en/de tie: priority order, not luck
+    assert got_li[5][1] == "de" and got_li[10][1] == "fr"
+
+    # --- text_quality_score ---
+    got_qs = {
+        r["doc_id"]: (r["n_chars_exact"], r["n_tokens"], r["punct_ratio"],
+                      r["stopword_ratio"], r["quality_score"])
+        for r in QUERIES["text_quality_score"](spark, d).collect()
+    }
+    for i, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            assert got_qs[i] == (None,) * 5, i
+            continue
+        n_chars, n_tok = len(text), len(text.split())
+        n_punct = len(re.findall(r"[^A-Za-z0-9\s]", text))
+        n_stop = len(re.findall(stopword_regex("en"), text.lower()))
+        pr = n_punct / max(n_chars, 1)
+        sr = n_stop / max(n_tok, 1)
+        q = 0.4 * min(sr, 1.0) + 0.3 * (1.0 - min(pr, 1.0)) + 0.3 * min(n_tok / 100.0, 1.0)
+        g = got_qs[i]
+        assert (g[0], g[1]) == (n_chars, n_tok), i
+        for got, want in zip(g[2:], (pr, sr, q)):
+            assert abs(got - want) <= 5e-7 + 1e-9, (i, got, want)
+    assert got_qs[1][2] == 0.0         # empty text: greatest(,1) guards 0/0
+    assert got_qs[6][2] == 1.0         # all-punctuation: ratio exactly 1
+    assert got_qs[9][3] == 1.0         # every token a stopword
+
+    # --- text_fingerprint ---
+    got_fp = {
+        r["doc_id"]: r["doc_fingerprint"]
+        for r in QUERIES["text_fingerprint"](spark, d).collect()
+    }
+    for i, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            assert got_fp[i] is None, i  # NULL propagates, never hashes to 0
+        else:
+            h = 0
+            for ch in text:
+                h = (h * 31 + ord(ch)) % FINGERPRINT_MOD
+            assert got_fp[i] == h, (i, got_fp[i], h)
+    assert got_fp[1] == 0              # empty text IS fingerprint 0
+    assert got_fp[2] is None           # ...but NULL text is NOT
+
+
+def test_oracles_agree_on_text_boundary_fixture(spark, tmp_path):
+    """Gate leg of the eighth fixture: the four REGISTERED text oracles
+    on the same adversarial parquet — including text_fingerprint's,
+    which this fixture caught returning 0 for NULL text (DuckDB's
+    list_prepend(0, NULL) yields [0]) where Spark propagates NULL."""
+    import duckdb
+
+    d, _ = _text_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "text_token_stats",
+            "text_language_id",
+            "text_quality_score",
+            "text_fingerprint",
+        ],
+    )
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
