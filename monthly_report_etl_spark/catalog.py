@@ -1220,12 +1220,12 @@ _register_extension_catalogs()
 # (test_release_fallback_warns_once_per_exception_type) + the full
 # sf0.01 oracle sweep hand-run green this round; its fresh row is
 # pre-assigned an r15 slack slot (the strict one-receipts-round cap:
-# change at r14, fresh row at r15). SEVEN entries gained NULL-boundary
-# fixes this round, caught by the r14 fifth→eighth adversarial
+# change at r14, fresh row at r15). EIGHT entries gained NULL-boundary
+# fixes this round, caught by the r14 fifth→ninth adversarial
 # fixtures (every divergence invisible on the sf tables, which carry
 # no NULL event_type/value/text rows and only well-formed numeric
 # props): collect_types_sorted (oracle: null-filter + COALESCE('') —
-# DUE this round, fresh row arrives with this window); and six
+# DUE this round, fresh row arrives with this window); and seven
 # r12-latest entries whose fresh rows arrive with their own r15 cohort
 # after exactly one receipts round (receipts: the fixture gate/hand
 # tests + hand-run sf0.01 checks, all green) — array_functions
@@ -1236,11 +1236,14 @@ _register_extension_catalogs()
 # side: F.size → F.array_size; -1 for NULL arrays under non-ANSI
 # legacy semantics), text_quality_score (BOTH sides: least/greatest
 # skip NULLs in both dialects, a NULL doc scored 0.7 — now
-# NULL-propagates). json_variant_extract's oracle has the SAME latent
-# CAST-raises pattern but is r13-latest (due r16, and r15's slack is
-# taken): per the displacement rule the change itself WAITS —
-# pre-stated for r15, cohort row r16. r15 = the r12-latest cohort
-# minus corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
+# NULL-propagates), corpus_sample_hash_mod (oracle: the same
+# list_prepend pattern SAMPLED a NULL doc as fingerprint 0 — now
+# NULL-excluded, while an EMPTY doc legitimately stays sampled).
+# json_variant_extract's oracle has the SAME latent CAST-raises
+# pattern but is r13-latest (due r16, and r15's slack is taken): per
+# the displacement rule the change itself WAITS — pre-stated for r15,
+# cohort row r16. r15 = the r12-latest cohort minus
+# corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
 # (corpus_bpe_tokenize) = 50 exactly — see COVERAGE.md.
 
 _DRIVER_WINDOW_PRIORITY = [

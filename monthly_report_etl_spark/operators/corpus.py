@@ -48,6 +48,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Content-keyed (not doc_id-keyed) so re-ingested copies of a document land
 # in the same sample — the property training-data pipelines rely on.
+# NULL-text guard (r14, caught by the ninth boundary fixture): DuckDB's
+# list_prepend(0, NULL) yields [0], so the unguarded reduce fingerprinted
+# a NULL document as 0 and SAMPLED it (0 % MOD = 0) where Spark's
+# aggregate-over-split propagates NULL and the filter drops the row.
+# An EMPTY document legitimately fingerprints to 0 and is sampled by
+# both engines — the guard preserves exactly that distinction.
 SAMPLE_HASH_MOD_ORACLE = f"""
 WITH fp AS (
     SELECT doc_id,
@@ -58,6 +64,7 @@ WITH fp AS (
                (a, c) -> (a * 31 + c) % 1000000000007
            ) AS doc_fingerprint
     FROM documents
+    WHERE text IS NOT NULL
 )
 SELECT doc_id, doc_fingerprint
 FROM fp WHERE doc_fingerprint % {SAMPLE_MOD} = 0

@@ -2965,6 +2965,213 @@ def test_oracles_agree_on_text_boundary_fixture(spark, tmp_path):
     )
 
 
+def _corpus_boundary_fixture(tmp_path):
+    """Ninth adversarial fixture (r14): the due-r15 corpus operators on
+    empty / NULL / whitespace-only documents, exact chunk-size
+    boundaries (32 and 33 tokens against CHUNK_TOKENS=32), single-token
+    and single-char words (no bigrams / no BPE pairs), a NULL language
+    stratum, and PII patterns — none of which the sf documents table
+    contains. Returns (dir, docs)."""
+    import pandas as pd
+
+    import os
+
+    doc32 = " ".join(f"t{i:02d}" for i in range(32))
+    doc33 = " ".join(f"u{i:02d}" for i in range(33))
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, None, "en", "web", 0),
+        (3, "   ", "de", "web", 3),
+        (4, "alpha beta gamma alpha beta", "en", "books", 27),
+        (5, "one", "fr", "web", 3),
+        (6, doc32, "en", "web", len(doc32)),
+        (7, doc33, "en", "web", len(doc33)),
+        (8, "hello world", None, "web", 11),
+        (9, "x", "de", None, 1),
+        (10, "ab AB aB", "fr", "web", 8),
+        (11, "mail a@b.co or visit https://x.io room 42", "en", "web", 42),
+    ]
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    docs["n_chars"] = docs["n_chars"].astype("int64")
+    d = str(tmp_path / "corpus_boundary")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d, docs
+
+
+def test_corpus_boundary_cases_match_python_reference(spark, tmp_path):
+    """Standalone pure-python references for the corpus operators on the
+    ninth fixture."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from monthly_report_etl_spark.catalog import QUERIES
+    from monthly_report_etl_spark.operators.corpus import (
+        CHUNK_TOKENS,
+        SAMPLE_MOD,
+        STRATIFIED_FRACTION,
+        TFIDF_TOP_K,
+    )
+
+    d, docs = _corpus_boundary_fixture(tmp_path)
+    M = 1_000_000_000_007
+
+    def fp(text):
+        h = 0
+        for ch in text:
+            h = (h * 31 + ord(ch)) % M
+        return h
+
+    texts = dict(zip(docs.doc_id, docs.text))
+    nonempty = {i: t for i, t in texts.items() if t is not None and t.split()}
+
+    # --- corpus_sample_hash_mod: empty doc sampled (fp 0), NULL dropped ---
+    got_sh = {
+        r["doc_id"]: r["doc_fingerprint"]
+        for r in QUERIES["corpus_sample_hash_mod"](spark, d).collect()
+    }
+    want_sh = {i: fp(t) for i, t in texts.items()
+               if t is not None and fp(t) % SAMPLE_MOD == 0}
+    assert got_sh == want_sh
+    assert got_sh.get(1) == 0     # the EMPTY doc fingerprints to 0: sampled
+    assert 2 not in got_sh        # the NULL doc is NOT (no content, no hash)
+
+    # --- corpus_tfidf_top_terms: n_docs counts ALL rows, even empty ---
+    got_tf = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"], r["rn"])
+        for r in QUERIES["corpus_tfidf_top_terms"](spark, d).collect()
+    }
+    n_docs = len(docs)
+    dfreq = Counter()
+    tfs = {}
+    for i, t in nonempty.items():
+        c = Counter(t.split())
+        tfs[i] = c
+        dfreq.update(c.keys())
+    want_tf = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            ((round(tf * math.log((n_docs + 1.0) / (dfreq[term] + 1.0)), 6), term, tf)
+             for term, tf in c.items()),
+            key=lambda s: (-s[0], s[1]),
+        )
+        for rn, (score, term, tf) in enumerate(scored[:TFIDF_TOP_K], 1):
+            want_tf[(i, term)] = (tf, score, rn)
+    assert set(got_tf) == set(want_tf)
+    for k, (tf, score, rn) in want_tf.items():
+        g = got_tf[k]
+        assert g[0] == tf and g[2] == rn, k
+        assert abs(g[1] - score) <= 5e-7 + 1e-9 * abs(score), (k, g[1], score)
+
+    # --- corpus_bigram_top: repeats counted, single-token docs silent ---
+    got_bg = {
+        r["bigram"]: r["n"] for r in QUERIES["corpus_bigram_top"](spark, d).collect()
+    }
+    bg = Counter()
+    for t in nonempty.values():
+        toks = t.split()
+        bg.update(" ".join(p) for p in zip(toks, toks[1:]))
+    want_top = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got_bg == dict(want_top)
+    assert got_bg["alpha beta"] == 2      # repeated bigram counted twice
+    assert not any(b.startswith("one") for b in got_bg)  # single-token doc
+
+    # --- corpus_chunk_documents: exact 32/33-token boundaries ---
+    got_ch = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in QUERIES["corpus_chunk_documents"](spark, d).collect()
+    }
+    want_ch = {}
+    for i, t in nonempty.items():
+        if i >= 50:
+            continue
+        toks = t.split()
+        for c in range(0, len(toks), CHUNK_TOKENS):
+            w = toks[c:c + CHUNK_TOKENS]
+            want_ch[(i, c // CHUNK_TOKENS)] = (" ".join(w), len(w))
+    assert got_ch == want_ch
+    assert (6, 1) not in got_ch           # exactly 32 tokens: ONE chunk
+    assert got_ch[(7, 1)][1] == 1         # 33 tokens: second chunk of 1
+
+    # --- corpus_bpe_pair_counts: single-char words contribute nothing ---
+    got_bp = {
+        r["pair"]: r["pair_count"]
+        for r in QUERIES["corpus_bpe_pair_counts"](spark, d).collect()
+    }
+    wf = Counter()
+    for t in nonempty.values():
+        wf.update(w for w in t.split() if w)
+    pc = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pc[w[i:i + 2]] += f
+    want_bp = dict(sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
+    assert got_bp == want_bp
+    assert "x " not in got_bp and "x" not in got_bp  # 1-char word: no pairs
+    assert pc["ab"] == 1 and pc["aB"] == 1  # case-distinct pairs in the full
+    #   counter (the 32/33-token docs' pairs dominate the top-20 cut)
+
+    # --- corpus_stratified_sample: NULL lang is its own stratum ---
+    got_st = {
+        r["doc_id"]: r["lang"]
+        for r in QUERIES["corpus_stratified_sample"](spark, d).collect()
+    }
+    want_st = {}
+    strata = {}
+    for i, lang in zip(docs.doc_id, docs.lang):
+        strata.setdefault(None if lang is None or lang != lang else lang, []).append(i)
+    for lang, ids in strata.items():
+        keep = math.ceil(STRATIFIED_FRACTION * len(ids))
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for i in ranked[:keep]:
+            want_st[i] = lang
+    assert got_st == want_st
+    assert 8 in got_st and got_st[8] is None  # the NULL stratum keeps its ceil
+
+    # --- corpus_pii_flags: NULL text propagates, patterns hit ---
+    got_pii = {
+        r["doc_id"]: (r["has_email"], r["has_url"], r["n_numbers"], r["redacted"])
+        for r in QUERIES["corpus_pii_flags"](spark, d).collect()
+    }
+    assert got_pii[2] == (None, None, None, None)
+    assert got_pii[11][0] is True and got_pii[11][1] is True
+    assert got_pii[11][2] == 1 and "<EMAIL>" in got_pii[11][3]
+    assert got_pii[1] == (False, False, 0, "")
+
+
+def test_oracles_agree_on_corpus_boundary_fixture(spark, tmp_path):
+    """Gate leg of the ninth fixture: seven REGISTERED corpus oracles on
+    the same adversarial parquet — including corpus_sample_hash_mod's,
+    which this fixture caught SAMPLING a NULL document (DuckDB's
+    list_prepend(0, NULL) fingerprinted it as 0) where Spark drops it."""
+    import duckdb
+
+    d, _ = _corpus_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "corpus_sample_hash_mod",
+            "corpus_tfidf_top_terms",
+            "corpus_bigram_top",
+            "corpus_chunk_documents",
+            "corpus_bpe_pair_counts",
+            "corpus_stratified_sample",
+            "corpus_pii_flags",
+        ],
+    )
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
