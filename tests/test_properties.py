@@ -3172,6 +3172,117 @@ def test_oracles_agree_on_corpus_boundary_fixture(spark, tmp_path):
     )
 
 
+def _dedup_boundary_fixture(tmp_path):
+    """Tenth adversarial fixture (r14): the dedup family on NULL / empty
+    / whitespace-only / sub-shingle documents and EXACT-threshold
+    near-dup pairs — real crawls contain all of these, the sf documents
+    table contains none. Two NULL docs and two empty docs form exact-dup
+    groups (NULL keys group together in GROUP BY; '' is a real value
+    distinct from NULL); docs 5/6 are identical 3-token texts (one
+    shingle, Jaccard 1.0); doc 7 shares that shingle at Jaccard exactly
+    0.5 (the INCLUSIVE threshold edge); docs 1-4,8-10 must all be
+    singleton components that survive canonical selection. Returns
+    (dir, docs)."""
+    import pandas as pd
+
+    import os
+
+    rows = [
+        (1, None), (2, ""), (3, "   "), (4, "a b"),
+        (5, "a b c"), (6, "a b c"), (7, "a b c d"),
+        (8, "x y z w v"), (9, None), (10, ""),
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs["lang"] = "en"
+    docs["source"] = "web"
+    docs["n_chars"] = docs["text"].str.len().fillna(0).astype("int64")
+    d = str(tmp_path / "dedup_boundary")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d, docs
+
+
+def test_dedup_boundary_cases_match_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the tenth fixture."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d, docs = _dedup_boundary_fixture(tmp_path)
+
+    # --- dedup_exact: NULLs group together; '' is NOT NULL ---
+    got_de = {
+        r["keep_doc_id"]: r["n_copies"]
+        for r in QUERIES["dedup_exact"](spark, d).collect()
+    }
+    assert got_de == {1: 2, 2: 2, 3: 1, 4: 1, 5: 2, 7: 1, 8: 1}
+    # {1,9} NULL group, {2,10} empty group, {5,6} identical text
+
+    # --- dedup_ngram_jaccard / dedup_prefix_jaccard: inclusive 0.5 ---
+    for entry in ("dedup_ngram_jaccard", "dedup_prefix_jaccard"):
+        got_pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in QUERIES[entry](spark, d).collect()
+        }
+        assert got_pairs == {(5, 6): 1.0, (5, 7): 0.5, (6, 7): 0.5}, entry
+        # sub-3-token docs (1,2,3,4,9,10) emit NO shingles and NO pairs;
+        # J = exactly 0.5 is KEPT (>= threshold, not >)
+
+    # --- connected components: {5,6,7} one cluster, everyone else alone ---
+    for entry in ("dedup_connected_components", "dedup_cc_star"):
+        got_cc = {
+            r["doc_id"]: r["component"]
+            for r in QUERIES[entry](spark, d).collect()
+        }
+        in_cluster = {k: v for k, v in got_cc.items() if k in (5, 6, 7)}
+        assert in_cluster == {5: 5, 6: 5, 7: 5}, entry
+
+    # --- canonical selection: the 4-token doc wins its cluster;
+    #     every NULL/empty/short singleton survives ---
+    got_ks = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in QUERIES["dedup_canonical_selection"](spark, d).collect()
+    }
+    assert got_ks[7] == (5, True)    # highest quality in the cluster
+    assert got_ks[5] == (5, False) and got_ks[6] == (5, False)
+    for i in (1, 2, 3, 4, 8, 9, 10):
+        assert got_ks[i] == (i, True), i  # singletons keep themselves
+
+    # --- the sketch paths must still report the identical pair ---
+    mh = {(r["doc_a"], r["doc_b"]) for r in QUERIES["dedup_minhash_lsh"](spark, d).collect()}
+    assert (5, 6) in mh  # identical docs collide in EVERY band
+    sh = QUERIES["dedup_simhash"](spark, d).collect()
+    sh_pairs = {(r["doc_a"], r["doc_b"]) for r in sh}
+    assert (5, 6) in sh_pairs  # hamming distance 0
+
+
+def test_oracles_agree_on_dedup_boundary_fixture(spark, tmp_path):
+    """Gate leg of the tenth fixture: seven REGISTERED dedup oracles
+    (including the full portable MinHash/SimHash recompute chains) on
+    the same adversarial parquet, hash-compared gate-style."""
+    import duckdb
+
+    d, _ = _dedup_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "dedup_exact",
+            "dedup_ngram_jaccard",
+            "dedup_prefix_jaccard",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "dedup_connected_components",
+            "dedup_cc_star",
+            "dedup_canonical_selection",
+        ],
+    )
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
