@@ -1239,12 +1239,23 @@ _register_extension_catalogs()
 # NULL-propagates), corpus_sample_hash_mod (oracle: the same
 # list_prepend pattern SAMPLED a NULL doc as fingerprint 0 — now
 # NULL-excluded, while an EMPTY doc legitimately stays sampled).
-# json_variant_extract's oracle has the SAME latent CAST-raises
-# pattern but is r13-latest (due r16, and r15's slack is taken): per
-# the displacement rule the change itself WAITS — pre-stated for r15,
-# cohort row r16. r15 = the r12-latest cohort minus
-# corpus_bpe_train_merges (refreshed here) = 49 due + 1 slack
-# (corpus_bpe_tokenize) = 50 exactly — see COVERAGE.md.
+# Additionally FOUR entries DUE THIS ROUND gained the same class of
+# fix with zero scheduling friction (their fresh rows arrive with this
+# very window): corpus_pack_sequences + corpus_pack_sequences_ranged +
+# corpus_mix_weights (SPARK side: F.size → F.array_size — size()'s -1
+# for a NULL text SUBTRACTED a token from every later running total /
+# source total, a silent wrong answer at the boundary) and
+# corpus_length_trim (array_size + NULLS FIRST pinned explicitly on
+# BOTH sides — Spark's asc default is NULLS FIRST, DuckDB's is NULLS
+# LAST, so a NULL-token doc shifted every percent_rank differently per
+# engine). Two latent twins of those patterns WAIT per the
+# displacement rule, pre-stated for r15 (cohort rows r16):
+# json_variant_extract's oracle (the CAST-raises pattern) and
+# text_c4_filter's Spark side (the same F.size wart feeding its token
+# bounds; both entries r13-latest, and r15's slack is taken). r15 =
+# the r12-latest cohort minus corpus_bpe_train_merges (refreshed here)
+# = 49 due + 1 slack (corpus_bpe_tokenize) = 50 exactly — see
+# COVERAGE.md.
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- slack slots: pre-assigned receipt rider + this round's change --

@@ -330,8 +330,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     form here is the oracle-exact semantics those variants approximate.
     """
     d = _docs(spark, sf_dir)
+    # array_size, not size (r14, eleventh boundary fixture): size() is -1
+    # for a NULL array under non-ANSI legacy semantics, so a NULL document
+    # SUBTRACTED one token from every later running total — a silent
+    # wrong-answer at the boundary (sf tables have no NULL texts).
+    # array_size propagates NULL, which SUM then skips: a NULL doc
+    # consumes zero window budget, matching the oracle's CASE → NULL.
     t = d.select(
-        "doc_id", F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens")
+        "doc_id",
+        F.array_size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     runs = t.withColumn("running_tokens", F.sum("n_tokens").over(w))
@@ -390,7 +397,8 @@ def pack_sequences_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         F.floor(F.col("doc_id") / PACK_RANGE_DOCS).cast("long").alias("range_id"),
-        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        # array_size: NULL text consumes zero budget (see pack_sequences)
+        F.array_size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("range_id")
@@ -1204,7 +1212,8 @@ WITH t AS (
 ),
 ranked AS (
     SELECT doc_id, source, n_tokens,
-           PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+           PERCENT_RANK() OVER (PARTITION BY source
+                                ORDER BY n_tokens NULLS FIRST, doc_id)
                AS pr
     FROM t
 )
@@ -1224,9 +1233,17 @@ def length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         "source",
-        F.size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        # array_size (r14): size() returned -1 for NULL text, silently
+        # ranking a NULL doc below genuine zero-token docs
+        F.array_size(whitespace_tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    # NULLS FIRST pinned EXPLICITLY on both sides (r14): Spark's asc
+    # default is NULLS FIRST but DuckDB's is NULLS LAST — a NULL-token
+    # doc would shift every percent_rank in its source differently per
+    # engine. Convention: a NULL doc counts as shortest.
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").asc_nulls_first(), "doc_id"
+    )
     pr = F.percent_rank().over(w)
     return t.select(
         "doc_id",
@@ -1265,7 +1282,10 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     per = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(whitespace_tokens(F.col("text"))).cast("long")).alias(
+        # array_size (r14): size() is -1 for NULL text, so every NULL doc
+        # SUBTRACTED a token from its source's total — a silent
+        # wrong-answer at the boundary; array_size → NULL → SUM skips
+        F.sum(F.array_size(whitespace_tokens(F.col("text"))).cast("long")).alias(
             "n_tokens"
         ),
     )

@@ -3283,6 +3283,165 @@ def test_oracles_agree_on_dedup_boundary_fixture(spark, tmp_path):
     )
 
 
+def _packing_boundary_fixture(tmp_path):
+    """Eleventh adversarial fixture (r14): context-window packing at the
+    EXACT window boundary (a doc ending precisely at PACK_TARGET_TOKENS
+    stays in its bin; the next token opens a new one), a document LONGER
+    than the window, NULL documents inside the running sum (which
+    previously subtracted one token each via size()'s -1), the ranged
+    variant's range reset, per-source length trimming with a NULL-token
+    doc (NULLS FIRST pinned both sides) and inclusive 0.05/0.95
+    percent_rank edges, and sqrt-mix weights over an all-NULL source
+    (NULL weight) and a zero-token source (weight 0). Returns
+    (dir, docs)."""
+    import pandas as pd
+
+    import os
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        (1, words(500, "a"), "a"),
+        (2, words(12, "b"), "a"),    # running hits EXACTLY 512
+        (3, "c0", "a"),              # the 513th token opens bin 1
+        (4, None, "a"),              # NULL doc: consumes ZERO budget
+        (5, words(600, "d"), "a"),   # longer than the whole window
+        (6, "", "a"),                # empty: zero tokens
+        (300, words(10, "e"), "a"),  # ranged variant: doc_id DIV 128 = 2
+    ]
+    rows += [(200 + i, words(i + 1, "t"), "t") for i in range(20)]  # 1..20
+    rows += [(220, None, "t"),       # NULL-token doc in the trim source
+             (230, "", "y"),         # zero-token source: weight 0
+             (231, None, "z")]       # all-NULL source: weight NULL
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().fillna(0).astype("int64")
+    d = str(tmp_path / "packing_boundary")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d, docs
+
+
+def test_packing_boundary_cases_match_python_reference(spark, tmp_path):
+    """Hand-derivation leg of the eleventh fixture."""
+    import math
+
+    from monthly_report_etl_spark.catalog import QUERIES
+    from monthly_report_etl_spark.operators.corpus import (
+        PACK_RANGE_DOCS,
+        PACK_TARGET_TOKENS,
+        TRIM_HI,
+        TRIM_LO,
+    )
+
+    d, docs = _packing_boundary_fixture(tmp_path)
+    toks = {
+        i: (len(t.split()) if t is not None else None)
+        for i, t in zip(docs.doc_id, docs.text)
+    }
+
+    # --- corpus_pack_sequences: global greedy packing ---
+    got_pk = {
+        r["doc_id"]: (r["n_tokens"], r["running_tokens"], r["bin_id"])
+        for r in QUERIES["corpus_pack_sequences"](spark, d).collect()
+    }
+    run = 0
+    for i in sorted(toks):
+        if toks[i] is not None:
+            run += toks[i]
+        want = (toks[i], run, (run - 1) // PACK_TARGET_TOKENS)
+        assert got_pk[i] == want, (i, got_pk[i], want)
+    assert got_pk[2] == (12, 512, 0)   # exact fill stays in bin 0
+    assert got_pk[3] == (1, 513, 1)    # the 513th token opens bin 1
+    assert got_pk[4] == (None, 513, 1)  # NULL doc: running UNCHANGED (the
+    #   old size()=-1 bug pulled it back to 512 and bin 0)
+    assert got_pk[5][2] == 2           # the 600-token doc spills to bin 2
+
+    # --- corpus_pack_sequences_ranged: per-range reset ---
+    got_pr = {
+        r["doc_id"]: (r["range_id"], r["n_tokens"], r["running_tokens"], r["bin_id"])
+        for r in QUERIES["corpus_pack_sequences_ranged"](spark, d).collect()
+    }
+    runs: dict = {}
+    for i in sorted(toks):
+        rid = i // PACK_RANGE_DOCS
+        runs[rid] = runs.get(rid, 0) + (toks[i] or 0)
+        want = (rid, toks[i], runs[rid], (runs[rid] - 1) // PACK_TARGET_TOKENS)
+        assert got_pr[i] == want, (i, got_pr[i], want)
+    assert got_pr[300] == (2, 10, 10, 0)  # fresh range: running resets
+
+    # --- corpus_length_trim: NULLS FIRST + inclusive rank edges ---
+    got_tr = {
+        r["doc_id"]: (r["n_tokens"], r["keep"])
+        for r in QUERIES["corpus_length_trim"](spark, d).collect()
+    }
+    srcs = dict(zip(docs.doc_id, docs.source))
+    for src in set(srcs.values()):
+        ids = [i for i in toks if srcs[i] == src]
+        ordered = sorted(ids, key=lambda i: (toks[i] is not None, toks[i] or 0, i))
+        n = len(ordered)
+        for k, i in enumerate(ordered):
+            pr = k / (n - 1) if n > 1 else 0.0
+            want_keep = TRIM_LO <= pr <= TRIM_HI
+            assert got_tr[i] == (toks[i], want_keep), (src, i, got_tr[i])
+    assert got_tr[220] == (None, False)  # NULL doc ranks FIRST, pr 0: trimmed
+    assert got_tr[200] == (1, True)      # k=1 of 21: pr exactly 0.05, KEPT
+    assert got_tr[218] == (19, True)     # k=19: pr exactly 0.95, KEPT
+    assert got_tr[219] == (20, False)    # the longest: pr 1.0, trimmed
+    assert got_tr[230] == (0, False)     # single-doc source: percent_rank
+    #   is exactly 0, which FAILS the 0.05 lower bound in both engines —
+    #   a one-doc source is entirely trimmed (a real convention callers
+    #   of length_trim must know)
+
+    # --- corpus_mix_weights: NULL source, zero source ---
+    got_mw = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["mix_weight"])
+        for r in QUERIES["corpus_mix_weights"](spark, d).collect()
+    }
+    per = {}
+    for i, t in toks.items():
+        nd, nt = per.get(srcs[i], (0, None))
+        per[srcs[i]] = (nd + 1, nt if t is None else (nt or 0) + t)
+    z = sum(math.sqrt(nt) for _, nt in per.values() if nt is not None)
+    for src, (nd, nt) in per.items():
+        g = got_mw[src]
+        assert g[0] == nd and g[1] == nt, (src, g)
+        if nt is None:
+            assert g[2] is None, src
+        else:
+            assert abs(g[2] - round(math.sqrt(nt) / z, 6)) <= 5e-7 + 1e-9, src
+    assert got_mw["z"] == (1, None, None)  # all-NULL source: no weight (the
+    #   old -1 made n_tokens NEGATIVE and sqrt raised/NaN'd downstream)
+    assert got_mw["y"][1] == 0 and got_mw["y"][2] == 0.0  # zero-token source
+
+
+def test_oracles_agree_on_packing_boundary_fixture(spark, tmp_path):
+    """Gate leg of the eleventh fixture: four REGISTERED oracles on the
+    same adversarial parquet — pinning the r14 fixes (array_size for the
+    size()=-1 running-sum corruption; NULLS FIRST in the trim window,
+    where Spark and DuckDB DEFAULT DIFFERENTLY)."""
+    import duckdb
+
+    d, _ = _packing_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "corpus_pack_sequences",
+            "corpus_pack_sequences_ranged",
+            "corpus_length_trim",
+            "corpus_mix_weights",
+        ],
+    )
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
