@@ -1239,16 +1239,18 @@ _register_extension_catalogs()
 # NULL-propagates), corpus_sample_hash_mod (oracle: the same
 # list_prepend pattern SAMPLED a NULL doc as fingerprint 0 — now
 # NULL-excluded, while an EMPTY doc legitimately stays sampled).
-# Additionally FOUR entries DUE THIS ROUND gained the same class of
+# Additionally FIVE entries DUE THIS ROUND gained the same class of
 # fix with zero scheduling friction (their fresh rows arrive with this
 # very window): corpus_pack_sequences + corpus_pack_sequences_ranged +
 # corpus_mix_weights (SPARK side: F.size → F.array_size — size()'s -1
 # for a NULL text SUBTRACTED a token from every later running total /
-# source total, a silent wrong answer at the boundary) and
+# source total, a silent wrong answer at the boundary),
 # corpus_length_trim (array_size + NULLS FIRST pinned explicitly on
 # BOTH sides — Spark's asc default is NULLS FIRST, DuckDB's is NULLS
 # LAST, so a NULL-token doc shifted every percent_rank differently per
-# engine). Two latent twins of those patterns WAIT per the
+# engine), and dedup_duplicate_spans (BOTH sides: Spark array_size for
+# the NULL doc; oracle empty-guard — bare string_split_regex('')
+# yields [''] and reported one token for an empty doc). Two latent twins of those patterns WAIT per the
 # displacement rule, pre-stated for r15 (cohort rows r16):
 # json_variant_extract's oracle (the CAST-raises pattern) and
 # text_c4_filter's Spark side (the same F.size wart feeding its token

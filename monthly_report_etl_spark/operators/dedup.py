@@ -1303,9 +1303,18 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_N = 8  # span length in whitespace tokens
 DUP_SPAN_FLAG_FRAC = 0.2  # flag docs whose duplicated-token share >= this
 
+# The toks CTE guards the empty case (r14, twelfth boundary fixture):
+# bare string_split_regex(trim(''), '\\s+') yields [''] — len 1 — so an
+# EMPTY document reported n_tokens 1 in the final projection where the
+# Spark side's whitespace_tokens reports 0 (a NULL document reports NULL
+# both sides after the array_size fix below). Invisible on the sf
+# tables; the len >= N filters elsewhere made the artifact harmless.
 DUPLICATE_SPANS_ORACLE = f"""
 WITH toks AS (
-    SELECT doc_id, {TOKS_SQL} AS t FROM documents
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE {TOKS_SQL} END AS t
+    FROM documents
 ),
 g2 AS (
     SELECT doc_id, s,
@@ -1431,7 +1440,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("new_cov").alias("dup_tokens"))
     )
-    meta = d.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    # array_size, not size (r14): size() is -1 for the NULL array a NULL
+    # document tokenizes to — the exposed n_tokens must be NULL, matching
+    # the oracle (the grams filter above is unaffected either way)
+    meta = d.select("doc_id", F.array_size("t").cast("long").alias("n_tokens"))
     dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
     dup_frac = F.round(dup_tokens / F.col("n_tokens"), 6)
     return meta.join(per_doc, "doc_id", "left").select(

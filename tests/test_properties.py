@@ -3442,6 +3442,185 @@ def test_oracles_agree_on_packing_boundary_fixture(spark, tmp_path):
     )
 
 
+def _ingest_spans_boundary_fixture(tmp_path):
+    """Twelfth adversarial fixture (r14): the ingest/novelty/
+    decontamination/duplicate-spans pipelines on NULL and empty
+    documents and their exact thresholds — NULL texts never match in
+    the ingest anti-join (both engines treat NULL keys as never-equal,
+    so NULL docs are always 'fresh'), an empty incoming doc IS dropped
+    against an empty corpus doc, contamination exactly 0.5 is flagged
+    (inclusive), a copied document has novelty exactly 0, an
+    exactly-8-token doc emits one 8-gram, and a duplicated-share of
+    exactly DUP_SPAN_FLAG_FRAC is flagged. Returns (dir, docs)."""
+    import pandas as pd
+
+    import os
+
+    doc30 = "e1 e2 e3 x1 x2"
+    span8 = "d1 d2 d3 d4 d5 d6 d7 d8"
+    rows = [
+        # eval region (doc_id < 25)
+        (1, "e1 e2 e3 e4", "src01"),
+        (2, None, "src01"),
+        (3, "", "src01"),
+        (4, "one two", "src01"),
+        # existing corpus
+        (30, doc30, "src01"),
+        (31, "e1 e2 e3 e4 z1", "src01"),
+        (32, "e1 e2 e3 q9", "src01"),   # contamination exactly 1/2
+        (33, doc30, "src01"),           # exact copy: novelty 0
+        (34, "", "src01"),              # empty existing doc
+        (50, span8, "src01"),           # exactly 8 tokens: ONE gram
+        (51, f"p0 {span8} p1", "src01"),
+        (52, span8 + " " + " ".join(f"f{i}" for i in range(32)), "src01"),
+        #   40 tokens, 8 duplicated -> dup_frac exactly 0.2
+        # incoming batch
+        (40, "fresh text here", "src19"),
+        (41, None, "src19"),
+        (42, None, "src19"),            # second NULL incoming
+        (43, "", "src19"),              # empty incoming: dropped vs 34
+        (44, doc30, "src19"),           # exact match vs 30: dropped
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().fillna(0).astype("int64")
+    d = str(tmp_path / "ingest_spans_boundary")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d, docs
+
+
+def test_ingest_spans_boundary_cases_match_python_reference(spark, tmp_path):
+    """Hand-derivation leg of the twelfth fixture."""
+    from monthly_report_etl_spark.catalog import QUERIES
+    from monthly_report_etl_spark.operators.corpus import BENCHMARK_MAX_DOC_ID
+    from monthly_report_etl_spark.operators.dedup import (
+        DUP_SPAN_FLAG_FRAC,
+        DUP_SPAN_N,
+    )
+
+    d, docs = _ingest_spans_boundary_fixture(tmp_path)
+    texts = dict(zip(docs.doc_id, docs.text))
+    srcs = dict(zip(docs.doc_id, docs.source))
+
+    def sh3(text):
+        toks = text.split() if text else []
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)} \
+            if len(toks) >= 3 else set()
+
+    shingles = {i: sh3(t) for i, t in texts.items()}
+
+    # --- corpus_incremental_ingest: NULL-key never-match semantics ---
+    got_in = {r["doc_id"] for r in
+              QUERIES["corpus_incremental_ingest"](spark, d).collect()}
+    assert got_in == {40, 41}
+    # 40 is genuinely fresh; the two NULL incoming docs collapse to ONE
+    # survivor (min id 41) and are NOT dropped by the corpus's own NULL
+    # doc — NULL keys never equal anything, in the anti-join AND the
+    # oracle's NOT EXISTS alike. The empty incoming doc (43) IS dropped
+    # by the empty corpus doc (34): '' is a real value. 44 drops vs 30.
+
+    # --- corpus_decontaminate: inclusive 0.5 threshold ---
+    bench = set().union(*(shingles[i] for i in shingles
+                          if i < BENCHMARK_MAX_DOC_ID)) if shingles else set()
+    got_dc = {
+        r["doc_id"]: (r["n_shingles"], r["n_contaminated"],
+                      r["contamination_frac"], r["is_contaminated"])
+        for r in QUERIES["corpus_decontaminate"](spark, d).collect()
+    }
+    want_ids = {i for i in shingles
+                if i >= BENCHMARK_MAX_DOC_ID and shingles[i]}
+    assert set(got_dc) == want_ids  # NULL/empty/short docs emit no rows
+    for i in want_ids:
+        n, c = len(shingles[i]), len(shingles[i] & bench)
+        g = got_dc[i]
+        assert (g[0], g[1]) == (n, c), i
+        assert abs(g[2] - round(c / n, 6)) <= 1e-9, i
+        assert g[3] == (c / n >= 0.5), i
+    assert got_dc[32][3] is True          # exactly 1/2: INCLUSIVE
+    assert got_dc[30][3] is False         # 1/3
+
+    # --- corpus_ngram_novelty: copied doc has novelty exactly 0 ---
+    first = {}
+    for i in sorted(shingles):
+        for s in shingles[i]:
+            first.setdefault(s, i)
+    got_nv = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_frac"])
+        for r in QUERIES["corpus_ngram_novelty"](spark, d).collect()
+    }
+    assert set(got_nv) == {i for i in shingles if shingles[i]}
+    for i, ss in shingles.items():
+        if not ss:
+            continue
+        novel = sum(1 for s in ss if first[s] == i)
+        g = got_nv[i]
+        assert (g[0], g[1]) == (len(ss), novel), i
+        assert abs(g[2] - round(novel / len(ss), 6)) <= 1e-9, i
+    assert got_nv[33] == (3, 0, 0.0)      # the exact copy: nothing novel
+    assert got_nv[44] == (3, 0, 0.0)
+
+    # --- dedup_duplicate_spans: NULL/empty n_tokens, exact flag edge ---
+    got_ds = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"], r["flagged"])
+        for r in QUERIES["dedup_duplicate_spans"](spark, d).collect()
+    }
+    grams: dict = {}
+    for i, t in texts.items():
+        toks = t.split() if t else []
+        for s in range(len(toks) - DUP_SPAN_N + 1):
+            grams.setdefault(" ".join(toks[s:s + DUP_SPAN_N]), set()).add(i)
+    dup_grams = {g for g, ds in grams.items() if len(ds) > 1}
+    for i, t in texts.items():
+        if t is None:
+            assert got_ds[i] == (None, 0, None, None), i
+            continue
+        toks = t.split()
+        spans = sorted(
+            (s, s + DUP_SPAN_N - 1)
+            for s in range(len(toks) - DUP_SPAN_N + 1)
+            if " ".join(toks[s:s + DUP_SPAN_N]) in dup_grams
+        )
+        cov, end = 0, -1
+        for s, f in spans:
+            cov += max(0, f - max(s, end + 1) + 1)
+            end = max(end, f)
+        n = len(toks)
+        frac = round(cov / n, 6) if n else None
+        flagged = (frac >= DUP_SPAN_FLAG_FRAC) if frac is not None else None
+        assert got_ds[i] == (n, cov, frac, flagged), (i, got_ds[i])
+    assert got_ds[50] == (8, 8, 1.0, True)   # exactly-8-token doc: one gram
+    assert got_ds[52] == (40, 8, 0.2, True)  # share EXACTLY 0.2: inclusive
+    assert got_ds[3] == (0, 0, None, None)   # empty doc: 0 tokens, not 1
+    assert got_ds[2][0] is None              # NULL doc: NULL, not -1
+
+
+def test_oracles_agree_on_ingest_spans_boundary_fixture(spark, tmp_path):
+    """Gate leg of the twelfth fixture: four REGISTERED oracles on the
+    same adversarial parquet — pinning the r14 duplicate-spans fixes
+    (Spark array_size for NULL docs; the oracle's empty-doc guard, where
+    bare string_split_regex('') yields [''] and reported 1 token)."""
+    import duckdb
+
+    d, _ = _ingest_spans_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "corpus_incremental_ingest",
+            "corpus_decontaminate",
+            "corpus_ngram_novelty",
+            "dedup_duplicate_spans",
+        ],
+    )
+
+
 def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
     """The OLAP/stats side of the triangle's third leg (VERDICT r13 #2):
     run the four REGISTERED DuckDB oracles on the same adversarial
