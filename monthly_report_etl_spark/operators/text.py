@@ -163,11 +163,17 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.regexp_count("text", F.lit("(?i)" + stopword_regex("en"))).cast("long")
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
-    score = F.when(
-        F.col("text").isNotNull(),
+    # NULL-propagate by ADDING a when-guarded zero rather than wrapping
+    # the composite in the when branch: a branch-wrapped score defeats
+    # subexpression elimination, re-evaluating all three regexp_counts a
+    # second time (measured 1.5x warm wall at sf0.1 — caught by the r14
+    # final bench check and reproduced isolated). NULL text → +NULL →
+    # NULL; otherwise +0.0 is exact.
+    score = (
         0.4 * F.least(stop_ratio, F.lit(1.0))
         + 0.3 * (1.0 - F.least(punct_ratio, F.lit(1.0)))
-        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)),
+        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.when(F.col("text").isNotNull(), F.lit(0.0))
     )
     return d.select(
         "doc_id",
