@@ -691,15 +691,22 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "json_extract_props",
-    """
+    r"""
+    WITH j AS (
+        SELECT event_id,
+               json_extract_string(
+                   CASE WHEN json_valid(props) THEN props END, 'k') AS s
+        FROM events
+    ), t AS (
+        SELECT event_id, s, trim(s, E' \t\n\r\x0B\x0C') AS st FROM j
+    )
     SELECT event_id,
-           TRY_CAST(json_extract_string(
-               CASE WHEN json_valid(props) THEN props END, 'k') AS BIGINT)
-               AS k_value,
-           CASE WHEN json_extract_string(
-                    CASE WHEN json_valid(props) THEN props END, 'k') IS NULL
-                THEN true ELSE false END AS k_missing
-    FROM events
+           CASE WHEN regexp_matches(st, '^[+-]?\.[0-9]*$') THEN 0
+                WHEN regexp_matches(st, '^[+-]?[0-9]+\.?[0-9]*$')
+                THEN TRY_CAST(regexp_extract(st, '^[+-]?[0-9]+', 0) AS BIGINT)
+           END AS k_value,
+           s IS NULL AS k_missing
+    FROM t
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,11 +717,25 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object is LENIENT — malformed JSON and non-numeric values
     yield NULL — while DuckDB's json_extract_string RAISES on malformed
     input and plain CAST raises on a non-numeric string. Invisible on
-    the sf tables (all props well-formed, k numeric); divergent at the
-    boundary. The oracle now guards with json_valid() and coerces with
-    TRY_CAST, reproducing the lenient semantics exactly (probed: both
-    engines agree on '4.2'→4 truncation, 'abc'→NULL, JSON null→NULL +
-    missing, nested object→extracted text→NULL number)."""
+    the sf tables (all props well-formed, k numeric); the oracle guards
+    with json_valid().
+
+    r15 oracle fix (ADVICE r14): DuckDB's TRY_CAST('4.6' AS BIGINT)
+    ROUNDS to 5 (banker's-free half-away rounding; '-4.6' → -5) while
+    Spark's non-ANSI string→long cast TRUNCATES toward zero ('4.6' → 4,
+    '-4.6' → -4) — r14's single '4.2' probe couldn't tell them apart
+    because rounding and truncation coincide below .5. A TRUNC-via-
+    DOUBLE rewrite alone would still diverge on '1e5' (Spark rejects
+    scientific notation → NULL; DOUBLE path → 100000) and on
+    '9007199254740993' (2^53+1: exact in Spark's integer parse, rounded
+    by the DOUBLE round-trip), so the oracle now mirrors Spark's
+    measured grammar directly: trim ASCII whitespace, accept
+    [+-]?digits[.digits*] (truncate at the dot, exact BIGINT parse of
+    the integer part, overflow → NULL) or [+-]?.digits* (→ 0), reject
+    everything else ('1e5', '0x10', '..', 'Infinity', 'NaN', '') → NULL.
+    Validated probe-for-probe against Spark on 28 boundary strings
+    including '4.6'/-4.6'/'4.5' (≥.5 fractions), '.5'/'.'/'+.', '1e5',
+    '1e20', 2^53+1, 20-digit overflow, and tab/vtab-padded digits."""
     k = F.get_json_object("props", "$.k")
     return _t(spark, sf_dir, "events").select(
         "event_id",
@@ -725,31 +746,85 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "json_variant_extract",
-    """
+    r"""
+    WITH j AS (
+        SELECT event_id, CASE WHEN json_valid(props) THEN props END AS p
+        FROM events
+    )
     SELECT event_id,
-           CAST(json_extract_string(props, 'k') AS BIGINT) AS k_long,
-           json_extract_string(props, 'k') AS k_str,
-           CAST(NULL AS BIGINT) AS obj_as_long
-    FROM events
+           CASE WHEN json_type(p, '$.k') IN ('BIGINT','UBIGINT')
+                    THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)
+                WHEN json_type(p, '$.k') = 'DOUBLE'
+                    THEN TRY_CAST(TRUNC(TRY_CAST(
+                             json_extract_string(p, '$.k') AS DOUBLE)) AS BIGINT)
+                WHEN json_type(p, '$.k') = 'BOOLEAN'
+                    THEN CASE json_extract_string(p, '$.k')
+                         WHEN 'true' THEN 1 ELSE 0 END
+                WHEN json_type(p, '$.k') = 'VARCHAR'
+                     AND regexp_matches(
+                         trim(json_extract_string(p, '$.k'),
+                              E' \t\n\r\x0B\x0C'), '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(trim(json_extract_string(p, '$.k'),
+                                       E' \t\n\r\x0B\x0C') AS BIGINT)
+           END AS k_long,
+           json_extract_string(p, '$.k') AS k_str,
+           CASE WHEN json_type(p) IN ('BIGINT','UBIGINT')
+                    THEN TRY_CAST(json_extract_string(p, '$') AS BIGINT)
+                WHEN json_type(p) = 'DOUBLE'
+                    THEN TRY_CAST(TRUNC(TRY_CAST(
+                             json_extract_string(p, '$') AS DOUBLE)) AS BIGINT)
+                WHEN json_type(p) = 'BOOLEAN'
+                    THEN CASE json_extract_string(p, '$')
+                         WHEN 'true' THEN 1 ELSE 0 END
+                WHEN json_type(p) = 'VARCHAR'
+                     AND regexp_matches(
+                         trim(json_extract_string(p, '$'),
+                              E' \t\n\r\x0B\x0C'), '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(trim(json_extract_string(p, '$'),
+                                       E' \t\n\r\x0B\x0C') AS BIGINT)
+           END AS obj_as_long
+    FROM j
     """,
 )
 def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    """Spark 4 VARIANT path for semi-structured data: ``try_parse_json``
     decodes the JSON string ONCE into the binary variant encoding, and
     every probe is a cheap ``variant_get`` over that — the engine-native
     successor to repeated get_json_object re-parses (and the scale
-    answer for documents with many probed keys). ``try_variant_get``
-    with an impossible target (the whole object as a long) yields NULL
-    instead of failing, the
-    same coercion contract as F18. DuckDB has no VARIANT; the oracle
-    asserts the same VALUES via its JSON probes, which is the point —
-    variant is an encoding change, not a semantics change."""
+    answer for documents with many probed keys).
+
+    r15 boundary twin (pre-stated at r14): the old oracle probed
+    ``props`` bare — DuckDB raises on malformed JSON where
+    ``try_parse_json`` yields a NULL variant — and plain ``CAST`` raises
+    where variant casts are lenient; invisible on the sf tables (all
+    props well-formed objects), divergent at the boundary. Measured
+    variant cast contract, now mirrored exactly by the oracle's
+    json_type-driven CASE: JSON numbers cast to long by TRUNCATING
+    toward zero (4.6 → 4, -4.6 → -4; exact for int64-range integers
+    including 2^53+1; overflow → NULL); JSON strings coerce by the
+    ANSI-STRICT integral grammar — sign + digits only after whitespace
+    trim ("42", "+42", "0042", " 5 " parse; "4.2", "5.0", "5e2", ".5",
+    "abc", overflow → NULL — NOT the lenient truncating cast
+    get_json_object+cast applies to the same text, which is the
+    measured surprise this differential pins); booleans cast to 1/0;
+    null / missing / object / array → NULL. The
+    Spark side uses ``try_variant_get`` for the long probes (a plain
+    ``variant_get`` RAISES on "abc" → long) and plain ``variant_get``
+    for the string probe (variant → string rendering is total).
+    ``obj_as_long`` is NULL for every object-rooted doc but follows the
+    same cast contract for scalar-rooted docs ('42' → 42). Known
+    rendering-only divergence kept OUT of the differential (documented,
+    not probed): Spark renders non-exponent JSON decimals via decimal128
+    (0.0 → '0', 20-digit integers exact) and exponent forms via Java
+    double ('1.0E20') where DuckDB renders shortest-double text
+    ('0.0', '1e20' expanded) — value semantics agree, string forms of
+    trailing-zero/overflow-range numbers don't."""
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", F.parse_json("props").alias("v")
+        "event_id", F.try_parse_json("props").alias("v")
     )
     return ev.select(
         "event_id",
-        F.variant_get("v", "$.k", "long").alias("k_long"),
+        F.try_variant_get("v", "$.k", "long").alias("k_long"),
         F.variant_get("v", "$.k", "string").alias("k_str"),
         F.try_variant_get("v", "$", "long").alias("obj_as_long"),
     )

@@ -446,8 +446,22 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             lvl = prev[1].storageLevel
             if not (lvl.useMemory or lvl.useDisk):
                 prev = None
-        except Exception:
-            prev = None  # stale/unqueryable frame: rebuild
+        except Exception as exc:
+            # stale/unqueryable frame: rebuild. But don't DROP it
+            # silently (ADVICE r14) — a frame whose storageLevel probe
+            # failed for an incidental reason (py4j hiccup, interrupted
+            # driver call) may still be cached, and discarding the slot
+            # without unpersisting would leak a fact-sized entry: the
+            # exact silent-leak class the rebuild path WARNs about.
+            # Best-effort unpersist + WARNING, mirroring that handler.
+            try:
+                prev[1].unpersist(blocking=False)
+            except Exception:
+                pass  # genuinely dead frame (session gone): nothing cached
+            _log.warning(
+                "adj cache self-heal could not query slot frame (%s); "
+                "unpersisted best-effort and rebuilding", exc)
+            prev = None
     if prev is not None and prev[0] == key:
         # same table: reuse the slot's OWN frame rather than rebuilding
         # and leaning on plan-keyed cache reuse — under realpath keying a

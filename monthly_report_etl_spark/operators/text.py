@@ -346,7 +346,13 @@ def c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count agrees exactly with TOKEN_STATS and with the oracle's
     # string_split_regex(trim(text)) — regexp_count('\S+') disagrees on
     # whitespace-only docs and leading/trailing non-space whitespace.
-    n_tokens = F.size(whitespace_tokens(F.col("text"))).cast("long")
+    # array_size, not size (r15, the pre-stated twin of r14's
+    # token_stats fix): F.size is -1 on a NULL text, so a NULL document
+    # reported n_tokens = -1 in the emitted flags (keep stayed correct —
+    # false either way — but the exposed column value was wrong at the
+    # boundary). F.array_size propagates NULL, matching the oracle's
+    # CASE-over-NULL behavior. Invisible on the sf tables (no NULL text).
+    n_tokens = F.array_size(whitespace_tokens(F.col("text"))).cast("long")
     n_nonws = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
     has_lorem = F.contains(F.lower("text"), F.lit("lorem ipsum"))
     has_brace = F.contains("text", F.lit("{"))

@@ -2431,6 +2431,23 @@ def _nullsafe_boundary_fixture(tmp_path):
         (7, t(7), 3, "error", 501.0, '{"k": {"a": 1}}'),
         # u4: no overlap with the intersect probe set -> '' not NULL
         (8, t(8), 4, "purchase", 100.0, '{"k": "4.2"}'),
+        # u5/u6 (r15, ADVICE r14): >=.5-fraction strings where DuckDB's
+        # plain TRY_CAST ROUNDS (4.6 -> 5) but Spark's cast TRUNCATES
+        # (4.6 -> 4) -- r14's lone '4.2' probe couldn't tell rounding
+        # from truncation; plus the probes that break the naive
+        # TRUNC-via-DOUBLE rewrite (scientific notation Spark rejects,
+        # a 2^53+1 integer doubles can't hold), the empty-integer-part
+        # form '.5' -> 0, a JSON number with a fraction, a boolean, and
+        # a scalar-rooted doc (variant obj_as_long probe)
+        (9, t(9), 5, "click", 1.0, '{"k": "4.6"}'),
+        (10, t(10), 5, "view", 2.0, '{"k": "-4.6"}'),
+        (11, t(11), 5, "view", 3.0, '{"k": 4.6}'),
+        (12, t(12), 5, "view", 4.0, '{"k": "1e5"}'),
+        (13, t(13), 6, "click", 5.0, '{"k": "9007199254740993"}'),
+        (14, t(14), 6, "view", 6.0, '{"k": ".5"}'),
+        (15, t(15), 6, "view", 7.0, '{"k": true}'),
+        (16, t(16), 6, "view", 8.0, "42"),
+        (17, t(17), 6, "view", 9.0, '{"k": 9007199254740993}'),
     ]
     ev_a = pd.DataFrame(
         a_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -2513,6 +2530,47 @@ def test_nullsafe_boundary_cases_match_hand_derivation(spark, tmp_path):
         6: (None, True),    # JSON null extracts as SQL NULL
         7: (None, False),   # nested object extracts as text, numbers to NULL
         8: (4, False),      # '4.2' -> 4: BOTH engines truncate string->long
+        9: (4, False),      # '4.6' -> 4: TRUNCATES (DuckDB TRY_CAST rounds
+        #   to 5 -- the ADVICE r14 divergence, now oracle-mirrored)
+        10: (-4, False),    # '-4.6' -> -4: toward zero, not floor (-5)
+        11: (4, False),     # JSON number 4.6 extracts as '4.6', truncates
+        12: (None, False),  # '1e5': Spark's cast REJECTS scientific notation
+        13: (9007199254740993, False),  # 2^53+1: exact integer parse --
+        #   a TRUNC-via-DOUBLE oracle would round to ...992
+        14: (0, False),     # '.5': empty integer part parses as 0
+        15: (None, False),  # boolean extracts as 'true', not a number
+        16: (None, True),   # scalar-rooted doc: no k at all
+        17: (9007199254740993, False),  # 2^53+1 as a JSON NUMBER
+    }
+
+    # --- json_variant_extract: the variant cast contract (r15 twin) ---
+    got_jv = {
+        r["event_id"]: (r["k_long"], r["k_str"], r["obj_as_long"])
+        for r in QUERIES["json_variant_extract"](spark, da).collect()
+    }
+    assert got_jv == {
+        1: (42, "42", None),
+        2: (None, "abc", None),     # non-numeric string -> NULL long
+        3: (None, None, None),      # malformed: try_parse_json -> NULL variant
+        4: (None, None, None),      # {} -> key missing
+        5: (None, None, None),
+        6: (None, None, None),      # JSON null
+        7: (None, '{"a":1}', None),  # object renders compact
+        8: (None, "4.2", None),     # variant string->long is ANSI-STRICT:
+        #   fractional text fails (vs get_json_object+cast's lenient
+        #   truncation of the SAME text to 4 -- the pinned contrast)
+        9: (None, "4.6", None),
+        10: (None, "-4.6", None),
+        11: (4, "4.6", None),       # JSON NUMBER truncates toward zero
+        12: (None, "1e5", None),    # scientific text fails the strict parse
+        13: (9007199254740993, "9007199254740993", None),  # ...but a
+        #   pure-integer STRING parses exactly under the strict grammar
+        14: (None, ".5", None),
+        15: (1, "true", None),      # boolean -> 1
+        16: (None, None, 42),       # scalar-rooted doc: '$' cast succeeds
+        17: (9007199254740993, "9007199254740993", None),  # BIGINT
+        #   branch: variant keeps int64-range integers exact (a double
+        #   would round 2^53+1 to ...992)
     }
 
     # --- rollup_lineitem / cube_orders: REAL NULL keys vs subtotal NULLs ---
@@ -2590,6 +2648,7 @@ def test_oracles_agree_on_nullsafe_boundary_fixture(spark, tmp_path):
         [
             "array_functions",
             "json_extract_props",
+            "json_variant_extract",
             "rollup_lineitem",
             "cube_orders",
             "numeric_coercion",
@@ -2828,7 +2887,13 @@ def _text_boundary_fixture(tmp_path):
          (8, "a"),
          (9, "the the the"),
          (10, "le la les et est dans des une"),
-         (11, "the der")],
+         (11, "the der"),
+         # r15 (pre-stated c4-filter twin): boilerplate / code markers
+         # with otherwise-passing stats, and a gibberish doc whose mean
+         # token length breaks the [2, 12] band
+         (12, "Lorem ipsum dolor sit amet and then the fox ran"),
+         (13, "if (x) { return y; } else { return z; }"),
+         (14, "a b c d e f g h i j")],
         columns=["doc_id", "text"],
     )
     d = str(tmp_path / "text_boundary")
@@ -2922,6 +2987,44 @@ def test_text_boundary_cases_match_python_reference(spark, tmp_path):
     assert got_qs[6][2] == 1.0         # all-punctuation: ratio exactly 1
     assert got_qs[9][3] == 1.0         # every token a stopword
 
+    # --- text_c4_filter (r15: the pre-stated F.size -> F.array_size twin
+    # of r14's token_stats fix: a NULL doc reported n_tokens = -1) ---
+    from monthly_report_etl_spark.operators.text import (
+        C4_MAX_MEAN_TOK_LEN,
+        C4_MAX_TOKENS,
+        C4_MIN_MEAN_TOK_LEN,
+        C4_MIN_TOKENS,
+    )
+
+    got_c4 = {
+        r["doc_id"]: (r["n_tokens"], r["mean_tok_len"], r["has_lorem"],
+                      r["has_brace"], r["keep"])
+        for r in QUERIES["text_c4_filter"](spark, d).collect()
+    }
+    for i, text in zip(docs.doc_id, docs.text):
+        if text is None:
+            # NULL text: every column NULL -- n_tokens must NOT be -1
+            # (the F.size wart), keep must NOT collapse to False (the
+            # oracle's CASE-over-NULL yields NULL, and so do we)
+            assert got_c4[i] == (None,) * 5, i
+            continue
+        n_tok = len(text.split())
+        n_nonws = len(re.sub(r"\s", "", text))
+        mean = n_nonws / max(n_tok, 1)
+        lorem = "lorem ipsum" in text.lower()
+        brace = "{" in text
+        keep = (C4_MIN_TOKENS <= n_tok <= C4_MAX_TOKENS
+                and C4_MIN_MEAN_TOK_LEN <= mean <= C4_MAX_MEAN_TOK_LEN
+                and not lorem and not brace)
+        g = got_c4[i]
+        assert (g[0], g[2], g[3], g[4]) == (n_tok, lorem, brace, keep), i
+        assert abs(g[1] - round(mean, 6)) <= 5e-7 + 1e-9, (i, g[1], mean)
+    assert got_c4[1][0] == 0 and got_c4[1][4] is False   # empty: 0 tokens
+    assert got_c4[3] == (0, 0.0, False, False, False)    # whitespace-only
+    assert got_c4[12][2] and got_c4[12][4] is False      # lorem kills keep
+    assert got_c4[13][3] and got_c4[13][4] is False      # brace kills keep
+    assert got_c4[14] == (10, 1.0, False, False, False)  # mean < 2 band
+
     # --- text_fingerprint ---
     got_fp = {
         r["doc_id"]: r["doc_fingerprint"]
@@ -2961,6 +3064,7 @@ def test_oracles_agree_on_text_boundary_fixture(spark, tmp_path):
             "text_language_id",
             "text_quality_score",
             "text_fingerprint",
+            "text_c4_filter",
         ],
     )
 
