@@ -103,12 +103,30 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # denominators, F5 classifier, O1 sort — SURVEY §3.1)
 # ---------------------------------------------------------------------------
 
-_FLAGSHIP_ORACLE = """
-WITH base AS (
+_FLAGSHIP_ORACLE = r"""
+WITH raw AS (
     SELECT event_id, ts, user_id, event_type, value,
-           CAST(json_extract_string(props, 'k') AS BIGINT) AS k_value
+           json_extract_string(
+               CASE WHEN json_valid(props) THEN props END, 'k') AS ks
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+),
+-- k_value mirrors Spark's lenient get_json_object + non-ANSI string->long
+-- cast exactly, same formula as the json_extract_props oracle (r15: the
+-- flagship carried an unguarded CAST(json_extract_string(...)) copy that
+-- RAISES on malformed props / non-numeric k and ROUNDS >=.5 fractions
+-- where Spark truncates -- invisible on the sf tables, divergent at the
+-- boundary)
+base AS (
+    SELECT event_id, ts, user_id, event_type, value,
+           CASE WHEN regexp_matches(trim(ks, E' \t\n\r\x0B\x0C'),
+                                    '^[+-]?\.[0-9]*$') THEN 0
+                WHEN regexp_matches(trim(ks, E' \t\n\r\x0B\x0C'),
+                                    '^[+-]?[0-9]+\.?[0-9]*$')
+                THEN TRY_CAST(regexp_extract(trim(ks, E' \t\n\r\x0B\x0C'),
+                                             '^[+-]?[0-9]+', 0) AS BIGINT)
+           END AS k_value
+    FROM raw
 ),
 dedup AS (
     SELECT user_id,
@@ -169,11 +187,22 @@ def exports_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
     )
+    # DuckDB MAX_BY skips NULL values (aggregate NULL-input convention),
+    # so every max_by guards its ordering key: "latest NON-NULL value per
+    # column". r15 boundary fix: only k_value was guarded before, so a
+    # user whose LATEST event had a NULL event_type/value deduped to
+    # (NULL, NULL) on the Spark side but to the latest non-null pair in
+    # the oracle — and the NULL value then slipped past the `value < 10`
+    # failure rule that the real latest-known value would have tripped.
+    # Invisible on the sf tables (no NULL event_type/value rows).
     dedup = base.groupBy("user_id").agg(
         F.max("ts").alias("time"),
-        F.max_by("event_type", "ts").alias("event_type"),
-        F.max_by("value", "ts").alias("value"),
-        # DuckDB MAX_BY skips NULL values — guard the ordering key
+        F.max_by(
+            "event_type", F.when(F.col("event_type").isNotNull(), F.col("ts"))
+        ).alias("event_type"),
+        F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))).alias(
+            "value"
+        ),
         F.max_by("k_value", F.when(F.col("k_value").isNotNull(), F.col("ts"))).alias("k_value"),
     )
     passing = dedup.filter(

@@ -261,7 +261,7 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicates), unlike RNG sampling.
 SPLIT_ORACLE = """
 WITH fp AS (
-    SELECT doc_id,
+    SELECT doc_id, text,
            list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                             list_transform(string_split(text, ''),
@@ -271,7 +271,8 @@ WITH fp AS (
     FROM documents
 )
 SELECT doc_id,
-       CASE WHEN slot < 80 THEN 'train'
+       CASE WHEN text IS NULL THEN NULL
+            WHEN slot < 80 THEN 'train'
             WHEN slot < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM fp
@@ -280,11 +281,23 @@ FROM fp
 
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 split keyed on the content fingerprint — deterministic,
-    duplicate-consistent (exact dupes share a split), pure projection."""
+    duplicate-consistent (exact dupes share a split), pure projection.
+
+    NULL-text boundary (r15 hunt, the SAME defect class the eighth
+    fixture caught in text_fingerprint at r14 — this oracle carried its
+    own unguarded copy of the formula): DuckDB's list_prepend(0, NULL)
+    yields [0], so a NULL document hashed to slot 0 → 'train' in the
+    oracle, while Spark's NULL slot fell through both when() branches
+    into otherwise('test'). Neither silent assignment is defensible for
+    a document with no content; both sides now propagate NULL
+    explicitly (the family convention: NULL in → NULL out)."""
     d = _docs(spark, sf_dir)
     slot = fingerprint(F.col("text")) % 100
     split = (
-        F.when(slot < 80, "train").when(slot < 90, "val").otherwise("test")
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(slot < 80, "train")
+        .when(slot < 90, "val")
+        .otherwise("test")
     )
     return d.select("doc_id", split.alias("split"))
 
@@ -474,17 +487,21 @@ WITH tok AS (
 ch AS (
     SELECT doc_id,
            CAST(g.c AS BIGINT) AS chunk_idx,
-           array_to_string(toks[(g.c * {CHUNK_TOKENS} + 1):((g.c + 1) * {CHUNK_TOKENS})], ' ')
-               AS chunk_text
+           toks[(g.c * {CHUNK_TOKENS} + 1):((g.c + 1) * {CHUNK_TOKENS})] AS win
     FROM tok, LATERAL (
         SELECT unnest(generate_series(0,
             CAST(CEIL(len(toks) * 1.0 / {CHUNK_TOKENS}) AS INTEGER) - 1)) AS c
     ) g
 )
-SELECT doc_id, chunk_idx, chunk_text,
-       CAST(CASE WHEN trim(chunk_text) = '' THEN 0
-                 ELSE len(string_split_regex(chunk_text, '\s+')) END AS BIGINT)
-           AS n_chunk_tokens
+-- n_chunk_tokens is the WINDOW length, the same computation as the Spark
+-- side's size(slice(...)) — NOT a re-tokenization of chunk_text (r15
+-- boundary fix: a tab-only doc passes the space-only trim filter and
+-- splits to ['',''], so chunk_text is ' '; the old re-derivation
+-- trimmed that back to '' and reported 0 tokens where both Spark plans
+-- report the window's 2)
+SELECT doc_id, chunk_idx,
+       array_to_string(win, ' ') AS chunk_text,
+       CAST(len(win) AS BIGINT) AS n_chunk_tokens
 FROM ch
 """
 
@@ -501,7 +518,18 @@ def _chunk_udtf():
     @udtf(returnType="chunk_idx BIGINT, chunk_text STRING, n_chunk_tokens BIGINT")
     class ChunkDoc:
         def eval(self, text: str):
-            toks = text.split() if text is not None else []
+            # Mirror the JVM chunker's split(trim(text), '\s+') EXACTLY
+            # (r15 boundary fix): python str.split() splits on UNICODE
+            # whitespace (U+00A0 and friends) and drops leading/trailing
+            # empties, while Java \s is the ASCII class [ \t\n\x0B\f\r]
+            # and SQL trim strips spaces only — so a doc with a
+            # non-breaking space or a leading tab chunked differently
+            # through the UDTF than through the JVM plan and the oracle.
+            # re.ASCII \s == Java \s; strip(' ') == SQL trim.
+            import re
+
+            s = (text or "").strip(" ")
+            toks = re.split(r"\s+", s, flags=re.ASCII) if s else []
             for i in range(0, len(toks), CHUNK_TOKENS):
                 window = toks[i : i + CHUNK_TOKENS]
                 yield i // CHUNK_TOKENS, " ".join(window), len(window)

@@ -193,7 +193,17 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         feats = []
         for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+            # NULL payload (r15 boundary fix): bytes(None) raises TypeError,
+            # crashing the whole job for ONE null media row; a no-byte
+            # payload has no feature row (a mean over zero bytes is
+            # undefined). Both mirror the oracle, whose per-byte unnest
+            # emits zero rows for NULL/empty docs so they are simply
+            # absent from the GROUP BY.
+            if payload is None:
+                continue
             px = _decode_payload(bytes(payload), str(mt))
+            if px.size == 0:
+                continue
             hist = np.bincount(px // 64, minlength=4)[:4]
             feats.append(
                 (
@@ -202,7 +212,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     # byte values are ints → the sum is exact in float64,
                     # so mean == oracle AVG bit-for-bit; _round6 pins the
                     # comparison form on both sides (DuckDB half-away)
-                    _round6(float(px.mean())) if px.size else 0.0,
+                    _round6(float(px.mean())),
                     int(hist[0]),
                     int(hist[1]),
                     int(hist[2]),
@@ -226,6 +236,8 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+            if payload is None:  # r15: bytes(None) raises; oracle emits no rows
+                continue
             px = _decode_payload(bytes(payload), str(mt))
             for i in range(0, px.size, FRAME_SIZE):
                 frame = px[i : i + FRAME_SIZE]
@@ -263,7 +275,12 @@ def byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are ints, so AVG sums exactly in float64: numpy mean == SQL AVG
 # bit-for-bit, and ROUND(_, 6) on both sides is purely cosmetic.
 DECODE_FEATURES_ORACLE = f"""
-WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+-- text <> '' (r15 boundary fix): DuckDB string_split('', '') yields ['']
+-- whose ascii('') is 0, fabricating ONE zero byte for an empty document;
+-- the Spark side emits no feature row for a zero-byte payload (and skips
+-- NULL payloads, which the per-char unnest already drops via NULL <> '')
+WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents
+           WHERE text <> ''),
 b AS (
     SELECT doc_id, ascii(cs[i]) AS byte
     FROM c, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g
@@ -279,7 +296,9 @@ FROM b GROUP BY doc_id
 """
 
 FRAME_SAMPLE_ORACLE = f"""
-WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+-- text <> '': same empty-doc guard as DECODE_FEATURES_ORACLE (r15)
+WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents
+           WHERE text <> ''),
 b AS (
     SELECT doc_id,
            CAST(FLOOR((i - 1) / {FRAME_SIZE}) AS BIGINT) AS frame_idx,
@@ -306,6 +325,8 @@ def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+            if payload is None:  # r15: bytes(None) raises; oracle emits no rows
+                continue
             raw = _decode_payload(bytes(payload), str(mt))
             # bytes → little-endian signed 16-bit PCM; odd trailing byte dropped
             smp = raw[: 2 * (raw.size // 2)].view(np.uint8).tobytes()

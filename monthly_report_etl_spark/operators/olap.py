@@ -190,18 +190,23 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# expressed as UNION ALL, not DuckDB UNPIVOT (r15 boundary fix): DuckDB's
+# UNPIVOT silently EXCLUDES rows whose value is NULL, while Spark's
+# unpivot keeps them — the long form of a wide row with a missing metric
+# should still carry that metric's NULL (it is the true inverse of the
+# pivot). Invisible on the sf part table (no NULL retailprice/size).
 UNPIVOT_ORACLE = """
-SELECT p_partkey, metric, val FROM (
-    SELECT p_partkey,
-           CAST(p_retailprice AS DOUBLE) AS retailprice,
-           CAST(p_size AS DOUBLE) AS size
-    FROM part
-) UNPIVOT (val FOR metric IN (retailprice, size))
+SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
 """
 
 
 def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long unpivot (``stack``/UNPIVOT) — the inverse of A6's pivot."""
+    """Wide→long unpivot (``stack``/UNPIVOT) — the inverse of A6's pivot.
+    NULL metrics are KEPT (Spark's unpivot default); the oracle uses the
+    explicit UNION ALL form because DuckDB's UNPIVOT drops NULL cells."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

@@ -3752,3 +3752,623 @@ def test_oracles_agree_on_olap_stats_boundary_fixture(spark, tmp_path):
             "olap_last_shipper",
         ],
     )
+
+
+def _r13_text_corpus_boundary_fixture(tmp_path):
+    """Thirteenth adversarial fixture (r15, the pre-stated boundary-hunt
+    continuation into the r13-latest cohort): the text/corpus entries
+    that had no adversarial sweep yet, on NULL / empty / space-only /
+    TAB-only / tab-led / non-breaking-space / unicode / single-token /
+    all-duplicate documents plus NULL lang/source/n_chars metadata. The
+    hunt found and fixed THREE defects here: (1) SPLIT_ORACLE carried
+    its own unguarded copy of the list_prepend(0, NULL) -> [0] formula
+    the eighth fixture caught in text_fingerprint, so a NULL document
+    split 'train' in the oracle but 'test' on the Spark side (both now
+    propagate NULL); (2) the UDTF chunker tokenized with python
+    str.split(), which splits on UNICODE whitespace (U+00A0) and drops
+    leading empties, while the JVM twin and the oracle split on Java's
+    ASCII \\s after a spaces-only trim -- a doc with a non-breaking
+    space or a leading tab chunked differently through the UDTF; (3)
+    CHUNK_ORACLE re-derived n_chunk_tokens from chunk_text (trim-guard
+    + re-split), reporting 0 for a tab-only doc's ' ' chunk where both
+    Spark plans report the window length 2 -- the oracle now computes
+    len(win), the same expression as the Spark sides. Returns (dir,
+    docs)."""
+    import pandas as pd
+
+    import os
+
+    rows = [
+        (1, None, "en", "web", None),
+        (2, "", "en", None, 0),
+        (3, "   ", None, "web", 3),
+        (4, "the quick fox and the dog is that you", "en", "books", 38),
+        (5, "a", "de", "web", 1),
+        (6, "x y", "fr", None, 3),
+        (7, "caf\xe9 d\xe9j\xe0 vu na\xefve caf\xe9", "fr", "web", 23),
+        (8, "a\xa0b c", "en", "web", 5),
+        (9, "!!! ??? ...", None, None, 11),
+        (10, "spam spam spam spam spam", "en", "cc", 24),
+        (11, " ".join(f"w{i}" for i in range(33)), "en", "web", None),
+        (12, " ".join(f"t{i}" for i in range(32)), "en", "web", None),
+        (13, "the the", "de", "web", 7),
+        (14, "ab " * 49 + "end", "en", "web", 150),
+        (15, "\tTab led doc with words", "en", "web", 23),
+        (16, "\t\t", "en", "web", 2),
+        (17, None, None, None, None),
+        (18, "der und die das ist nicht", "de", "books", 25),
+        (19, "the quick fox", "zz", "web", 13),
+    ]
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    docs["n_chars"] = docs["n_chars"].astype("Int64")
+    d = str(tmp_path / "r13_text_corpus_boundary")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d, docs
+
+
+def test_r13_text_corpus_boundary_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the thirteenth fixture: the caught
+    defects' exact boundary rows, pinned independently of the oracle."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d, docs = _r13_text_corpus_boundary_fixture(tmp_path)
+
+    # --- train/val/test split: NULL text -> NULL split (NOT 'train'
+    # via the oracle's [0]-hash, NOT 'test' via when-fallthrough) ---
+    got_sp = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["corpus_train_val_test_split"](spark, d).collect()
+    }
+    assert got_sp[1] is None and got_sp[17] is None
+    assert all(
+        got_sp[i] in ("train", "val", "test")
+        for i in docs.doc_id
+        if i not in (1, 17)
+    )
+    # duplicate-consistency still holds for identical non-NULL texts
+    # (none here, but empty doc 2 must land deterministically)
+    assert got_sp[2] in ("train", "val", "test")
+
+    # --- chunker: UDTF rows == JVM rows EXACTLY, including the
+    # tab-led doc (leading empty token kept: 6 tokens, ' '-led text),
+    # the NBSP doc ('a\xa0b' is ONE token under Java \s), and the
+    # tab-only doc (['',''] -> chunk_text ' ', n_chunk_tokens 2) ---
+    jvm = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in QUERIES["corpus_chunk_documents"](spark, d).collect()
+    }
+    udtf = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in QUERIES["corpus_chunk_documents_udtf"](spark, d).collect()
+    }
+    assert jvm == udtf
+    assert jvm[(15, 0)] == (" Tab led doc with words", 6)
+    assert jvm[(8, 0)] == ("a\xa0b c", 2)
+    assert jvm[(16, 0)] == (" ", 2)
+    assert jvm[(11, 1)][1] == 1  # 33 tokens -> second chunk of exactly 1
+    assert (12, 1) not in jvm    # 32 tokens -> exactly one chunk
+    # NULL / empty / space-only docs produce no chunks at all
+    assert not any(k[0] in (1, 2, 3, 17) for k in jvm)
+
+    # --- posexplode: NULL text drops the row, empty text keeps one
+    # empty token (split('', ' ') is ['']) ---
+    pe = {}
+    for r in QUERIES["posexplode_tokens"](spark, d).collect():
+        pe.setdefault(r["doc_id"], []).append((r["pos"], r["tok"]))
+    assert 1 not in pe and 17 not in pe
+    assert pe[2] == [(0, "")]
+    assert sorted(pe[8]) == [(0, "a\xa0b"), (1, "c")]
+
+    # --- lang_mismatch: NULL label -> NULL mismatch (never false) ---
+    lm = {
+        r["doc_id"]: (r["labeled_lang"], r["mismatch"])
+        for r in QUERIES["text_lang_mismatch"](spark, d).collect()
+    }
+    assert lm[3] == (None, None) and lm[9] == (None, None)
+    assert lm[19][1] is True  # bogus 'zz' label always mismatches
+
+
+def test_oracles_agree_on_r13_text_corpus_boundary_fixture(spark, tmp_path):
+    """Gate leg of the thirteenth fixture: ten REGISTERED oracles of the
+    r13-latest text/corpus entries on the same adversarial parquet."""
+    import duckdb
+
+    d, _ = _r13_text_corpus_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "text_lang_mismatch",
+            "text_unigram_logprob",
+            "posexplode_tokens",
+            "corpus_length_buckets",
+            "corpus_normalize_dedup",
+            "corpus_repetition_stats",
+            "corpus_source_lang_rollup",
+            "corpus_train_val_test_split",
+            "corpus_feature_hashing",
+            "corpus_chunk_documents_udtf",
+        ],
+    )
+
+
+def _multimodal_boundary_fixture(tmp_path):
+    """Fourteenth adversarial fixture (r15): the multimodal family on
+    NULL / empty / odd-length / exact-window-edge payloads (ASCII only
+    -- the oracles' documented 1-char-=-1-byte assumption). The hunt
+    found and fixed TWO defects here: (1) a NULL text made every
+    mapInPandas batcher call bytes(None), crashing the whole job for
+    one null media row, where the oracles' per-byte unnest just emits
+    zero rows (the batchers now skip NULL payloads); (2) DuckDB's
+    string_split('', '') yields [''] whose ascii('') is 0, so the
+    decode/frame oracles fabricated ONE zero byte for an EMPTY document
+    (n_bytes=1, mean_byte=0) that the Spark side never emits -- the
+    oracles now guard WHERE text <> ''. Returns (dir, docs)."""
+    import pandas as pd
+
+    import os
+
+    rows = [
+        (1, None, "en", "web", None),
+        (2, "", "en", "web", 0),
+        (3, "a", "en", "web", 1),          # odd: no full int16 sample
+        (4, "ab", "en", "web", 2),         # exactly one sample
+        (5, "ab" * 256, "en", "web", 512), # exactly one full RMS window
+        (6, "ab" * 256 + "cd", "en", "web", 514),  # window + 1 sample
+        (7, "xyz", "en", "web", 3),        # odd trailing byte dropped
+        (8, "A" * 63 + "!", "en", "web", 64),      # exactly one frame
+        (9, "A" * 65, "en", "web", 65),    # frame + 1
+        (10, "\x00\x7f" * 10, "en", "web", 20),    # low/high byte mix
+    ]
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    docs["n_chars"] = docs["n_chars"].astype("Int64")
+    d = str(tmp_path / "multimodal_boundary")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d, docs
+
+
+def test_multimodal_boundary_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the fourteenth fixture."""
+    import math
+
+    from monthly_report_etl_spark.catalog import QUERIES
+    from monthly_report_etl_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+        FRAME_SIZE,
+    )
+
+    d, docs = _multimodal_boundary_fixture(tmp_path)
+
+    # decode_features: NULL and empty docs are ABSENT (no crash, no
+    # fabricated zero byte); the rest match a pure-python byte walk
+    feats = {
+        r["doc_id"]: (r["n_bytes"], r["mean_byte"])
+        for r in QUERIES["multimodal_decode_features"](spark, d).collect()
+    }
+    assert 1 not in feats and 2 not in feats
+    for i, text in zip(docs.doc_id, docs.text):
+        if text in (None, ""):
+            continue
+        bs = text.encode()
+        assert feats[i][0] == len(bs), i
+        assert abs(feats[i][1] - math.floor(sum(bs) / len(bs) * 1e6 + 0.5) / 1e6) < 1e-9, i
+
+    # frame_sample: ceil(n/FRAME_SIZE) frames, edge at 64/65 bytes
+    fr = {}
+    for r in QUERIES["multimodal_frame_sample"](spark, d).collect():
+        fr.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert 1 not in fr and 2 not in fr
+    assert sorted(fr[8]) == [0]        # exactly one frame
+    assert sorted(fr[9]) == [0, 1]     # 65 bytes -> frame + 1-byte tail
+    assert len(fr[5]) == 512 // FRAME_SIZE
+
+    # audio_rms: docs with < 2 bytes have NO windows (no full int16
+    # sample); odd trailing byte dropped; window edge at 512/514 bytes
+    au = {}
+    for r in QUERIES["multimodal_audio_rms"](spark, d).collect():
+        au.setdefault(r["doc_id"], []).append((r["window_idx"], r["n_samples"]))
+    assert 1 not in au and 2 not in au and 3 not in au
+    assert au[4] == [(0, 1)]
+    assert au[7] == [(0, 1)]                      # 3 bytes -> 1 sample
+    assert sorted(au[5]) == [(0, AUDIO_WINDOW)]   # exactly one full window
+    assert sorted(au[6]) == [(0, AUDIO_WINDOW), (1, 1)]
+
+    # byte_stats: NULL text keeps its row with NULL counts (projection,
+    # not aggregation -- presence semantics differ from the UDF family
+    # BY DESIGN and both engines agree)
+    bstats = {
+        r["doc_id"]: (r["n_bytes"], r["n_chars_exact"])
+        for r in QUERIES["multimodal_byte_stats"](spark, d).collect()
+    }
+    assert bstats[1] == (None, None) and bstats[2] == (0, 0)
+
+
+def test_oracles_agree_on_multimodal_boundary_fixture(spark, tmp_path):
+    """Gate leg of the fourteenth fixture: all four multimodal oracles
+    on the same adversarial parquet."""
+    import duckdb
+
+    d, _ = _multimodal_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "multimodal_byte_stats",
+            "multimodal_decode_features",
+            "multimodal_frame_sample",
+            "multimodal_audio_rms",
+        ],
+    )
+
+
+def _olap_r13_boundary_fixture(tmp_path):
+    """Fifteenth adversarial fixture (r15): the seventeen r13-latest
+    OLAP entries plus join_hints / unpivot / upsert on a TPC-H micro
+    schema where every nullable column actually goes NULL (quantities,
+    prices, discounts, dates, names, keys), foreign keys dangle in both
+    directions, a NULL-suppkey revenue group can HOLD the maximum, and
+    each query's filter constants (BUILDING/1998-03-15, 1997-Q1 + 'R',
+    sum_qty > 150, NATION_3, 'blue%' 1998, dormant-rich threshold) are
+    actually crossed so the differential pins populated results, not
+    vacuous empties. The hunt found and fixed ONE defect here:
+    unpivot_part's oracle used DuckDB UNPIVOT, which silently EXCLUDES
+    NULL cells, while Spark's unpivot keeps them (2 rows lost per NULL
+    metric) -- the oracle is now the explicit UNION ALL form. Returns
+    the fixture dir."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    import os
+
+    D = datetime
+    region = pd.DataFrame(
+        [(0, "AFRICA"), (1, "AMERICA"), (2, None), (3, "EUROPE")],
+        columns=["r_regionkey", "r_name"],
+    )
+    nation = pd.DataFrame(
+        [(0, "ALGERIA", 0), (1, "BRAZIL", 1), (2, "CANADA", 1), (3, None, 2),
+         (4, "FRANCE", 3), (5, "GERMANY", 3), (6, "EGYPT", None),
+         (7, "NATION_3", 0)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nation["n_regionkey"] = nation["n_regionkey"].astype("Int32")
+    customer = pd.DataFrame(
+        [(1, "Customer#1", 1, 100.0, "BUILDING"),
+         (2, "Customer#2", 2, -50.0, "AUTOMOBILE"),
+         (3, "Customer#3", 4, None, "BUILDING"),
+         (4, None, 5, 9999.0, None),
+         (5, "Customer#5", None, 0.0, "MACHINERY"),
+         (6, "Customer#6", 3, 5000.0, "BUILDING"),
+         (7, "Customer#7", 1, 8000.0, "FURNITURE"),
+         (8, "Customer#8", None, 7777.0, "BUILDING")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+    customer["c_nationkey"] = customer["c_nationkey"].astype("Int32")
+    supplier = pd.DataFrame(
+        [(1, "Supplier#1", 0, 10.0), (2, "Supplier#2", 1, None),
+         (3, "Supplier#3", 4, -5.0), (4, None, 5, 0.0),
+         (5, "Supplier#5", None, 77.0), (6, "Supplier#6", 7, 1.0),
+         (7, "Supplier#7", 7, 2.0)],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    supplier["s_nationkey"] = supplier["s_nationkey"].astype("Int32")
+    part = pd.DataFrame(
+        [(1, "green metal thing", "Brand#12", "PROMO POLISHED", 5, 100.0),
+         (2, "red shiny box", "Brand#12", "STANDARD BRUSHED", None, 200.5),
+         (3, "ivory forest case", "Brand#34", None, 10, None),
+         (4, None, None, "PROMO ANODIZED", 50, 0.0),
+         (5, "blue misty crate", "Brand#34", "ECONOMY PLATED", 23, 950.25)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    )
+    part["p_size"] = part["p_size"].astype("Int32")
+    orders = pd.DataFrame(
+        [(1, 1, "O", 100.0, D(1997, 9, 15), "1-URGENT"),
+         (2, 1, "F", 250.5, D(1997, 9, 1), "2-HIGH"),
+         (3, 2, "F", None, D(1995, 3, 10), None),
+         (4, 3, None, 4000.0, None, "3-MEDIUM"),
+         (5, None, "O", 77.25, D(1997, 9, 30), "1-URGENT"),
+         (6, 4, "F", 0.0, D(1993, 7, 4), "5-LOW"),
+         (7, 99, "O", 1234.5, D(1997, 10, 1), "4-NOT SPECIFIED"),
+         (8, 2, "F", 50.0, D(1994, 1, 1), "5-LOW"),
+         (9, 1, "O", 900.0, D(1998, 3, 1), "2-HIGH"),
+         (10, 6, "F", 333.0, D(1997, 2, 15), "1-URGENT"),
+         (11, 6, "O", 444.0, D(1997, 3, 1), "1-URGENT"),
+         (12, 2, "F", 5500.0, D(1996, 5, 5), "3-MEDIUM"),
+         (None, 5, "O", 10.0, D(1997, 6, 1), "5-LOW")],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    orders["o_orderkey"] = orders["o_orderkey"].astype("Int64")
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    lineitem = pd.DataFrame(
+        [(1, 1, 1, 1, 17.0, 1000.0, 0.05, 0.02, "N", "O", D(1997, 9, 20)),
+         (1, 2, 2, 2, None, 500.0, 0.0, 0.0, "R", "F", D(1997, 9, 21)),
+         (2, 1, 1, 1, 30.0, None, 0.1, 0.05, "A", "F", D(1997, 9, 5)),
+         (2, 3, 3, 2, 5.0, 200.0, None, 0.01, "R", "F", None),
+         (3, 4, 4, 1, 45.0, 4500.0, 0.07, None, None, "O", D(1995, 3, 15)),
+         (4, 5, 5, 1, 1.0, 950.25, 0.0, 0.0, "N", None, D(1996, 1, 2)),
+         (6, 1, 3, 1, 28.0, 2800.0, 0.02, 0.03, "R", "F", D(1993, 8, 1)),
+         (7, 2, 1, 1, 50.0, 10000.0, 0.09, 0.06, "A", "F", D(1997, 10, 5)),
+         (99, 1, 1, 1, 3.0, 111.0, 0.01, 0.0, "N", "O", D(1997, 9, 9)),
+         (8, 99, 99, 1, 7.0, 70.0, 0.0, 0.0, "R", "F", D(1994, 2, 1)),
+         (9, 1, 1, 1, 2.0, 500.0, None, 0.0, "N", "O", D(1998, 4, 2)),
+         (9, 2, 2, 2, 4.0, 800.0, 0.1, 0.0, "N", "O", D(1998, 3, 20)),
+         (10, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", D(1997, 3, 1)),
+         (11, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", D(1997, 3, 5)),
+         (12, 1, 1, 1, 120.0, 100.0, 0.0, 0.0, "N", "O", D(1996, 6, 1)),
+         (12, 2, 2, 2, 35.0, 100.0, 0.0, 0.0, "N", "O", D(1996, 6, 2)),
+         (12, 3, 3, 3, None, 100.0, 0.0, 0.0, "N", "O", D(1996, 6, 3)),
+         (8, 1, 1, 2, 1.0, 600.0, 0.0, 0.0, "N", "O", D(1997, 1, 10)),
+         (8, 1, 2, 3, 1.0, 300.0, 0.0, 0.0, "N", "O", D(1997, 2, 10)),
+         (8, 1, 2, 4, 1.0, 300.0, 0.0, 0.0, "N", "O", D(1997, 2, 11)),
+         (8, 1, None, 5, 1.0, 200.0, 0.0, 0.0, "N", "O", D(1997, 3, 3)),
+         (1, 1, 6, 3, 10.0, 50.0, 0.0, 0.0, "N", "O", D(1996, 8, 1)),
+         (2, 2, 7, 3, 1.0, 0.05, 0.0, 0.0, "N", "O", D(1996, 8, 2)),
+         (6, 5, 1, 2, 6.0, 10.0, 0.0, 0.0, "N", "O", D(1998, 5, 1)),
+         (6, 5, 2, 3, 4.0, 10.0, 0.0, 0.0, "N", "O", D(1998, 5, 2))],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    lineitem["l_linenumber"] = lineitem["l_linenumber"].astype("int32")
+    lineitem["l_suppkey"] = lineitem["l_suppkey"].astype("Int64")
+    lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
+    d = str(tmp_path / "olap_r13_boundary")
+    os.makedirs(d, exist_ok=True)
+    for name, df in [("region", region), ("nation", nation),
+                     ("customer", customer), ("supplier", supplier),
+                     ("part", part), ("orders", orders),
+                     ("lineitem", lineitem)]:
+        df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
+    return d
+
+
+def test_olap_r13_boundary_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the fifteenth fixture: the rows that cross
+    each filter threshold, derived by hand from the fixture tables."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d = _olap_r13_boundary_fixture(tmp_path)
+
+    # unpivot keeps NULL metrics: 5 parts x 2 metrics = 10 rows, with
+    # part 2's NULL size and part 3's NULL retailprice PRESENT
+    up = {
+        (r["p_partkey"], r["metric"]): r["val"]
+        for r in QUERIES["unpivot_part"](spark, d).collect()
+    }
+    assert len(up) == 10
+    assert up[(2, "size")] is None and up[(3, "retailprice")] is None
+
+    # large_orders: order 12 sums 120+35 = 155 > 150 with the NULL
+    # quantity line skipped by SUM, not zeroing the group
+    lo = QUERIES["olap_large_orders"](spark, d).collect()
+    assert [(r["o_orderkey"], r["sum_qty"]) for r in lo] == [(12, 155.0)]
+
+    # top_revenue_supplier: supplier 1 totals 620 in 1997-Q1 (600 + the
+    # two 10.0 semijoin-probe lines); the NULL-suppkey group's 200
+    # joins NO supplier and must not leak in
+    tr = QUERIES["olap_top_revenue_supplier"](spark, d).collect()
+    assert [(r["s_suppkey"], r["total_revenue"]) for r in tr] == [(1, 620.0)]
+
+    # dominant_supplier: part 5 ('blue...') ships 6 vs 4 in 1998 ->
+    # supplier 1 (60%) dominates, supplier 2 (40%) does not
+    ds = QUERIES["olap_dominant_supplier"](spark, d).collect()
+    assert [r["s_suppkey"] for r in ds] == [1]
+
+    # dormant_rich: customers 7 and 8 are above the positive-balance
+    # average and orderless; customer 8's NULL nationkey is a REAL
+    # group key
+    dr = {
+        r["c_nationkey"]: r["n_custs"]
+        for r in QUERIES["olap_dormant_rich_customers"](spark, d).collect()
+    }
+    assert dr == {1: 1, None: 1}
+
+    # order_priority_semijoin: of the two 1997-Q1 orders, only order 10
+    # has an 'R' lineitem
+    sj = QUERIES["olap_order_priority_semijoin"](spark, d).collect()
+    assert [(r["o_orderpriority"], r["n_orders"]) for r in sj] == [("1-URGENT", 1)]
+
+    # upsert: the NULL-orderkey base row matches no update and labels
+    # 'insert' (its key IS NULL -- the same label both engines give an
+    # inserted row; pinned as the agreed convention)
+    ups = QUERIES["upsert_full_outer"](spark, d).collect()
+    null_key = [r for r in ups if r["o_orderkey"] is None]
+    assert len(null_key) == 1 and null_key[0]["change_type"] == "insert"
+
+
+def test_oracles_agree_on_olap_r13_boundary_fixture(spark, tmp_path):
+    """Gate leg of the fifteenth fixture: twenty REGISTERED oracles on
+    the same adversarial parquet."""
+    import duckdb
+
+    d = _olap_r13_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "olap_disjunctive_brackets",
+            "olap_dominant_supplier",
+            "olap_dormant_rich_customers",
+            "olap_forecast_revenue",
+            "olap_important_stock",
+            "olap_large_orders",
+            "olap_local_supplier_volume",
+            "olap_order_count_distribution",
+            "olap_order_priority_semijoin",
+            "olap_priority_linecount",
+            "olap_promo_revenue",
+            "olap_regional_revenue",
+            "olap_returned_items",
+            "olap_shipping_priority",
+            "olap_small_quantity_avg",
+            "olap_supplier_part_types",
+            "olap_top_revenue_supplier",
+            "join_hints_shuffle_hash",
+            "unpivot_part",
+            "upsert_full_outer",
+        ],
+    )
+
+
+def _events_misc_boundary_fixture(tmp_path):
+    """Sixteenth adversarial fixture (r15): the flagship, dq_violations
+    and the count-min sketch on events with NULL user/type/value/ts,
+    out-of-domain types, out-of-range timestamps, malformed and
+    non-object JSON props, fractional/missing/non-numeric k values, and
+    two genuine heavy hitters. The hunt found and fixed TWO defects
+    here: (1) the flagship oracle carried an unguarded
+    CAST(json_extract_string(props,'k') AS BIGINT) -- the SAME class
+    json_extract_props had: DuckDB raises on malformed props and ROUNDS
+    >=.5 fractions where Spark's get_json_object+cast is lenient and
+    truncating; (2) only k_value's max_by was NULL-guarded on the Spark
+    side, so a user whose LATEST event carried a NULL event_type/value
+    deduped to NULLs where DuckDB's MAX_BY (which skips NULL values)
+    picks the latest NON-NULL pair -- and the NULL value then slipped
+    past the value<10 failure rule (user 1 here: latest known value
+    -3.0 must FAIL the export). The props probes stay inside the
+    parser-agreement subset: both engines' validity checks are
+    prefix-lenient in DIFFERENT ways on trailing-garbage JSON
+    ('{} junk', '42\\n,') and DuckDB additionally accepts trailing
+    commas and NaN -- that frontier is documented in dq_violations and
+    deliberately NOT probed. Returns (dir, events)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    import os
+
+    t = lambda k: datetime(2024, 1, 10) + timedelta(hours=k)
+    rows = [
+        (1, t(0), 1, "click", 5.0, '{"k": 42}'),
+        (2, t(1), 1, "view", -3.0, "{ba"),
+        (3, t(2), 1, None, None, None),
+        (4, t(3), 2, "refund", 10.0, "nul"),
+        (5, datetime(2022, 6, 1), 2, "click", 1.0, "null"),
+        (6, datetime(2026, 6, 1), 2, "view", 2.0, "[1,2]"),
+        (7, t(4), None, "purchase", 100.0, '{"k": "4.6"}'),
+        (8, t(5), 3, "error", 50.0, '{"k": 99}'),
+        (9, t(6), 3, "purchase", 9.0, '{"k": 81}'),
+        (10, t(7), 4, "purchase", 600.0, '{"k": "abc"}'),
+        (11, t(8), 4, "purchase", 10.0, '{"k": 81}'),
+        (12, t(9), 5, "purchase", 700.0, "{}"),
+        (13, t(10), 5, "signup", 501.0, '{"k": 51}'),
+        (14, t(11), 6, "view", 1000.0, '{"k": 20.9}'),
+        (15, t(12), 7, "click", None, '{"k": 6}'),
+        (16, None, 7, "view", 3.0, '{"k": 7}'),
+    ] + [
+        (100 + i, t(13 + i), 8, "click", 1.0, "{}") for i in range(12)
+    ] + [
+        (200 + i, t(26 + i), 9, "view", 2.0, "{}") for i in range(7)
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"]
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["user_id"] = ev["user_id"].astype("Int64")
+    d = str(tmp_path / "events_misc_boundary")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return d, ev
+
+
+def test_events_misc_boundary_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the sixteenth fixture."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d, _ = _events_misc_boundary_fixture(tmp_path)
+
+    # --- flagship: latest-NON-NULL dedup semantics per column ---
+    rep = {
+        (None if r["user_id"] is None else int(r["user_id"])):
+            (r["event_type"], r["value"], r["k_value"], r["performance"])
+        for r in QUERIES["exports_report_events"](spark, d).collect()
+    }
+    # user 1's LATEST event is all-NULL; latest non-null value is -3.0
+    # (< 10) -> FAILING, excluded. Before the r15 guard the NULL value
+    # slipped the rule and user 1 leaked into the report.
+    assert 1 not in rep
+    # user 3's latest is 'purchase' 9.0 (< 10) -> failing; user 2 out of
+    # the window entirely
+    assert 2 not in rep and 3 not in rep
+    assert rep[4] == ("purchase", 10.0, 81, "Export Winner Deals")
+    assert rep[5] == ("signup", 501.0, 51, "Secondary Export Deals")
+    # k 20.9 truncates to 20: NOT 'Failed In Scope' (k > 20 is strict)
+    assert rep[6] == ("view", 1000.0, 20, "Failed Out of Scope Deals")
+    # user 7: NULL-ts event ignored by the window filter; latest known
+    # value is NULL only -> value stays NULL, passes the <10 rule
+    assert rep[7][2] == 6 and rep[7][3] == "Failed Out of Scope Deals"
+    # NULL user_id is a real dedup group: latest k is '4.6' -> 4
+    assert rep[None][2] == 4 and rep[None][3] == "Deals Not Exported"
+
+    # --- dq_violations: NULL predicate inputs never count ---
+    dq = {
+        r["rule"]: (r["n_violations"], r["n_checked"])
+        for r in QUERIES["dq_violations"](spark, d).collect()
+    }
+    n = 16 + 12 + 7
+    assert dq["value_non_negative"] == (1, n)       # only -3.0; NULLs skip
+    assert dq["event_type_in_domain"] == (1, n)     # 'refund'; NULL skips
+    assert dq["ts_in_range"] == (2, n)              # 2022 + 2026; NULL skips
+    assert dq["props_valid_json"] == (2, n)         # '{ba' + 'nul'; NULL
+    #   props skips; 'null' and '[1,2]' are VALID JSON documents
+
+    # --- sketch_count_min: estimates never undercount; the two heavy
+    # hitters' exact counts are recovered exactly at this tiny scale ---
+    cm = {
+        r["user_id"]: (r["exact_cnt"], r["cm_est"], r["overcount"])
+        for r in QUERIES["sketch_count_min"](spark, d).collect()
+    }
+    assert cm[8][0] == 12 and cm[9][0] == 7
+    assert all(est >= exact for exact, est, _ in cm.values())
+    assert all(over == est - exact for exact, est, over in cm.values())
+
+
+def test_oracles_agree_on_events_misc_boundary_fixture(spark, tmp_path):
+    """Gate leg of the sixteenth fixture: the flagship, dq and count-min
+    oracles on the same adversarial parquet."""
+    import duckdb
+
+    d, _ = _events_misc_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        ["exports_report_events", "dq_violations", "sketch_count_min"],
+    )
