@@ -36,7 +36,7 @@ from monthly_report_etl_spark.functions.text import (
     stopword_regex,
     whitespace_tokens,
 )
-from monthly_report_etl_spark.functions.vectors import dot, l2_norm
+from monthly_report_etl_spark.functions.vectors import dot, l2_norm, read_vectors
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -854,7 +854,7 @@ COSINE_DUP_THRESHOLD = 0.4
 
 EMBEDDING_COSINE_ORACLE = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            list_reduce(list_prepend(0.0::DOUBLE,
@@ -880,7 +880,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sequential-fold arithmetic matches the oracle's list_reduce exactly
     (floating-point addition order is part of the contract).
     """
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     # norms hoisted out of the N^2 pair loop (same bit-exact argument as

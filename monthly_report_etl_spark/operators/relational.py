@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from monthly_report_etl_spark.functions.vectors import read_vectors
+
 _log = logging.getLogger(__name__)
 
 
@@ -1282,7 +1284,8 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 STANDARDIZE_ORACLE = """
 WITH u AS (
     SELECT vec_id, i - 1 AS dim, e[i] AS x
-    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v,
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE embedding IS NOT NULL) v,
          LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
 ),
 m AS (
@@ -1301,7 +1304,7 @@ def embeddings_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dim moments (64-row broadcast model) → normalized values in
     relational (vec, dim, z) form. Output limited to vec_id < 50 to keep
     the gate result small; the moments aggregate over ALL vectors."""
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     u = v.select("vec_id", F.posexplode("e").alias("dim", "x"))

@@ -33,13 +33,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from monthly_report_etl_spark.functions.vectors import dot, l2_norm
+from monthly_report_etl_spark.functions.vectors import dot, l2_norm, read_vectors
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query set
 
 KNN_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
 scored AS (
     SELECT q.query_id, v.vec_id AS neighbor_id,
@@ -75,7 +76,7 @@ def knn_brute_force(
     result total-ordered for the oracle. ``top_k`` defaults to the
     catalog's TOP_K; the recall@10 pytest gate passes 10.
     """
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     # norms hoisted out of the Q x N loop (bit-exact: same fold per
@@ -214,7 +215,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. re-attach vectors (corpus join + broadcast queries), exact cosine,
        per-query top-k window.
     """
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     bucket_udf = _bucket_array_udf()
@@ -324,7 +325,7 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, exact cosine re-rank — hash-checkable against
     ANN_LSH_ORACLE, which recomputes bucket ids, candidates and the
     re-rank in DuckDB. Plan shape identical to ann_lsh_topk."""
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     bucket_udf = _bucket_array_udf_int()
@@ -386,7 +387,8 @@ def _ann_lsh_oracle() -> str:
         )
     buckets = "\n    UNION ALL\n    ".join(table_selects)
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE embedding IS NOT NULL),
 qz AS (
     SELECT vec_id, e,
            list_transform(e, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS q
@@ -506,7 +508,7 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     super-linear in SCALE.md §8d). The paper's contract — partitions
     whose count grows with the corpus — is semdedup_kmeans_keep below,
     differentially tested against this rule on shared buckets."""
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     bucket_udf = _bucket_array_udf_int()
@@ -527,7 +529,7 @@ def semdedup_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth the k-means path's soundness/recall booleans are
     checked against — same role knn_brute_force plays for the ANN
     family. Fully oracle-recomputable (hash-checked per row)."""
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     b0 = v.select(
@@ -574,7 +576,8 @@ def _semdedup_oracle() -> str:
         )
         bit_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE embedding IS NOT NULL),
 qz AS (
     SELECT vec_id, e,
            list_transform(e, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT)) AS q
@@ -597,7 +600,8 @@ FROM b0 b LEFT JOIN nn ON nn.vec_id = b.vec_id
 
 
 SEMDEDUP_EXACT_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE embedding IS NOT NULL),
 nn AS (
     SELECT hi.vec_id, MAX(ROUND({_pair_cos_sql()}, 6)) AS nn_lower_cos
     FROM v hi JOIN v lo ON lo.vec_id < hi.vec_id
@@ -797,7 +801,7 @@ def train_ivf_centroids(
         # without the cache each iteration re-runs the scan + HOF
         # normalization (measured ~3x the training time)
         persisted = _normalized(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            read_vectors(spark, sf_dir).select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("e")
             )
         ).persist()
@@ -861,7 +865,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
     search over projected vectors — this wrapper's plan is unchanged.
     """
     v = _normalized(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        read_vectors(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     ).persist()  # shared by the training iterations' repeated actions
@@ -957,21 +961,47 @@ FROM ({KNN_ORACLE}) t
 """
 
 
+def _recall_flag(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """1-row aggregate: aggregate recall@k of ``approx`` against the
+    MEASURABLE exact rows, as a ``recall_ok`` boolean vs ``floor``.
+
+    r15 boundary fix (caught by the seventeenth fixture): the
+    denominator was the constant N_QUERIES * TOP_K, which over-counts
+    on any corpus where fewer query vectors exist, a query has fewer
+    than TOP_K neighbors, or a degenerate (zero-norm / formerly-NULL)
+    vector sits in the query id range — recall could never reach the
+    floor on such data even when the ANN result was EXACT row-for-row.
+    Invisible on the sf tables (exactly N_QUERIES well-formed queries
+    with >= TOP_K neighbors each, so the constant equalled the count).
+    Ground truth is the exact rows with a NON-NULL cosine — a zero-norm
+    query ranks all candidates at NULL, so 'recall' against its
+    arbitrary tiebreak order is meaningless; vacuously true when no
+    measurable ground truth exists at all."""
+    gt = exact.filter(F.col("cosine").isNotNull()).select(
+        "query_id", "neighbor_id"
+    )
+    marked = gt.join(
+        approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return marked.agg(
+        F.count("*").alias("_n_gt"), F.count("_hit").alias("_n_hit")
+    ).select(
+        F.when(F.col("_n_gt") > 0, F.col("_n_hit") / F.col("_n_gt") >= floor)
+        .otherwise(F.lit(True))
+        .alias("recall_ok")
+    )
+
+
 def ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k rows + a boolean asserting IVF aggregate recall@k >=
     IVF_RECALL_FLOOR against them (see IVF_CHECKED_ORACLE)."""
     exact = knn_brute_force(spark, sf_dir)
     ivf = ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    tot = (
-        exact.select("query_id", "neighbor_id")
-        .join(ivf, ["query_id", "neighbor_id"], "left_semi")
-        .agg(F.count("*").alias("n_hit"))  # 1 row
-    )
-    recall_ok = (
-        F.col("n_hit") / F.lit(N_QUERIES * TOP_K) >= IVF_RECALL_FLOOR
-    ).alias("recall_ok")
+    tot = _recall_flag(exact, ivf, IVF_RECALL_FLOOR)
     return exact.crossJoin(F.broadcast(tot)).select(
-        "query_id", "neighbor_id", "cosine", "rn", recall_ok
+        "query_id", "neighbor_id", "cosine", "rn", "recall_ok"
     )
 
 
@@ -987,7 +1017,7 @@ WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
            list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
                AS max_abs
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 s AS (
     SELECT vec_id, e, 127.0 / max_abs AS scale FROM v WHERE max_abs > 0
@@ -1018,7 +1048,7 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = F.col("embedding").cast("array<double>")
     v = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_vectors(spark, sf_dir)
         .select(
             "vec_id",
             e.alias("e"),
@@ -1218,7 +1248,7 @@ def semdedup_kmeans_keep(
     subset of semdedup_exact_global's; only recall (missed
     cross-cluster neighbors) is approximate, exactly the paper's trade.
     """
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     n = v.count()  # scalar model sizing, not a data path
@@ -1403,7 +1433,7 @@ def train_pq_codebooks(
     persisted = None  # the frame WE persisted (pre-filter), if owned
     if v is None:
         persisted = _normalized(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            read_vectors(spark, sf_dir).select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("e")
             )
         ).persist()
@@ -1501,7 +1531,7 @@ SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
            (acc, x) -> acc + x)), 6) AS norm_r,
        TRUE AS pq_fidelity_ok, TRUE AS pq_codes_ok
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 """
 
 
@@ -1523,7 +1553,7 @@ def pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog-boolean + pytest-recall pair.
     """
     v = _normalized(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        read_vectors(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     ).persist()  # shared by the training iterations' repeated actions
@@ -1537,7 +1567,7 @@ def pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pq_codes_ok"),
         )
         out = (
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            read_vectors(spark, sf_dir)
             .select(
                 "vec_id",
                 F.round(
@@ -1582,7 +1612,7 @@ def pq_adc_topk(
     import numpy as np
 
     v = _normalized(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        read_vectors(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
     ).persist()
@@ -1595,7 +1625,7 @@ def pq_adc_topk(
         v.unpersist()
     C = np.array(codebooks)  # M x K x dsub
     queries = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_vectors(spark, sf_dir)
         .filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .collect()
@@ -1646,7 +1676,7 @@ def pq_adc_topk(
     )
     # exact re-rank of the model-sized shortlist only (norms hoisted,
     # same bit-exact chain as the other cosine paths)
-    vn = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    vn = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("nc", l2_norm(F.col("e")))
     qv = vn.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1706,16 +1736,9 @@ def pq_adc_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops the overlap and flips the hash."""
     exact = knn_brute_force(spark, sf_dir)
     adc = pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    tot = (
-        exact.select("query_id", "neighbor_id")
-        .join(adc, ["query_id", "neighbor_id"], "left_semi")
-        .agg(F.count("*").alias("n_hit"))  # 1 row
-    )
-    recall_ok = (
-        F.col("n_hit") / F.lit(N_QUERIES * TOP_K) >= PQ_ADC_RECALL_FLOOR
-    ).alias("recall_ok")
+    tot = _recall_flag(exact, adc, PQ_ADC_RECALL_FLOOR)
     return exact.crossJoin(F.broadcast(tot)).select(
-        "query_id", "neighbor_id", "cosine", "rn", recall_ok
+        "query_id", "neighbor_id", "cosine", "rn", "recall_ok"
     )
 
 
@@ -1781,7 +1804,7 @@ def train_pca_model(
     sign-dependent may ever be hash-pinned)."""
     import numpy as np
 
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     rows = v.select("e").mapInPandas(
@@ -1845,7 +1868,7 @@ def pca_project(spark: SparkSession, sf_dir: str, r: int = PCA_R) -> DataFrame:
             }
         )
 
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    v = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return v.withColumn("p", project(F.col("e"))).select(
@@ -1859,7 +1882,7 @@ SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
            (acc, x) -> acc + x)), 6) AS norm_r,
        TRUE AS pca_var_ok, TRUE AS pca_recon_ok
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 """
 
 
@@ -1884,7 +1907,7 @@ def pca_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("recon_cos") >= PCA_RECON_COS_FLOOR).alias("pca_recon_ok"),
     )
     return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_vectors(spark, sf_dir)
         .select(
             "vec_id",
             F.round(
@@ -1961,7 +1984,7 @@ def pca_ivf_topk(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFr
         spark, sf_dir, v, top_k * PCA_IVF_SHORTLIST_MULT
     ).select("query_id", "neighbor_id")
 
-    full = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    full = read_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("nrm", l2_norm(F.col("e")))
     # no forced broadcast on the shortlist or query set (VERDICT r10 #6,
@@ -2008,16 +2031,9 @@ def pca_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse, probe routing) drops the overlap and flips the hash."""
     exact = knn_brute_force(spark, sf_dir)
     approx = pca_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    tot = (
-        exact.select("query_id", "neighbor_id")
-        .join(approx, ["query_id", "neighbor_id"], "left_semi")
-        .agg(F.count("*").alias("n_hit"))  # 1 row
-    )
-    recall_ok = (
-        F.col("n_hit") / F.lit(N_QUERIES * TOP_K) >= PCA_IVF_RECALL_FLOOR
-    ).alias("recall_ok")
+    tot = _recall_flag(exact, approx, PCA_IVF_RECALL_FLOOR)
     return exact.crossJoin(F.broadcast(tot)).select(
-        "query_id", "neighbor_id", "cosine", "rn", recall_ok
+        "query_id", "neighbor_id", "cosine", "rn", "recall_ok"
     )
 
 

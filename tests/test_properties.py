@@ -4372,3 +4372,155 @@ def test_oracles_agree_on_events_misc_boundary_fixture(spark, tmp_path):
         d,
         ["exports_report_events", "dq_violations", "sketch_count_min"],
     )
+
+
+def _embeddings_boundary_fixture(tmp_path):
+    """Seventeenth adversarial fixture (r15, hunt continuation into the
+    vector family): the embeddings entries on NULL / zero-norm /
+    constant / duplicated / negated vectors and NULL labels. The hunt
+    found and fixed TWO defect classes here: (1) a single NULL embedding
+    row CRASHED every numpy-matmul entry (LSH bucketing, IVF/PQ/k-means
+    train+assign, PCA projection -- np.stack over an Arrow batch
+    containing None raises ValueError and fails the whole job, the same
+    crash class as the multimodal bytes(None)); all embeddings scans now
+    go through functions.vectors.read_vectors, which drops NULL-vector
+    rows AT THE SCAN (IsNotNull pushes into the parquet reader), and
+    every embeddings oracle mirrors it with WHERE embedding IS NOT
+    NULL; (2) the three recall-checked entries divided by the CONSTANT
+    N_QUERIES * TOP_K, so on any corpus with fewer queries / fewer than
+    TOP_K neighbors per query / a zero-norm query (whose ground truth
+    is an arbitrary NULL-cosine tiebreak), recall_ok could never reach
+    the floor even when the ANN rows were EXACT -- recall is now
+    measured against the exact rows with a non-NULL cosine, vacuously
+    true when no measurable ground truth exists. Returns (dir, emb)."""
+    import numpy as np
+    import pandas as pd
+
+    import os
+
+    DIM = 64
+
+    def vec(seed, scale=1.0):
+        rng = np.random.RandomState(seed)
+        return (rng.randn(DIM) * scale).astype(np.float32).tolist()
+
+    rows = [
+        (0, vec(1), 0),                    # normal query
+        (1, [0.0] * DIM, 1),               # zero-vector query: no ground truth
+        (2, None, 0),                      # NULL embedding query: not a vector
+        (3, vec(3), None),                 # NULL label
+        (4, [1.0] * DIM, 2),               # constant query
+        (10, vec(1), 0),                   # exact duplicate of q0 -> cos 1
+        (11, [-x for x in vec(1)], 0),     # negation -> cos -1
+        (12, vec(12), 1),
+        (13, vec(13), 2),
+        (14, [0.0] * DIM, 1),              # zero corpus vector
+        (15, None, None),                  # NULL corpus vector
+        (16, [2.0] * DIM, 2),              # parallel to q4 -> cos 1
+        (17, vec(17), 0),
+        (18, vec(18), 1),
+        (19, vec(12), 2),                  # duplicate of 12
+    ] + [(i, vec(i), i % 3) for i in range(20, 40)]
+    emb = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    emb["label"] = emb["label"].astype("Int32")
+    d = str(tmp_path / "embeddings_boundary")
+    os.makedirs(d, exist_ok=True)
+    emb.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+    docs = pd.DataFrame(
+        [(i, f"doc {i} text here", "en", "web", 15) for i in range(40)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d, emb
+
+
+def test_embeddings_boundary_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the seventeenth fixture."""
+    import numpy as np
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d, emb = _embeddings_boundary_fixture(tmp_path)
+
+    # knn: NULL vectors are NOT in the index (neither as query nor as
+    # neighbor); the zero-norm query ranks every candidate at NULL
+    # cosine; exact duplicate / negation pin cos 1 and -1
+    knn = {}
+    for r in QUERIES["similarity_knn_brute_force"](spark, d).collect():
+        knn.setdefault(r["query_id"], []).append(
+            (r["rn"], r["neighbor_id"], r["cosine"])
+        )
+    assert 2 not in knn                       # NULL query dropped
+    assert all(15 != n for rows in knn.values() for _, n, _ in rows)
+    assert knn[0][0] == (1, 10, 1.0)          # duplicate is the top hit
+    assert min(c for _, _, c in knn[0] if c is not None) > -1.0
+    neg = [
+        (n, c) for _, n, c in knn[0] if n == 11
+    ]  # negation never in top-5 (cos -1 ranks last)
+    assert neg == []
+    assert all(c is None for _, _, c in knn[1])  # zero query: all NULL cos
+    assert knn[4][0][1] == 16 and knn[4][0][2] == 1.0  # parallel vector
+
+    # recall-checked entries: rows are the exact ones, and the flag is
+    # measured against MEASURABLE ground truth -> True even with the
+    # zero-norm query in range
+    for name in ("similarity_ivf_topk", "similarity_pca_ivf",
+                 "similarity_pq_adc"):
+        rows = QUERIES[name](spark, d).collect()
+        assert rows and all(r["recall_ok"] for r in rows), name
+
+    # quantize: zero vector has no scale (max_abs = 0) -> absent;
+    # NULL vector absent; everything else scales within int8
+    q = {r["vec_id"]: r["scale_r"]
+         for r in QUERIES["embeddings_quantize_int8"](spark, d).collect()}
+    assert 1 not in q and 14 not in q and 2 not in q and 15 not in q
+    assert abs(q[4] - 127.0) < 1e-6           # constant 1.0 -> scale 127
+
+    # standardize: per-dim z over the 38 non-NULL vectors only
+    st = QUERIES["embeddings_standardize"](spark, d).toPandas()
+    assert set(st[st.vec_id == 2].index) == set()  # NULL vector absent
+    assert st.dim.nunique() == 64
+
+    # embedding-cosine dedup: the exact duplicate pair (0,10) and the
+    # parallel pair (4,16) are flagged; vec 12/19 duplicates too
+    dup = {(r["vec_a"], r["vec_b"])
+           for r in QUERIES["dedup_embedding_cosine"](spark, d).collect()}
+    assert (0, 10) in dup and (4, 16) in dup and (12, 19) in dup
+
+
+def test_oracles_agree_on_embeddings_boundary_fixture(spark, tmp_path):
+    """Gate leg of the seventeenth fixture: all thirteen vector-family
+    oracles on the same adversarial parquet -- including the three
+    r14-latest entries (dedup_semdedup, dedup_semdedup_kmeans,
+    embeddings_pq) whose shared read_vectors change rides receipts
+    until their r17 cohort rows; this differential, running on every
+    pytest invocation, is that receipt."""
+    import duckdb
+
+    d, _ = _embeddings_boundary_fixture(tmp_path)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(
+        spark,
+        con,
+        d,
+        [
+            "similarity_knn_brute_force",
+            "similarity_ann_lsh",
+            "similarity_ivf_topk",
+            "similarity_pca_ivf",
+            "similarity_pq_adc",
+            "dedup_embedding_cosine",
+            "embeddings_pca",
+            "embeddings_quantize_int8",
+            "embeddings_standardize",
+            "dedup_semdedup",
+            "dedup_semdedup_exact",
+            "dedup_semdedup_kmeans",
+            "embeddings_pq",
+        ],
+    )
