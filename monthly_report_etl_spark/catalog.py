@@ -377,15 +377,26 @@ def exists_over_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     events per user) needs the capped pattern in
     ``analytics.events_user_sequences``; for a pure existence test the
     collect is avoidable outright (``bool_or`` pre-aggregation, as the
-    oracle shows)."""
+    oracle shows).
+
+    NULL boundary (r15 hunt): ``F.exists`` is three-valued — a group
+    with no TRUE element and at least one NULL predicate result (a NULL
+    event_type/value row) returned NULL, where SQL EXISTS (the J3
+    semantics this entry mirrors, and the oracle's NULL-skipping
+    bool_or) is strictly two-valued. coalesce(..., false) pins the
+    EXISTS contract: 'no qualifying row found' is FALSE, not unknown."""
     ev = _t(spark, sf_dir, "events")
     collected = ev.groupBy("user_id").agg(
         F.collect_list(F.struct("event_type", "value")).alias("evs")
     )
     return collected.select(
         "user_id",
-        F.exists(
-            "evs", lambda e: (e["event_type"] == "purchase") & (e["value"] > 500)
+        F.coalesce(
+            F.exists(
+                "evs",
+                lambda e: (e["event_type"] == "purchase") & (e["value"] > 500),
+            ),
+            F.lit(False),
         ).alias("has_big_purchase"),
     )
 
@@ -566,7 +577,8 @@ def global_denominators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT segment, priority, month, order_count,
            CAST(RANK() OVER (PARTITION BY segment, month
-                             ORDER BY order_count DESC, priority) AS BIGINT)
+                             ORDER BY order_count DESC,
+                                      priority ASC NULLS LAST) AS BIGINT)
                AS rank_in_segment
     FROM counts
     """,
@@ -574,7 +586,14 @@ def global_denominators(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rank_in_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/A5: competition rank within (segment, month) by count — the
     rank-in-tier pattern (run_exports_query.py:121-125); priority tiebreak
-    keeps cross-engine determinism."""
+    keeps cross-engine determinism.
+
+    NULLS LAST pinned explicitly on the tiebreak (r15 boundary hunt):
+    Spark's bare ascending sort is NULLS FIRST, DuckDB's is NULLS LAST,
+    so a NULL-priority group tying on order_count ranked FIRST on the
+    Spark side and LAST in the oracle — shifting every other rank in the
+    partition. Unknown sorts last; invisible on the sf tables (no NULL
+    priorities)."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     months = [F.lit(f"2000-0{m}-01").cast("timestamp") for m in (4, 5, 6)]
@@ -588,7 +607,9 @@ def rank_in_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("o_orderkey").alias("order_count"))
     )
-    w = Window.partitionBy("segment", "month").orderBy(F.desc("order_count"), F.col("priority"))
+    w = Window.partitionBy("segment", "month").orderBy(
+        F.desc("order_count"), F.col("priority").asc_nulls_last()
+    )
     return counts.withColumn("rank_in_segment", F.rank().over(w).cast("long"))
 
 
@@ -606,7 +627,8 @@ def rank_in_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT *, RANK() OVER (PARTITION BY segment, month
-                               ORDER BY order_count DESC, priority) AS r
+                               ORDER BY order_count DESC,
+                                        priority ASC NULLS LAST) AS r
         FROM counts
     ),
     pivoted AS (
@@ -641,7 +663,12 @@ def rank_pivot_merge_back(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("order_count"))
     )
-    w = Window.partitionBy("segment", "month").orderBy(F.desc("order_count"), F.col("priority"))
+    # NULLS LAST pinned on the tiebreak: same r15 fix as
+    # rank_in_segment_month (a NULL-priority tie ranked FIRST in Spark's
+    # default ascending sort, LAST in DuckDB's)
+    w = Window.partitionBy("segment", "month").orderBy(
+        F.desc("order_count"), F.col("priority").asc_nulls_last()
+    )
     ranked = counts.withColumn("r", F.rank().over(w))
     pivoted = ranked.groupBy("segment", "priority").agg(
         F.coalesce(F.max(F.when(F.col("month") == m1, F.col("r"))), F.lit(0))

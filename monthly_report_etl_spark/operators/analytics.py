@@ -355,7 +355,7 @@ WITH ranked AS (
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts DESC, event_id DESC) AS rn,
            COUNT(*) OVER (PARTITION BY user_id) AS n_total
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
@@ -379,8 +379,15 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-count window, and the final aggregation all key by user_id
     (subset-clustering — asserted by test_single_exchange_analytics).
     The shuffle carries event type + two keys, never the full rows; no
-    per-user state ever exceeds MAX_SEQ_EVENTS collected structs."""
-    ev = _t(spark, sf_dir, "events")
+    per-user state ever exceeds MAX_SEQ_EVENTS collected structs.
+
+    NULL event time (r15 boundary hunt, uniform with the streaming
+    window entries): an event with no timestamp has no place in a
+    CHRONOLOGICAL sequence — and the engines disagree on where to put
+    one (Spark's array_sort over (ts, ...) structs orders a NULL ts
+    FIRST; DuckDB's string_agg ORDER BY ts puts it LAST, silently
+    reversing the training string). Filtered out on both sides."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_rn = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     w_all = Window.partitionBy("user_id")
     kept = (

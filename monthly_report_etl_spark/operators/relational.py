@@ -732,15 +732,29 @@ def sketch_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only for the SQL gate; the error-bound differential vs the exact
     answers is in pytest."""
     o = _t(spark, sf_dir, "orders")
+    # n_prices guard (r15 boundary hunt): kll_sketch_agg_double over a
+    # group whose prices are ALL NULL produces an EMPTY sketch buffer,
+    # and kll_sketch_get_quantile_double RAISES on it
+    # (KLL_INVALID_INPUT_SKETCH_BUFFER) — one all-NULL group killed the
+    # whole job. The quantile is only asked of sketches that saw data;
+    # a no-data group's p50 is NULL (and empty sketches stay out of the
+    # ALL-row merge the same way).
     per = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("hll"),
         F.kll_sketch_agg_double("o_totalprice").alias("kll"),
+        F.count("o_totalprice").alias("n_prices"),
     )
     per = per.localCheckpoint()  # one scan of orders; totals merge from 5 rows
     detail = per.select(
         "o_orderpriority",
         F.hll_sketch_estimate("hll").alias("distinct_custs_est"),
-        F.round(F.kll_sketch_get_quantile_double("kll", F.lit(0.5)), 2).alias("p50_price_est"),
+        F.round(
+            F.when(
+                F.col("n_prices") > 0,
+                F.kll_sketch_get_quantile_double("kll", F.lit(0.5)),
+            ),
+            2,
+        ).alias("p50_price_est"),
     )
     # hll_union_agg is a native aggregate; KLL's merge is a BINARY scalar
     # (DataSketches API shape), so the 5 per-group partials fold through
@@ -753,14 +767,21 @@ def sketch_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = (
         per.agg(
             F.hll_union_agg("hll").alias("hll"),
-            F.collect_list("kll").alias("ks"),
+            # collect_list skips NULL: empty sketches never reach the merge
+            F.collect_list(
+                F.when(F.col("n_prices") > 0, F.col("kll"))
+            ).alias("ks"),
         )
         .select(
             F.lit("ALL").alias("o_orderpriority"),
             F.hll_sketch_estimate("hll").alias("distinct_custs_est"),
-            F.round(F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.5)), 2).alias(
-                "p50_price_est"
-            ),
+            F.round(
+                F.when(
+                    F.size("ks") > 0,
+                    F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.5)),
+                ),
+                2,
+            ).alias("p50_price_est"),
         )
     )
     return detail.unionByName(total)
@@ -813,23 +834,41 @@ def sketch_partial_merge_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_price_est",
     )
     o_tagged = o.select("o_orderpriority", "o_totalprice")
+    # r15 boundary fixes (caught by the sixteenth/fifteenth fixtures):
+    # (1) eqNullSafe — a REAL NULL priority group fell out of both the
+    #     rank join and the exact-count join (NULL == NULL is NULL), so
+    #     the Spark side LOST the group the oracle reports;
+    # (2) rank denominator counts non-NULL prices only (the sketch never
+    #     saw NULL inputs; count(*) biased the rank low);
+    # (3) the point-rank check is WRONG under ties and tiny groups — the
+    #     exact median of [0, 10, 50] has rank 2/3, and a 1-row group
+    #     ranks its own median at 1.0, failing the ±tol band even though
+    #     the estimate is EXACTLY right. The bound KLL actually
+    #     guarantees is two-sided: rank(< est) <= 0.5+tol AND
+    #     rank(<= est) >= 0.5-tol, i.e. the estimate's rank INTERVAL
+    #     (which has positive width at every tie) intersects the band.
+    #     Vacuously true when a group has no non-NULL prices at all.
     ranks = (
         o_tagged.join(
             F.broadcast(keyed.select("grp", "p50_price_est")),
-            (F.col("o_orderpriority") == F.col("grp")) | (F.col("grp") == "ALL"),
+            F.col("o_orderpriority").eqNullSafe(F.col("grp"))
+            | (F.col("grp") == "ALL"),
         )
-        .groupBy("grp")
+        .groupBy(F.col("grp").alias("_rgrp"))
         .agg(
             (
+                F.sum((F.col("o_totalprice") < F.col("p50_price_est")).cast("long"))
+                / F.count("o_totalprice")
+            ).alias("rank_lt"),
+            (
                 F.sum((F.col("o_totalprice") <= F.col("p50_price_est")).cast("long"))
-                / F.count("*")
-            ).alias("est_rank")
+                / F.count("o_totalprice")
+            ).alias("rank_le"),
         )
     )
-    joined = (
-        keyed.join(exact, keyed["grp"] == exact["o_orderpriority"])
-        .join(ranks, "grp")
-    )
+    joined = keyed.join(
+        exact, keyed["grp"].eqNullSafe(exact["o_orderpriority"])
+    ).join(ranks, F.col("grp").eqNullSafe(F.col("_rgrp")))
     return joined.select(
         F.col("grp").alias("o_orderpriority"),
         "exact_distinct_custs",
@@ -837,9 +876,10 @@ def sketch_partial_merge_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("distinct_custs_est") - F.col("exact_distinct_custs"))
             <= F.greatest(F.lit(2.0), HLL_REL_TOL * F.col("exact_distinct_custs"))
         ).alias("hll_ok"),
-        (
-            (F.col("est_rank") >= 0.5 - KLL_RANK_TOL)
-            & (F.col("est_rank") <= 0.5 + KLL_RANK_TOL)
+        F.coalesce(
+            (F.col("rank_lt") <= 0.5 + KLL_RANK_TOL)
+            & (F.col("rank_le") >= 0.5 - KLL_RANK_TOL),
+            F.lit(True),
         ).alias("p50_ok"),
     )
 
@@ -865,14 +905,27 @@ def approx_aggregates_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     both = est.crossJoin(F.broadcast(exact))
+    # r15 boundary fixes (sixteenth fixture): the rank denominator is
+    # count(value), NOT count(*) — percentile_approx ignores NULL values
+    # and so does the numerator's NULL comparison, so counting NULL rows
+    # biased the rank low. And the point-rank check is wrong under TIES:
+    # when a mass of duplicates sits at the median (rank(<= est) jumps
+    # from 0.42 to 0.67 across one value), no estimate can land inside a
+    # ±0.02 band. The guarantee percentile_approx actually makes is
+    # two-sided: the estimate's rank INTERVAL [rank(< est), rank(<= est)]
+    # intersects 0.5 ± tol. Vacuously true when no non-NULL values exist.
     med_rank = (
         ev.select("value")
         .crossJoin(F.broadcast(est.select("approx_median_value")))
         .agg(
             (
+                F.sum((F.col("value") < F.col("approx_median_value")).cast("long"))
+                / F.count("value")
+            ).alias("rank_lt"),
+            (
                 F.sum((F.col("value") <= F.col("approx_median_value")).cast("long"))
-                / F.count("*")
-            ).alias("est_rank")
+                / F.count("value")
+            ).alias("rank_le"),
         )
     )
     return both.crossJoin(F.broadcast(med_rank)).select(
@@ -883,8 +936,9 @@ def approx_aggregates_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(3.0), 0.06 * F.col("exact_users"))
         ).alias("users_ok"),
         (F.col("approx_types") == F.col("exact_types")).alias("types_ok"),
-        (
-            (F.col("est_rank") >= 0.5 - 0.02) & (F.col("est_rank") <= 0.5 + 0.02)
+        F.coalesce(
+            (F.col("rank_lt") <= 0.5 + 0.02) & (F.col("rank_le") >= 0.5 - 0.02),
+            F.lit(True),
         ).alias("median_ok"),
     )
 

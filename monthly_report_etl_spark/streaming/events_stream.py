@@ -224,7 +224,7 @@ WITH marked AS (
                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_new,
            event_id
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ),
 numbered AS (
     SELECT user_id, ts,
@@ -247,10 +247,19 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle keyed by user_id serves both window passes (same
     partitioning); session stats come from the subsequent hash agg on
     (user_id, session_id) — co-partitioned, no extra exchange.
+
+    NULL event time (r15 boundary hunt): a session is DEFINED by time
+    gaps, so an event with no timestamp cannot belong to one — and the
+    engines disagreed on what to do with it (Spark's NULLS-FIRST sort
+    gave it its own session; DuckDB's NULLS-LAST lag comparison
+    silently merged it into the user's last session). Filtered out on
+    both sides, the same convention as the tumbling windows and the
+    sequence corpus (a streaming source would never emit it: no event
+    time, no watermark).
     """
     from monthly_report_etl_spark.catalog import _events
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Full microsecond precision: cast('long') truncates to seconds, which
     # would split a gap in (1800s, 1801s] differently from the INTERVAL
@@ -318,13 +327,18 @@ def run_stateful_counts_once(spark: SparkSession, sf_dir: str, query_name: str =
     return spark.table(query_name)
 
 
-# batch tumbling-window counts — same windowing semantics, oracle-checkable
+# batch tumbling-window counts — same windowing semantics, oracle-checkable.
+# WHERE ts IS NOT NULL (r15): Spark's window() EXCLUDES rows whose event
+# time is NULL (no timestamp -> no window, the streaming semantics), while
+# a bare date_trunc group kept a NULL window row — the oracle now mirrors
+# the drop.
 TUMBLING_WINDOW_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 2) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 

@@ -3897,6 +3897,7 @@ def test_oracles_agree_on_r13_text_corpus_boundary_fixture(spark, tmp_path):
             "corpus_train_val_test_split",
             "corpus_feature_hashing",
             "corpus_chunk_documents_udtf",
+            "jsonl_roundtrip_docs",
         ],
     )
 
@@ -4095,7 +4096,22 @@ def _olap_r13_boundary_fixture(tmp_path):
          (10, 6, "F", 333.0, D(1997, 2, 15), "1-URGENT"),
          (11, 6, "O", 444.0, D(1997, 3, 1), "1-URGENT"),
          (12, 2, "F", 5500.0, D(1996, 5, 5), "3-MEDIUM"),
-         (None, 5, "O", 10.0, D(1997, 6, 1), "5-LOW")],
+         (None, 5, "O", 10.0, D(1997, 6, 1), "5-LOW"),
+         # rank-entry probes (2000-04/05/06 windows): a THREE-WAY count
+         # tie in April where one group has a NULL priority -- the
+         # tiebreak divergence the r15 hunt caught (Spark's bare asc
+         # sort is NULLS FIRST, DuckDB's NULLS LAST; now pinned NULLS
+         # LAST both sides); May has a NULL-priority group winning by
+         # count; June spans a NULL segment and a NULL custkey
+         (20, 1, "O", 10.0, D(2000, 4, 5), "1-URGENT"),
+         (21, 1, "O", 10.0, D(2000, 4, 6), "2-HIGH"),
+         (22, 1, "O", 10.0, D(2000, 4, 7), None),
+         (23, 2, "O", 10.0, D(2000, 5, 5), "1-URGENT"),
+         (24, 2, "O", 10.0, D(2000, 5, 6), None),
+         (25, 2, "O", 10.0, D(2000, 5, 7), None),
+         (26, 6, "O", 10.0, D(2000, 6, 5), "3-MEDIUM"),
+         (27, None, "O", 10.0, D(2000, 6, 6), "1-URGENT"),
+         (28, 4, "O", 10.0, D(2000, 6, 7), "1-URGENT")],
         columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                  "o_orderdate", "o_orderpriority"],
     )
@@ -4198,6 +4214,21 @@ def test_olap_r13_boundary_hand_derivation(spark, tmp_path):
     null_key = [r for r in ups if r["o_orderkey"] is None]
     assert len(null_key) == 1 and null_key[0]["change_type"] == "insert"
 
+    # rank_in_segment_month: April's three-way count tie includes a
+    # NULL-priority group -- under the pinned NULLS-LAST tiebreak it
+    # ranks THIRD (Spark's default NULLS-FIRST asc ranked it first,
+    # shifting every other rank: the r15 divergence this fixture caught)
+    rk = {
+        (r["segment"], str(r["month"])[:7], r["priority"]): r["rank_in_segment"]
+        for r in QUERIES["rank_in_segment_month"](spark, d).collect()
+    }
+    assert rk[("BUILDING", "2000-04", "1-URGENT")] == 1
+    assert rk[("BUILDING", "2000-04", "2-HIGH")] == 2
+    assert rk[("BUILDING", "2000-04", None)] == 3
+    assert rk[("AUTOMOBILE", "2000-05", None)] == 1  # count 2 beats count 1
+    assert rk[(None, "2000-06", "1-URGENT")] == 1    # NULL segment is a
+    #   real partition (order 28's customer has a NULL mktsegment)
+
 
 def test_oracles_agree_on_olap_r13_boundary_fixture(spark, tmp_path):
     """Gate leg of the fifteenth fixture: twenty REGISTERED oracles on
@@ -4237,6 +4268,19 @@ def test_oracles_agree_on_olap_r13_boundary_fixture(spark, tmp_path):
             "join_hints_shuffle_hash",
             "unpivot_part",
             "upsert_full_outer",
+            # r15 second pass: the remaining TPC-H-backed entries, incl
+            # the rank pair whose NULL-priority tiebreak this fixture
+            # caught diverging (now pinned NULLS LAST both sides)
+            "pricing_summary",
+            "olap_market_share",
+            "olap_cheapest_supplier",
+            "olap_product_profit",
+            "olap_yearly_growth",
+            "olap_nation_pair_volume",
+            "salted_join",
+            "null_profile_orders",
+            "rank_in_segment_month",
+            "rank_pivot_merge_back",
         ],
     )
 
@@ -4290,6 +4334,20 @@ def _events_misc_boundary_fixture(tmp_path):
         (100 + i, t(13 + i), 8, "click", 1.0, "{}") for i in range(12)
     ] + [
         (200 + i, t(26 + i), 9, "view", 2.0, "{}") for i in range(7)
+    ] + [
+        # last-touch attribution probes (r15 second pass; users 10-12,
+        # OUTSIDE the flagship window so the report asserts above hold):
+        # the 1h window is INCLUSIVE at exactly -1h, exclusive 1us
+        # beyond, clicks after the purchase never attribute, and the
+        # LATEST in-window click wins
+        (300, datetime(2024, 2, 1, 11, 0, 0), 10, "click", 1.0, "{}"),
+        (301, datetime(2024, 2, 1, 10, 59, 59, 999999), 10, "click", 1.0, "{}"),
+        (302, datetime(2024, 2, 1, 11, 30, 0), 10, "click", 1.0, "{}"),
+        (303, datetime(2024, 2, 1, 12, 0, 0, 1), 10, "click", 1.0, "{}"),
+        (304, datetime(2024, 2, 1, 12, 0, 0), 10, "purchase", 99.0, "{}"),
+        (305, datetime(2024, 2, 3, 9, 0, 0), 11, "purchase", 50.0, "{}"),
+        (306, datetime(2024, 2, 4, 8, 0, 0), 12, "click", 1.0, "{}"),
+        (307, datetime(2024, 2, 4, 9, 0, 0), 12, "purchase", 20.0, "{}"),
     ]
     ev = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value",
@@ -4300,6 +4358,24 @@ def _events_misc_boundary_fixture(tmp_path):
     d = str(tmp_path / "events_misc_boundary")
     os.makedirs(d, exist_ok=True)
     ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    # a small orders table so the events/orders pair entries
+    # (month_membership_filter, sketch_partial_merge,
+    # range_join_bucketized) gate here too -- NULL priority, NULL price,
+    # NULL date, NULL custkey all present
+    orders = pd.DataFrame(
+        [(1, 1, "O", 100.0, datetime(2024, 1, 10), "1-URGENT"),
+         (2, 1, "F", 250.5, datetime(2024, 1, 12), "2-HIGH"),
+         (3, 2, "F", None, datetime(2024, 1, 15), None),
+         (4, 3, None, 4000.0, None, "3-MEDIUM"),
+         (5, None, "O", 77.25, datetime(2024, 2, 2), "1-URGENT"),
+         (6, 4, "F", 0.0, datetime(2023, 12, 30), "5-LOW"),
+         (7, 2, "O", 50.0, datetime(2024, 3, 1), "5-LOW")],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
     return d, ev
 
 
@@ -4337,12 +4413,24 @@ def test_events_misc_boundary_hand_derivation(spark, tmp_path):
         r["rule"]: (r["n_violations"], r["n_checked"])
         for r in QUERIES["dq_violations"](spark, d).collect()
     }
-    n = 16 + 12 + 7
+    n = 16 + 12 + 7 + 8
     assert dq["value_non_negative"] == (1, n)       # only -3.0; NULLs skip
     assert dq["event_type_in_domain"] == (1, n)     # 'refund'; NULL skips
     assert dq["ts_in_range"] == (2, n)              # 2022 + 2026; NULL skips
     assert dq["props_valid_json"] == (2, n)         # '{ba' + 'nul'; NULL
     #   props skips; 'null' and '[1,2]' are VALID JSON documents
+
+    # --- last-touch attribution: window-edge semantics ---
+    att = {
+        r["purchase_id"]: (r["attributed_click_id"], r["attributed_click_ts"])
+        for r in QUERIES["events_last_touch_attribution"](spark, d).collect()
+    }
+    assert att[304][0] == 302   # LATEST in-window click wins (not the
+    #   exactly-1h-earlier 300, not the 1us-too-early 301, never the
+    #   1us-after-purchase 303)
+    assert att[307][0] == 306   # exactly purchase_ts - 1h: INCLUSIVE
+    assert 305 not in att       # no click at all -> no attribution row
+    assert set(att) == {304, 307}
 
     # --- sketch_count_min: estimates never undercount; the two heavy
     # hitters' exact counts are recovered exactly at this tiny scale ---
@@ -4363,14 +4451,38 @@ def test_oracles_agree_on_events_misc_boundary_fixture(spark, tmp_path):
     d, _ = _events_misc_boundary_fixture(tmp_path)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
-    )
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
     _gate_compare(
         spark,
         con,
         d,
-        ["exports_report_events", "dq_violations", "sketch_count_min"],
+        [
+            "exports_report_events",
+            "dq_violations",
+            "sketch_count_min",
+            # r15 second pass: the events/orders entries the hunt fixed
+            # or cleared -- NULL event time (sequences/session/tumbling),
+            # the three-valued F.exists, the two-sided rank-interval
+            # median bounds, the null-safe sketch group joins, and the
+            # empty-KLL-buffer guard
+            "events_user_sequences",
+            "events_last_touch_attribution",
+            "streaming_sessionize",
+            "streaming_tumbling_window_batch",
+            "streaming_interval_join_batch",
+            "exists_over_array",
+            "approx_aggregates",
+            "exact_distinct_bounds",
+            "global_denominators",
+            "distinct_event_types",
+            "filter_project_window",
+            "month_membership_filter",
+            "sketch_partial_merge",
+            "range_join_bucketized",
+        ],
     )
 
 
