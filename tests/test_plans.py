@@ -879,3 +879,22 @@ def test_bpe_tokenize_sampled_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_read_vectors_nullfilter_pushes_to_scan(spark):
+    """The r15 NULL-vector index contract must be FREE: read_vectors'
+    isNotNull filter has to reach the parquet reader as a pushed filter
+    (scan-level skip), not survive as a post-scan Filter node the whole
+    family pays per entry. Pins both the pushdown and the contract's
+    presence for every embeddings consumer."""
+    from monthly_report_etl_spark.functions.vectors import read_vectors
+
+    plan = (
+        read_vectors(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan_lines, plan
+    assert any("PushedFilters: [IsNotNull(embedding)]" in ln for ln in scan_lines), plan
