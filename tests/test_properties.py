@@ -4042,13 +4042,15 @@ def _olap_r13_boundary_fixture(tmp_path):
 
     D = datetime
     region = pd.DataFrame(
-        [(0, "AFRICA"), (1, "AMERICA"), (2, None), (3, "EUROPE")],
+        [(0, "AFRICA"), (1, "AMERICA"), (2, None), (3, "EUROPE"),
+         (4, "ASIA")],
         columns=["r_regionkey", "r_name"],
     )
     nation = pd.DataFrame(
         [(0, "ALGERIA", 0), (1, "BRAZIL", 1), (2, "CANADA", 1), (3, None, 2),
          (4, "FRANCE", 3), (5, "GERMANY", 3), (6, "EGYPT", None),
-         (7, "NATION_3", 0)],
+         (7, "NATION_3", 0), (8, "NATION_9", 4), (9, "NATION_1", 0),
+         (10, "NATION_2", 1)],
         columns=["n_nationkey", "n_name", "n_regionkey"],
     )
     nation["n_regionkey"] = nation["n_regionkey"].astype("Int32")
@@ -4060,7 +4062,9 @@ def _olap_r13_boundary_fixture(tmp_path):
          (5, "Customer#5", None, 0.0, "MACHINERY"),
          (6, "Customer#6", 3, 5000.0, "BUILDING"),
          (7, "Customer#7", 1, 8000.0, "FURNITURE"),
-         (8, "Customer#8", None, 7777.0, "BUILDING")],
+         (8, "Customer#8", None, 7777.0, "BUILDING"),
+         (9, "Customer#9", 8, 10.0, "MACHINERY"),    # ASIA (market_share)
+         (10, "Customer#10", 10, 20.0, "MACHINERY")],  # NATION_2 (Q7 pair)
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
                  "c_mktsegment"],
     )
@@ -4069,7 +4073,7 @@ def _olap_r13_boundary_fixture(tmp_path):
         [(1, "Supplier#1", 0, 10.0), (2, "Supplier#2", 1, None),
          (3, "Supplier#3", 4, -5.0), (4, None, 5, 0.0),
          (5, "Supplier#5", None, 77.0), (6, "Supplier#6", 7, 1.0),
-         (7, "Supplier#7", 7, 2.0)],
+         (7, "Supplier#7", 7, 2.0), (8, "Supplier#8", 9, 5.0)],
         columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
     )
     supplier["s_nationkey"] = supplier["s_nationkey"].astype("Int32")
@@ -4078,7 +4082,13 @@ def _olap_r13_boundary_fixture(tmp_path):
          (2, "red shiny box", "Brand#12", "STANDARD BRUSHED", None, 200.5),
          (3, "ivory forest case", "Brand#34", None, 10, None),
          (4, None, None, "PROMO ANODIZED", 50, 0.0),
-         (5, "blue misty crate", "Brand#34", "ECONOMY PLATED", 23, 950.25)],
+         (5, "blue misty crate", "Brand#34", "ECONOMY PLATED", 23, 950.25),
+         # p_type EXACTLY 'PROMO' (market_share / cheapest_supplier
+         # filter on equality, not prefix). Its suppliers 6 and 1 carry
+         # real acctbals; the NULL-acctbal-supplier-on-a-PROMO-part
+         # probe is DEFERRED to r16 with the pre-stated
+         # cheapest_supplier NULLS-LAST argmin fix (COVERAGE.md)
+         (6, "promo shiny thing", "Brand#55", "PROMO", 9, 42.0)],
         columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
                  "p_retailprice"],
     )
@@ -4111,7 +4121,10 @@ def _olap_r13_boundary_fixture(tmp_path):
          (25, 2, "O", 10.0, D(2000, 5, 7), None),
          (26, 6, "O", 10.0, D(2000, 6, 5), "3-MEDIUM"),
          (27, None, "O", 10.0, D(2000, 6, 6), "1-URGENT"),
-         (28, 4, "O", 10.0, D(2000, 6, 7), "1-URGENT")],
+         (28, 4, "O", 10.0, D(2000, 6, 7), "1-URGENT"),
+         # market_share / nation_pair probes (1996 windows)
+         (30, 9, "O", 60.0, D(1996, 7, 1), "1-URGENT"),
+         (31, 10, "O", 70.0, D(1996, 8, 1), "2-HIGH")],
         columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                  "o_orderdate", "o_orderpriority"],
     )
@@ -4143,7 +4156,16 @@ def _olap_r13_boundary_fixture(tmp_path):
          (1, 1, 6, 3, 10.0, 50.0, 0.0, 0.0, "N", "O", D(1996, 8, 1)),
          (2, 2, 7, 3, 1.0, 0.05, 0.0, 0.0, "N", "O", D(1996, 8, 2)),
          (6, 5, 1, 2, 6.0, 10.0, 0.0, 0.0, "N", "O", D(1998, 5, 1)),
-         (6, 5, 2, 3, 4.0, 10.0, 0.0, 0.0, "N", "O", D(1998, 5, 2))],
+         (6, 5, 2, 3, 4.0, 10.0, 0.0, 0.0, "N", "O", D(1998, 5, 2)),
+         # market_share: ASIA order 30 on PROMO part 6 -- NATION_3's
+         # supplier 6 ships 90 of the 140 non-NULL volume; the
+         # NULL-discount line's volume is NULL and must drop from BOTH
+         # the numerator CASE and the denominator SUM
+         (30, 6, 6, 1, 2.0, 100.0, 0.1, 0.0, "N", "O", D(1996, 7, 10)),
+         (30, 6, 1, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", D(1996, 7, 11)),
+         (30, 6, 1, 3, 1.0, 80.0, None, 0.0, "N", "O", D(1996, 7, 12)),
+         # nation_pair: NATION_1 supplier 8 -> NATION_2 customer 10
+         (31, 1, 8, 1, 1.0, 200.0, 0.05, 0.0, "N", "O", D(1996, 9, 1))],
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
                  "l_returnflag", "l_linestatus", "l_shipdate"],
@@ -4174,7 +4196,7 @@ def test_olap_r13_boundary_hand_derivation(spark, tmp_path):
         (r["p_partkey"], r["metric"]): r["val"]
         for r in QUERIES["unpivot_part"](spark, d).collect()
     }
-    assert len(up) == 10
+    assert len(up) == 12  # 6 parts x 2 metrics, NULL cells KEPT
     assert up[(2, "size")] is None and up[(3, "retailprice")] is None
 
     # large_orders: order 12 sums 120+35 = 155 > 150 with the NULL
@@ -4229,6 +4251,28 @@ def test_olap_r13_boundary_hand_derivation(spark, tmp_path):
     assert rk[(None, "2000-06", "1-URGENT")] == 1    # NULL segment is a
     #   real partition (order 28's customer has a NULL mktsegment)
 
+    # market_share: NATION_3 ships 90 of the 140 non-NULL ASIA/PROMO
+    # volume in 1996; the NULL-discount line's NULL volume drops from
+    # numerator AND denominator in both engines
+    ms = {r["o_year"]: r["mkt_share"]
+          for r in QUERIES["olap_market_share"](spark, d).collect()}
+    assert abs(ms[1996] - round(90.0 / 140.0, 6)) < 1e-9
+
+    # nation_pair: one direction populated, revenue 200*(1-0.05)
+    np_ = QUERIES["olap_nation_pair_volume"](spark, d).collect()
+    assert [(r["supp_nation"], r["cust_nation"], r["l_year"], r["revenue"])
+            for r in np_] == [("NATION_1", "NATION_2", 1996, 190.0)]
+
+    # cheapest_supplier: PROMO part 6's argmin over real acctbals picks
+    # supplier 6 (1.0 < 10.0). The NULL-acctbal-supplier probe is
+    # deliberately NOT here: Spark's min(struct(acctbal, ...)) orders a
+    # NULL balance FIRST while the oracle's row_number is NULLS LAST --
+    # a real divergence found by this hunt, pre-stated for the r16 fix
+    # (COVERAGE.md) because the entry is r14-latest and r16's slack is
+    # spoken for.
+    cs = QUERIES["olap_cheapest_supplier"](spark, d).collect()
+    assert [(r["p_partkey"], r["s_suppkey"]) for r in cs] == [(6, 6)]
+
 
 def test_oracles_agree_on_olap_r13_boundary_fixture(spark, tmp_path):
     """Gate leg of the fifteenth fixture: twenty REGISTERED oracles on
@@ -4281,6 +4325,7 @@ def test_oracles_agree_on_olap_r13_boundary_fixture(spark, tmp_path):
             "null_profile_orders",
             "rank_in_segment_month",
             "rank_pivot_merge_back",
+            "lookup_enrich_broadcast",
         ],
     )
 
