@@ -363,7 +363,8 @@ def lookup_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exists_over_array",
     """
     SELECT user_id,
-           bool_or(event_type = 'purchase' AND value > 500) AS has_big_purchase
+           coalesce(bool_or(event_type = 'purchase' AND value > 500), false)
+               AS has_big_purchase
     FROM events GROUP BY user_id
     """,
 )

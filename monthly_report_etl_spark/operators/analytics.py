@@ -308,12 +308,17 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WHERE ts IS NOT NULL (r15, found by tools/fuzz_differential.py):
+# Spark's window() EXCLUDES rows with NULL event time, while the bare
+# epoch arithmetic kept four NULL-window rows per event type — the same
+# no-event-time-no-window convention as the tumbling twin.
 SLIDING_WINDOW_ORACLE = """
 SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 2) AS sum_value
 FROM events, (SELECT unnest(range(4)) AS k) k
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 

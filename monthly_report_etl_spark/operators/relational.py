@@ -965,13 +965,14 @@ COUNT_MIN_ORACLE = f"""
 WITH cells AS (
     {" UNION ALL ".join(
         f"SELECT {j} AS r, {_cm_hash_sql(j, 'user_id')} AS h, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2"
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events "
+        "WHERE user_id IS NOT NULL GROUP BY 1, 2"
         for j in range(CM_D)
     )}
 ),
 exact AS (
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ORDER BY exact_cnt DESC, user_id LIMIT {CM_TOPK}
 ),
 probes AS (
@@ -1009,7 +1010,17 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 10 heavy-hitter user keys against the cell table. One full-data exchange
     total (the exact top-k groupBy, which the verification needs, not
     the sketch)."""
-    ev = _t(spark, sf_dir, "events").select("user_id")
+    # user_id IS NOT NULL (r15, found by tools/fuzz_differential.py): a
+    # NULL key cannot be sketched (NULL % P hashes to NULL, matching no
+    # cell), but it COULD occupy a top-k slot in the exact ranking and
+    # then silently vanish at the probe join — the report lost a real
+    # heavy hitter's slot to a phantom. And the top-k tiebreak ordered
+    # NULL FIRST on the Spark side, LAST in DuckDB, so the two engines
+    # even disagreed on WHICH row vanished. The sketch counts keys;
+    # NULL is not a key — excluded from cells and ranking on both sides.
+    ev = _t(spark, sf_dir, "events").select("user_id").filter(
+        F.col("user_id").isNotNull()
+    )
     u = F.col("user_id") % CM_P
     cells = (
         ev.select(

@@ -125,8 +125,15 @@ QUALITY_SCORE_ORACLE = rf"""
 WITH parts AS (
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_exact,
-           CAST(CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           -- maximal-\S-run count, the SAME form as the Spark side's
+           -- regexp_count (r15, found by tools/fuzz_differential.py):
+           -- the old split-based derivation counted the phantom leading
+           -- empty token of a tab-led doc (5 vs 4 on '\tTab led words
+           -- here'), diverging from regexp_count exactly where the two
+           -- token-count forms differ (see COVERAGE.md: the split form
+           -- feeds entries that need the token ARRAY; the \S+ count
+           -- form is used where only the count is needed)
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
            CAST(len(regexp_extract_all(lower(text), '{stopword_regex("en")}')) AS BIGINT) AS n_stop
     FROM documents
