@@ -288,7 +288,8 @@ SELECT o_orderkey, o_orderpriority,
        ROUND(CUME_DIST() OVER w, 6) AS cume,
        CAST(NTILE(4) OVER w AS BIGINT) AS quartile
 FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC NULLS LAST)
 """
 
 
@@ -297,8 +298,17 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational family didn't already cover). The ORDER BY carries
     ``o_orderkey`` as a total tiebreak so cume_dist and ntile are
     deterministic. One window shuffle on the partition key.
+
+    NULLS LAST pinned explicitly (r15, found by
+    tools/fuzz_differential.py): a NULL totalprice ranked FIRST under
+    Spark's default ascending sort and LAST in DuckDB's, shifting
+    every percent_rank/cume_dist in the partition — the same class as
+    the rank-tiebreak fix; unknown sorts last.
     """
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",

@@ -617,15 +617,28 @@ def disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Attributable shipments only (r15, found by tools/fuzz_differential.py):
+# the correlated NOT EXISTS is three-valued, so an l1 line with a NULL
+# shipdate qualified VACUOUSLY (nothing is '>' NULL) — crediting a
+# supplier whose ship date is unknown as "the last shipper" — while the
+# Spark top-2 decorrelation dropped it (NULL smax never equals the order
+# max); and the Spark side's per-order supplier count included a
+# NULL-suppkey group as "another supplier" where the oracle's
+# l2.l_suppkey <> l1.l_suppkey never matches NULL. Both sides now
+# consider only lines with a KNOWN supplier and a KNOWN ship date.
 LAST_SHIPPER_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+    WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+)
 SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
 FROM supplier s
-JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN li l1 ON s.s_suppkey = l1.l_suppkey
 JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
-WHERE EXISTS (SELECT 1 FROM lineitem l2
+WHERE EXISTS (SELECT 1 FROM li l2
               WHERE l2.l_orderkey = l1.l_orderkey
                 AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+  AND NOT EXISTS (SELECT 1 FROM li l3
                   WHERE l3.l_orderkey = l1.l_orderkey
                     AND l3.l_suppkey <> l1.l_suppkey
                     AND l3.l_shipdate > l1.l_shipdate)
@@ -646,7 +659,12 @@ def last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # attributable shipments only (r15): see LAST_SHIPPER_ORACLE
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(F.col("l_suppkey").isNotNull() & F.col("l_shipdate").isNotNull())
+    )
     li = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("smax")

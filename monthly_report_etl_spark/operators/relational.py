@@ -267,6 +267,12 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window family: lag / lead / row_number / ntile / moving aggregate
 # ---------------------------------------------------------------------------
 
+# WHERE ts IS NOT NULL (r15, found by tools/fuzz_differential.py): the
+# user timeline orders by ts, and the engines place a NULL ts at
+# opposite ends of the sort (Spark NULLS FIRST, DuckDB NULLS LAST),
+# shifting every row_number/ntile/lag in the partition. An event with
+# no event time has no position on a timeline -- filtered both sides,
+# the same convention as sequences/sessionize/tumbling/sliding.
 WINDOW_FAMILY_ORACLE = """
 SELECT event_id, user_id,
        CAST(row_number() OVER w AS BIGINT) AS rn,
@@ -276,6 +282,7 @@ SELECT event_id, user_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum_3
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
@@ -283,8 +290,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 def window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/row_number/ntile + explicit-frame moving sum, all over ONE
     window partitioning (single shuffle by user_id, all functions share
-    the sort)."""
-    ev = _t(spark, sf_dir, "events")
+    the sort). NULL-ts events are excluded (r15): no event time, no
+    position on the timeline (see WINDOW_FAMILY_ORACLE)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(-2, 0)
     return ev.select(
@@ -1138,20 +1146,25 @@ def upsert_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # forward fill (gap filling) via IGNORE NULLS window
 # ---------------------------------------------------------------------------
 
+# WHERE ts IS NOT NULL (r15, fuzz): same timeline convention as
+# window_family -- a NULL-ts event has no position to fill from/to, and
+# the engines disagree on where the sort would put it.
 FILL_FORWARD_ORACLE = """
 SELECT event_id, user_id, value,
        last_value(value IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
 FROM events
+WHERE ts IS NOT NULL
 """
 
 
 def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill nulls with the last non-null value per user (IGNORE
     NULLS running last_value) — the standard time-series gap-filling op,
-    one shuffle shared with any other user_id-partitioned window."""
-    ev = _t(spark, sf_dir, "events")
+    one shuffle shared with any other user_id-partitioned window.
+    NULL-ts events are excluded (r15): see FILL_FORWARD_ORACLE."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1173,12 +1186,15 @@ CATALOG["window_fill_forward"] = (window_fill_forward, FILL_FORWARD_ORACLE)
 # SCD2 history building (change detection → validity intervals)
 # ---------------------------------------------------------------------------
 
+# WHERE ts IS NOT NULL (r15, fuzz): validity intervals are DEFINED by
+# event time; a NULL-ts change event has none, and the engines place it
+# at opposite ends of the version sort.
 SCD2_ORACLE = """
 WITH marked AS (
     SELECT user_id, event_type, ts, event_id,
            CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                 THEN 1 ELSE 0 END AS changed
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
@@ -1207,8 +1223,9 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lag → change flag → running-sum version → per-version MIN/COUNT →
     lead for the closing timestamp. All four window/agg passes share the
-    ONE user_id shuffle (same partitioning key throughout)."""
-    ev = _t(spark, sf_dir, "events")
+    ONE user_id shuffle (same partitioning key throughout). NULL-ts
+    events are excluded (r15): see SCD2_ORACLE."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changed = F.when(
         ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1

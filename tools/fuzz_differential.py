@@ -23,9 +23,13 @@ tool should re-find every run):
     boundary: Spark's round re-decimalizes the double via its shortest
     string rendering (BigDecimal HALF_UP on Double.toString — 1247.985
     → 1247.99) while DuckDB rounds the BINARY value
-    (1247.98499999... → 1247.98). Not expressible in portable SQL;
-    the generator emits 2-decimal values so ROUND(,2) stays away from
-    the boundary except for astronomically unlikely sums.
+    (1247.98499999... → 1247.98). Not expressible in portable SQL.
+    Both engines DO agree on exact-binary halves (0.125 → 0.13, away
+    from zero — measured), so the generator keeps every money value
+    exact binary: integer quantities/prices/balances and
+    {0, 0.25, 0.5} discounts/taxes make all products and sums exact,
+    and event values stay 2-decimal (their only rounded use is SUM,
+    whose true value then has nothing at the 3rd decimal).
 
 Usage: python tools/fuzz_differential.py [n_seeds] [start_seed]
 Writes one line per (seed, entry) mismatch; exits nonzero on any.
@@ -87,6 +91,11 @@ def gen_tables(seed: int, d: str) -> None:
     )
     ev["ts"] = ev["ts"].astype("datetime64[us]")
     ev["user_id"] = ev["user_id"].astype("Int64")
+    # explicit string dtypes everywhere a column COULD sample all-NULL:
+    # pandas would otherwise write a null-typed parquet column that
+    # DuckDB reads as INT32, making `col = 'literal'` a conversion error
+    for c in ("event_type", "props"):
+        ev[c] = ev[c].astype("string")
     ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
 
     n_doc = rng.randint(15, 40)
@@ -107,6 +116,8 @@ def gen_tables(seed: int, d: str) -> None:
         doc_rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
     docs["n_chars"] = docs["n_chars"].astype("Int64")
+    for c in ("text", "lang", "source"):
+        docs[c] = docs[c].astype("string")
     docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
 
     n_ord = rng.randint(15, 60)
@@ -115,7 +126,7 @@ def gen_tables(seed: int, d: str) -> None:
         key = None if rng.random() < 0.05 else i + 1
         cust = None if rng.random() < 0.1 else rng.randint(1, 10)
         status = rng.choice(["O", "F", "P", None])
-        price = None if rng.random() < 0.12 else round(rng.uniform(0, 9000), 2)
+        price = None if rng.random() < 0.12 else float(rng.randint(0, 9000))
         date = (
             None
             if rng.random() < 0.08
@@ -132,7 +143,109 @@ def gen_tables(seed: int, d: str) -> None:
     orders["o_orderkey"] = orders["o_orderkey"].astype("Int64")
     orders["o_custkey"] = orders["o_custkey"].astype("Int64")
     orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    for c in ("o_orderstatus", "o_orderpriority"):
+        orders[c] = orders[c].astype("string")
     orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+
+    # TPC-H dimension chain + fact (r15 second fuzz surface: the OLAP
+    # family). Names deliberately include the constants the queries
+    # filter on (BUILDING, PROMO, NATION_*, ASIA, 'blue%', Brand#7)
+    # so the filtered paths actually execute, plus NULLs and danglers.
+    region = pd.DataFrame(
+        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, None),
+         (4, "EUROPE")],
+        columns=["r_regionkey", "r_name"],
+    )
+    region.to_parquet(os.path.join(d, "region.parquet"), index=False)
+    nat_names = ["NATION_1", "NATION_2", "NATION_3", "NATION_9", None,
+                 "ALGERIA", "BRAZIL"]
+    nation = pd.DataFrame(
+        [(i, nat_names[i % len(nat_names)],
+          None if rng.random() < 0.1 else rng.randint(0, 4))
+         for i in range(8)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nation["n_regionkey"] = nation["n_regionkey"].astype("Int32")
+    nation["n_nationkey"] = nation["n_nationkey"].astype("int32")
+    nation.to_parquet(os.path.join(d, "nation.parquet"), index=False)
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "FURNITURE", None]
+    customer = pd.DataFrame(
+        [(i, None if rng.random() < 0.1 else f"Customer#{i}",
+          None if rng.random() < 0.1 else rng.randint(0, 9),  # dangler 8/9
+          None if rng.random() < 0.12 else float(rng.randint(-999, 9999)),
+          rng.choice(segs))
+         for i in range(1, rng.randint(6, 14))],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+    customer["c_nationkey"] = customer["c_nationkey"].astype("Int32")
+    for c in ("c_name", "c_mktsegment"):
+        customer[c] = customer[c].astype("string")
+    customer.to_parquet(os.path.join(d, "customer.parquet"), index=False)
+    supplier = pd.DataFrame(
+        [(i, None if rng.random() < 0.1 else f"Supplier#{i}",
+          None if rng.random() < 0.12 else rng.randint(0, 9),
+          None if rng.random() < 0.15 else float(rng.randint(-99, 999)))
+         for i in range(1, rng.randint(4, 9))],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    supplier["s_nationkey"] = supplier["s_nationkey"].astype("Int32")
+    supplier["s_name"] = supplier["s_name"].astype("string")
+    supplier.to_parquet(os.path.join(d, "supplier.parquet"), index=False)
+    types = ["PROMO", "PROMO POLISHED", "STANDARD BRUSHED", "ECONOMY",
+             None, "PROMO ANODIZED"]
+    names = ["blue misty crate", "green metal thing", "red shiny box",
+             None, "ivory case", "blue thing"]
+    part = pd.DataFrame(
+        [(i, rng.choice(names),
+          rng.choice(["Brand#7", "Brand#12", "Brand#34", None]),
+          rng.choice(types),
+          None if rng.random() < 0.12 else rng.randint(1, 50),
+          None if rng.random() < 0.12 else float(rng.randint(0, 2000)))
+         for i in range(1, rng.randint(4, 10))],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    )
+    part["p_size"] = part["p_size"].astype("Int32")
+    for c in ("p_name", "p_brand", "p_type"):
+        part[c] = part[c].astype("string")
+    part.to_parquet(os.path.join(d, "part.parquet"), index=False)
+    n_li = rng.randint(20, 90)
+    li_rows = []
+    for i in range(n_li):
+        li_rows.append((
+            rng.randint(1, max(2, n_ord)),          # may dangle vs NULL-keyed orders
+            rng.randint(1, 12),                      # may dangle vs part
+            None if rng.random() < 0.06 else rng.randint(1, 10),
+            i + 1,
+            # integer quantities/prices and exact-binary-quarter
+            # discounts/taxes: every product and sum stays an exact
+            # binary value, so ROUND(x, 2) never lands inside the
+            # documented Spark-vs-DuckDB double-rounding frontier (both
+            # engines round EXACT halves away from zero; they only
+            # disagree on inexact .xx5 renderings)
+            None if rng.random() < 0.1 else float(rng.randint(1, 60)),
+            None if rng.random() < 0.1 else float(rng.randint(10, 9000)),
+            None if rng.random() < 0.1 else rng.choice([0.0, 0.25, 0.5]),
+            None if rng.random() < 0.1 else rng.choice([0.0, 0.25, 0.5]),
+            rng.choice(["N", "R", "A", None]),
+            rng.choice(["O", "F", None]),
+            None if rng.random() < 0.08
+            else datetime(rng.randint(1992, 2001), rng.randint(1, 12),
+                          rng.randint(1, 28)),
+        ))
+    lineitem = pd.DataFrame(
+        li_rows, columns=["l_orderkey", "l_partkey", "l_suppkey",
+                          "l_linenumber", "l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax", "l_returnflag",
+                          "l_linestatus", "l_shipdate"],
+    )
+    lineitem["l_suppkey"] = lineitem["l_suppkey"].astype("Int64")
+    lineitem["l_linenumber"] = lineitem["l_linenumber"].astype("int32")
+    lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
+    for c in ("l_returnflag", "l_linestatus"):
+        lineitem[c] = lineitem[c].astype("string")
+    lineitem.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
 
 
 # Entries runnable on (events, documents, orders) alone — no joins to
@@ -157,6 +270,34 @@ ENTRIES = [
     "corpus_sample_hash_mod", "corpus_length_trim", "dedup_exact",
     "multimodal_byte_stats", "upsert_full_outer", "topk_orders",
     "month_membership_filter",
+    # TPC-H/OLAP family (needs the dimension chain the generator builds)
+    "pricing_summary", "olap_shipping_priority",
+    "olap_order_priority_semijoin", "olap_large_orders",
+    "olap_returned_items", "olap_top_revenue_supplier",
+    "olap_promo_revenue", "olap_small_quantity_avg",
+    "olap_order_count_distribution", "olap_dormant_rich_customers",
+    "olap_regional_revenue", "olap_local_supplier_volume",
+    "olap_market_share", "olap_nation_pair_volume",
+    "olap_supplier_part_types", "olap_priority_linecount",
+    "olap_important_stock", "olap_dominant_supplier",
+    "olap_disjunctive_brackets", "olap_forecast_revenue",
+    "olap_product_profit", "olap_last_shipper",
+    # olap_yearly_growth is EXCLUDED until its pre-stated r16 fix lands
+    # (COVERAGE.md): the year-over-year lag orders by o_year, and a NULL
+    # order date's NULL year sits at opposite ends of the two engines'
+    # sorts, shifting the deltas -- a YoY delta over an unknown year is
+    # meaningless, so the r16 fix filters NULL dates on both sides; the
+    # entry is r14-latest and both r16 slack slots are taken, hence the
+    # one-round deferral (the cheapest_supplier pattern).
+    "join_hints_shuffle_hash", "unpivot_part", "salted_join",
+    "range_join_bucketized", "lookup_enrich_broadcast",
+    "null_profile_orders", "rank_in_segment_month",
+    "rank_pivot_merge_back", "grouping_sets_orders", "rollup_lineitem",
+    "cube_orders", "filtered_agg_orders", "stats_corr",
+    "stats_moments_group", "window_distribution", "window_fill_forward",
+    "islands_active_months", "scd2_history", "semi_anti_join",
+    "set_ops", "window_family", "window_range_frame",
+    "percentiles_exact", "string_funcs_customer", "calendar_spine_monthly",
 ]
 
 
@@ -184,7 +325,8 @@ def main() -> int:
         gen_tables(seed, d)
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
-        for t in ("events", "documents", "orders"):
+        for t in ("events", "documents", "orders", "lineitem", "part",
+                  "supplier", "customer", "nation", "region"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
             )
