@@ -1374,7 +1374,13 @@ m AS (
     SELECT dim, AVG(x) AS mu, stddev_samp(x) AS sd FROM u GROUP BY dim
 )
 SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim,
-       ROUND((u.x - m.mu) / m.sd, 6) AS z
+       -- + 0.0 canonicalizes NEGATIVE ZERO (r15, found by
+       -- tools/fuzz_differential.py): a tiny negative (x - mu) rounds
+       -- to -0.0 under DuckDB's sign-preserving ROUND, while Spark's
+       -- BigDecimal-based round has no signed zero and yields +0.0 --
+       -- same value, different rendering, hash mismatch. IEEE
+       -- -0.0 + 0.0 = +0.0; every other value is unchanged.
+       ROUND((u.x - m.mu) / m.sd, 6) + 0.0 AS z
 FROM u JOIN m ON u.dim = m.dim
 WHERE u.vec_id < 50
 """

@@ -247,6 +247,37 @@ def gen_tables(seed: int, d: str) -> None:
         lineitem[c] = lineitem[c].astype("string")
     lineitem.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
 
+    # embeddings (r15 third fuzz surface: the vector family): 64-d
+    # float32 vectors with NULL rows (the read_vectors contract), zero
+    # vectors (no ground truth / no quantization scale), exact
+    # duplicates and negations (cos +-1 ties), and NULL labels. DIM is
+    # fixed by the table contract (ragged vectors are out of contract).
+    DIM = 64
+    n_vec = rng.randint(20, 45)
+    vec_rows = []
+    for i in range(n_vec):
+        r = rng.random()
+        if r < 0.08:
+            emb = None
+        elif r < 0.14:
+            emb = [0.0] * DIM
+        elif r < 0.22 and vec_rows:
+            donor = next((v for _, v, _ in reversed(vec_rows) if v), None)
+            emb = list(donor) if donor else [1.0] * DIM
+            if rng.random() < 0.5 and emb:
+                emb = [-x for x in emb]
+        else:
+            emb = [
+                round(rng.uniform(-2, 2) * 4) / 4 for _ in range(DIM)
+            ]  # exact quarters: fold sums stay exact binary
+        label = None if rng.random() < 0.1 else rng.randint(0, 3)
+        vec_rows.append((i, emb, label))
+    embeddings = pd.DataFrame(
+        vec_rows, columns=["vec_id", "embedding", "label"]
+    )
+    embeddings["label"] = embeddings["label"].astype("Int32")
+    embeddings.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+
 
 # Entries runnable on (events, documents, orders) alone — no joins to
 # tables this generator doesn't build, no trained models, no file sinks.
@@ -298,6 +329,31 @@ ENTRIES = [
     "islands_active_months", "scd2_history", "semi_anti_join",
     "set_ops", "window_family", "window_range_frame",
     "percentiles_exact", "string_funcs_customer", "calendar_spine_monthly",
+    # vector family (needs the embeddings table the generator builds).
+    # The three recall-FLOOR entries (similarity_ivf_topk,
+    # similarity_pca_ivf, similarity_pq_adc) are excluded: their
+    # recall_ok >= 0.6 contract is a statistical property of the
+    # benchmark corpora (iid-ish 64-d vectors at sf scale), NOT a
+    # mathematical invariant -- a 20-vector adversarial corpus of
+    # duplicates/negations/zero vectors legitimately recalls below the
+    # floor (measured 0.575 at seed 40000002) with the measurement
+    # itself CORRECT. Fixture 17 pins the measurement machinery at the
+    # boundary; fuzzing a tripwire calibrated to different data would
+    # only manufacture false alarms.
+    # dedup_semdedup_kmeans is excluded for the same reason: its
+    # drop-recall >= 0.5 floor vs the exact baseline is calibrated to
+    # the benchmark corpora, and a random duplicate-heavy corpus
+    # legitimately misses it with the measurement itself correct.
+    "similarity_knn_brute_force", "similarity_ann_lsh",
+    "dedup_embedding_cosine", "embeddings_pca", "embeddings_pq",
+    "embeddings_quantize_int8", "embeddings_standardize",
+    "dedup_semdedup", "dedup_semdedup_exact",
+    # deterministic text-dedup entries over the documents table
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard", "dedup_duplicate_spans",
+    "dedup_canonical_selection", "corpus_tfidf_top_terms",
+    "corpus_bigram_top", "corpus_ngram_novelty", "text_language_id",
+    "date_funcs_extended",
 ]
 
 
@@ -326,7 +382,7 @@ def main() -> int:
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
         for t in ("events", "documents", "orders", "lineitem", "part",
-                  "supplier", "customer", "nation", "region"):
+                  "supplier", "customer", "nation", "region", "embeddings"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
             )
