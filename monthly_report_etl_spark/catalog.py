@@ -1327,123 +1327,106 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r14 recomputation (latest GREEN round per entry across r1-r13):
-# r13-latest: 50 entries, r12-latest: 50, r11-latest: 48, nothing
-# older, nothing never-green — CORRECTNESS_r13 came back 50/50 green on
-# the declared window, so the pre-stated r14 plan applies verbatim.
-# Window = the 48-entry r11-latest cohort — EXACTLY the 48 names
-# COVERAGE.md pre-stated at r13 (recomputed and verified name-for-name
-# this round); this delivers the queued fresh row for the r13-changed
-# corpus_incremental_ingest_neardup_bucketed (manifest guard) — plus 2
-# slack slots: corpus_bpe_train_merges (pre-assigned at r13 — the
-# warn-once fallback-log receipt rider) and recursive_order_chains
-# (changed THIS round: realpath slot key + same-key frame reuse +
-# materialization-failure slot cleanup, ADVICE r13 / VERDICT r13 #4 —
-# a SUCCESS-path change, so it takes the open slack for a same-round
-# fresh row instead of riding receipts). 48 + 2 = 50 exactly.
+# r16 recomputation (latest GREEN round per entry across r1-r15):
+# r15-latest: 50 entries, r13-latest: 49, r12-latest: 49, nothing
+# older, nothing never-green. HISTORY NOTE (VERDICT r15 #1): the r15
+# rotation was NOT executed — this list was left at its r14 state, so
+# the driver re-ran the r14 window verbatim and CORRECTNESS_r15's key
+# set is byte-identical to CORRECTNESS_r14's. The r12-latest cohort
+# (the pre-stated r15 plan) is therefore three rounds stale at its hard
+# driver signal, mitigated only by the committed full-148 hand sweeps
+# (artifacts/driver_window_sweep_r15.txt) and the 36-seed fuzz receipt.
+# Window THIS round = the missed r15 plan, executed one round late:
+# the 49-entry r12-latest cohort (EXACTLY the names COVERAGE.md
+# pre-stated at r14 for the r15 window) + the corpus_bpe_tokenize slack
+# rider (r13-latest; its _release_vocab_frame per-type warning latch
+# landed r14, receipts rode r14 AND — because of the missed rotation —
+# r15; its fresh row is two rounds overdue). 49 + 1 = 50 exactly. This
+# single window delivers every queued fresh row at once: the six
+# r14-changed entries (json_extract_props, regex_clean_strings,
+# text_fingerprint, text_token_stats, text_quality_score,
+# corpus_sample_hash_mod), the ~12 entries the r15 hunt changed again
+# (the read_vectors vector family similarity_*/embeddings_*/
+# dedup_embedding_cosine, events_sliding_window, embeddings_standardize,
+# text_quality_score, olap_last_shipper's oracle twin), and the
+# corpus_bpe_tokenize latch rider — all of which live in this cohort.
+# The r13-latest cohort (the originally-pre-stated r16 window) is
+# pushed wholesale to r17 — see COVERAGE.md for the recomputed r17
+# plan and slack assignments.
 #
-# Changes applied THIS round (r14) under the displacement rule:
-# recursive_order_chains (above — in the window via slack, no receipts
-# ride needed). _release_vocab_frame's fallback warning is latched per
-# exception type (VERDICT r13 #2) — failure-path logging only,
-# success-path inert; corpus_bpe_train_merges is IN the window (slack),
-# and corpus_bpe_tokenize (r13-latest, not due) carries receipts: the
-# new two-cause unit test
-# (test_release_fallback_warns_once_per_exception_type) + the full
-# sf0.01 oracle sweep hand-run green this round; its fresh row is
-# pre-assigned an r15 slack slot (the strict one-receipts-round cap:
-# change at r14, fresh row at r15). EIGHT entries gained NULL-boundary
-# fixes this round, caught by the r14 fifth→ninth adversarial
-# fixtures (every divergence invisible on the sf tables, which carry
-# no NULL event_type/value/text rows and only well-formed numeric
-# props): collect_types_sorted (oracle: null-filter + COALESCE('') —
-# DUE this round, fresh row arrives with this window); and seven
-# r12-latest entries whose fresh rows arrive with their own r15 cohort
-# after exactly one receipts round (receipts: the fixture gate/hand
-# tests + hand-run sf0.01 checks, all green) — array_functions
-# (oracle: FILTER/COALESCE list semantics), json_extract_props
-# (oracle: json_valid guard + TRY_CAST), regex_clean_strings (oracle:
-# NULL-coercing CASE wrapper dropped), text_fingerprint (oracle: NULL
-# guard — list_prepend(0, NULL) yields [0]), text_token_stats (SPARK
-# side: F.size → F.array_size; -1 for NULL arrays under non-ANSI
-# legacy semantics), text_quality_score (BOTH sides: least/greatest
-# skip NULLs in both dialects, a NULL doc scored 0.7 — now
-# NULL-propagates), corpus_sample_hash_mod (oracle: the same
-# list_prepend pattern SAMPLED a NULL doc as fingerprint 0 — now
-# NULL-excluded, while an EMPTY doc legitimately stays sampled).
-# Additionally FIVE entries DUE THIS ROUND gained the same class of
-# fix with zero scheduling friction (their fresh rows arrive with this
-# very window): corpus_pack_sequences + corpus_pack_sequences_ranged +
-# corpus_mix_weights (SPARK side: F.size → F.array_size — size()'s -1
-# for a NULL text SUBTRACTED a token from every later running total /
-# source total, a silent wrong answer at the boundary),
-# corpus_length_trim (array_size + NULLS FIRST pinned explicitly on
-# BOTH sides — Spark's asc default is NULLS FIRST, DuckDB's is NULLS
-# LAST, so a NULL-token doc shifted every percent_rank differently per
-# engine), and dedup_duplicate_spans (BOTH sides: Spark array_size for
-# the NULL doc; oracle empty-guard — bare string_split_regex('')
-# yields [''] and reported one token for an empty doc). Two latent twins of those patterns WAIT per the
-# displacement rule, pre-stated for r15 (cohort rows r16):
-# json_variant_extract's oracle (the CAST-raises pattern) and
-# text_c4_filter's Spark side (the same F.size wart feeding its token
-# bounds; both entries r13-latest, and r15's slack is taken). r15 =
-# the r12-latest cohort minus corpus_bpe_train_merges (refreshed here)
-# = 49 due + 1 slack (corpus_bpe_tokenize) = 50 exactly — see
-# COVERAGE.md.
+# Changes applied THIS round (r16) under the displacement rule:
+# olap_yearly_growth (r14-latest, NOT due) lands its pre-stated
+# NULL-year fix (both sides exclude NULL order dates — the one known
+# live cross-engine divergence, VERDICT r15 missing #2); both r16
+# slack-equivalents are consumed by the rotation's own backlog, so it
+# rides receipts exactly ONE round (fixture probe + full-148 hand
+# sweep + re-admission to the fuzzer list) and is pre-assigned an r17
+# slack slot. json_extract_props + the flagship oracle gain the
+# control-char trimAll fix and text_quality_score's oracle gains the
+# Java-\S token regex (ADVICE r16 #1/#2) — json_extract_props and
+# text_quality_score are DUE this round, so those fresh rows arrive
+# with this very window; the flagship (exports_report_events,
+# r13-latest) rides receipts one round and its fresh row arrives with
+# its own r17 cohort.
+#
+# ANTI-RECURRENCE GUARD: tests/test_plans.py::
+# test_driver_window_rotated_from_last_round pins this list against the
+# newest CORRECTNESS_r*.json key set — a forgotten rotation now fails
+# pytest instead of silently re-running last round's window.
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- slack slots: pre-assigned receipt rider + this round's change --
-    "corpus_bpe_train_merges",
-    "recursive_order_chains",
-    # -- r11-latest cohort: all 48, as pre-stated in COVERAGE.md --
-    "approx_aggregates",
-    "array_functions",
-    "asof_join",
-    "calendar_spine_monthly",
-    "case_classifier",
-    "collect_types_sorted",
-    "corpus_decontaminate",
-    "corpus_incremental_ingest",
-    "corpus_incremental_ingest_neardup_bucketed",
-    "corpus_length_trim",
-    "corpus_mix_weights",
-    "corpus_ngram_novelty",
-    "corpus_pack_sequences",
-    "corpus_pack_sequences_ranged",
-    "date_funcs_extended",
-    "dedup_canonical_selection",
-    "dedup_duplicate_spans",
-    "dedup_semdedup",
-    "dedup_semdedup_exact",
-    "dedup_semdedup_kmeans",
-    "distinct_event_types",
-    "embeddings_pq",
-    "events_last_touch_attribution",
-    "exact_distinct_bounds",
-    "exists_over_array",
-    "filter_project_window",
-    "filtered_agg_orders",
-    "grouping_sets_orders",
-    "jsonl_roundtrip_docs",
-    "lookup_enrich_broadcast",
-    "map_functions",
-    "month_membership_filter",
-    "null_profile_orders",
-    "olap_cheapest_supplier",
-    "olap_last_shipper",
-    "olap_market_share",
-    "olap_nation_pair_volume",
-    "olap_product_profit",
-    "olap_yearly_growth",
-    "order_nulls_handling",
-    "percentiles_exact",
-    "range_join_bucketized",
-    "salted_join",
-    "semi_anti_join",
-    "sketch_partial_merge",
-    "streaming_interval_join_batch",
-    "window_family",
-    "window_range_frame",
+    # -- slack slot: the twice-ridden receipt rider (r14 latch change) --
+    "corpus_bpe_tokenize",
+    # -- r12-latest cohort: all 49, as pre-stated in COVERAGE.md at r14 --
+    "corpus_bigram_top",
+    "corpus_bpe_pair_counts",
+    "corpus_chunk_documents",
+    "corpus_sample_hash_mod",
+    "corpus_stratified_sample",
+    "corpus_tfidf_top_terms",
+    "cube_orders",
+    "date_ops",
+    "dedup_cc_star",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_latest_maxby",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_simhash",
+    "embeddings_pca",
+    "embeddings_quantize_int8",
+    "embeddings_standardize",
+    "events_funnel",
+    "events_sessionize_batch",
+    "events_sliding_window",
+    "events_user_sequences",
+    "global_denominators",
+    "json_extract_props",
+    "multimodal_byte_stats",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "numeric_coercion",
+    "pricing_summary",
+    "rank_in_segment_month",
+    "rank_pivot_merge_back",
+    "regex_clean_strings",
+    "rollup_lineitem",
+    "set_ops",
+    "similarity_ann_lsh",
+    "similarity_ivf_topk",
+    "similarity_knn_brute_force",
+    "similarity_pca_ivf",
+    "similarity_pq_adc",
+    "streaming_sessionize",
+    "streaming_tumbling_window_batch",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_orders",
+    "union_by_name",
 ]
 
 

@@ -369,6 +369,34 @@ def test_driver_window_uses_all_50_slots():
     assert list(QUERIES)[:50] == _DRIVER_WINDOW_PRIORITY
 
 
+def test_driver_window_rotated_from_last_round():
+    """Anti-recurrence guard (VERDICT r15 #1): the r15 rotation was never
+    executed — _DRIVER_WINDOW_PRIORITY stayed at its r14 state, so the
+    driver silently re-ran the identical window and burned all 50 checks
+    re-proving what r14 already proved. This pins the CURRENT window
+    against the NEWEST committed CORRECTNESS_r*.json key set: the two
+    must differ, because the freshness policy always rotates the just-
+    checked cohort out. A forgotten rotation now fails pytest."""
+    import glob
+    import json
+    import os
+    import re
+
+    from monthly_report_etl_spark.catalog import _DRIVER_WINDOW_PRIORITY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    assert paths, "no CORRECTNESS files — cannot verify rotation"
+    latest = max(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    with open(latest) as f:
+        last_window = set(json.load(f).keys())
+    assert set(_DRIVER_WINDOW_PRIORITY) != last_window, (
+        f"_DRIVER_WINDOW_PRIORITY is byte-identical to the key set of "
+        f"{os.path.basename(latest)} — the rotation was not executed "
+        f"(VERDICT r15 #1 recurrence)"
+    )
+
+
 def test_driver_window_rotation_covers_every_entry():
     """Regression guard on the rotation logic itself (VERDICT r3 item
     #8): every catalog entry must either already have a recorded driver
