@@ -106,8 +106,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FLAGSHIP_ORACLE = r"""
 WITH raw AS (
     SELECT event_id, ts, user_id, event_type, value,
-           json_extract_string(
-               CASE WHEN json_valid(props) THEN props END, 'k') AS ks
+           regexp_replace(
+               json_extract_string(
+                   CASE WHEN json_valid(props) THEN props END, 'k'),
+               '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$', '', 'g') AS kst
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
 ),
@@ -116,14 +118,16 @@ WITH raw AS (
 -- flagship carried an unguarded CAST(json_extract_string(...)) copy that
 -- RAISES on malformed props / non-numeric k and ROUNDS >=.5 fractions
 -- where Spark truncates -- invisible on the sf tables, divergent at the
--- boundary)
+-- boundary). r16 (ADVICE): the strip set is [\x00-\x20\x7f] — Spark's
+-- cast trimAll strips ALL ASCII controls + space + DEL (measured:
+-- '\x0111\x01' -> 11, '\x1c10\x1c' -> 10, '\x7f14\x7f' -> 14) and
+-- NOTHING above 0x7f (NBSP/ /C1 controls all -> NULL in both
+-- engines) — the old trim(E' \t\n\r\x0B\x0C') missed the other controls.
 base AS (
     SELECT event_id, ts, user_id, event_type, value,
-           CASE WHEN regexp_matches(trim(ks, E' \t\n\r\x0B\x0C'),
-                                    '^[+-]?\.[0-9]*$') THEN 0
-                WHEN regexp_matches(trim(ks, E' \t\n\r\x0B\x0C'),
-                                    '^[+-]?[0-9]+\.?[0-9]*$')
-                THEN TRY_CAST(regexp_extract(trim(ks, E' \t\n\r\x0B\x0C'),
+           CASE WHEN regexp_matches(kst, '^[+-]?\.[0-9]*$') THEN 0
+                WHEN regexp_matches(kst, '^[+-]?[0-9]+\.?[0-9]*$')
+                THEN TRY_CAST(regexp_extract(kst,
                                              '^[+-]?[0-9]+', 0) AS BIGINT)
            END AS k_value
     FROM raw
@@ -755,7 +759,13 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN json_valid(props) THEN props END, 'k') AS s
         FROM events
     ), t AS (
-        SELECT event_id, s, trim(s, E' \t\n\r\x0B\x0C') AS st FROM j
+        -- r16 (ADVICE): Spark's cast trimAll strips ALL ASCII controls
+        -- + space + DEL ([\x00-\x20\x7f], measured) and nothing above
+        -- 0x7f; the old 6-char trim missed \x00-\x08, \x0E-\x1F, \x7F
+        SELECT event_id, s,
+               regexp_replace(s, '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$',
+                              '', 'g') AS st
+        FROM j
     )
     SELECT event_id,
            CASE WHEN regexp_matches(st, '^[+-]?\.[0-9]*$') THEN 0
@@ -819,10 +829,13 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                          WHEN 'true' THEN 1 ELSE 0 END
                 WHEN json_type(p, '$.k') = 'VARCHAR'
                      AND regexp_matches(
-                         trim(json_extract_string(p, '$.k'),
-                              E' \t\n\r\x0B\x0C'), '^[+-]?[0-9]+$')
-                    THEN TRY_CAST(trim(json_extract_string(p, '$.k'),
-                                       E' \t\n\r\x0B\x0C') AS BIGINT)
+                         regexp_replace(json_extract_string(p, '$.k'),
+                             '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$', '', 'g'),
+                         '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(
+                         regexp_replace(json_extract_string(p, '$.k'),
+                             '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$', '', 'g')
+                         AS BIGINT)
            END AS k_long,
            json_extract_string(p, '$.k') AS k_str,
            CASE WHEN json_type(p) IN ('BIGINT','UBIGINT')
@@ -835,10 +848,13 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                          WHEN 'true' THEN 1 ELSE 0 END
                 WHEN json_type(p) = 'VARCHAR'
                      AND regexp_matches(
-                         trim(json_extract_string(p, '$'),
-                              E' \t\n\r\x0B\x0C'), '^[+-]?[0-9]+$')
-                    THEN TRY_CAST(trim(json_extract_string(p, '$'),
-                                       E' \t\n\r\x0B\x0C') AS BIGINT)
+                         regexp_replace(json_extract_string(p, '$'),
+                             '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$', '', 'g'),
+                         '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(
+                         regexp_replace(json_extract_string(p, '$'),
+                             '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$', '', 'g')
+                         AS BIGINT)
            END AS obj_as_long
     FROM j
     """,
@@ -875,7 +891,21 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.0 → '0', 20-digit integers exact) and exponent forms via Java
     double ('1.0E20') where DuckDB renders shortest-double text
     ('0.0', '1e20' expanded) — value semantics agree, string forms of
-    trailing-zero/overflow-range numbers don't."""
+    trailing-zero/overflow-range numbers don't.
+
+    r16 (ADVICE): the string-branch trim is [\\x00-\\x20\\x7f]
+    (measured: variant string→long trims every ASCII control + space +
+    DEL, nothing above 0x7f — same set as the lenient cast's trimAll);
+    the old 6-char trim missed the other controls. Second documented
+    frontier (ADVICE r16 #3, excluded from the fuzzer's generation like
+    the rendering one above): an int64-range JSON number written in
+    FRACTIONAL form beyond 2^53 (e.g. 9007199254740993.0) — DuckDB
+    types it DOUBLE, so the oracle's double round-trip truncates to
+    ...992, while Spark's variant parses it as decimal128 and keeps
+    ...993 exactly. The fuzzer's PROPS pool has no fractional-form
+    >2^53 numbers; a portable-SQL fix does not exist because DuckDB's
+    json_type cannot distinguish 'x.0' from 'x.5' without re-parsing
+    the raw text, which json_extract_string has already re-rendered."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id", F.try_parse_json("props").alias("v")
     )

@@ -1240,19 +1240,29 @@ comp AS (
     SELECT s AS doc_id, CAST(LEAST(MIN(t), s) AS BIGINT) AS component
     FROM reach GROUP BY s
 ),
+-- r16: the embedded quality form is now IDENTICAL to the (r15-fixed)
+-- QUALITY_SCORE_ORACLE the Spark side actually calls — maximal-run
+-- token COUNT (not the split form, which counts a phantom leading
+-- empty token on tab-led docs), Java-whitespace-exact char classes
+-- (incl. vertical tab), and NULL text -> NULL score (the old form
+-- scored a NULL doc 0.7 via least/greatest NULL-skipping). Masked in
+-- the output by the keep-flag shape until a fixture puts two
+-- differently-scored variants in one component; aligned first.
+qparts AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS qn_chars,
+           CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS qn_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS qn_punct,
+           CAST(len(regexp_extract_all(lower(text), '{stopword_regex("en")}')) AS BIGINT) AS qn_stop
+    FROM documents
+),
 q AS (
     SELECT doc_id,
-           ROUND(0.4 * least(
-                     CAST(len(regexp_extract_all(lower(text), '{stopword_regex("en")}')) AS BIGINT)
-                     * 1.0 / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT), 1), 1.0)
-               + 0.3 * (1.0 - least(
-                     CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
-                     * 1.0 / greatest(CAST(length(text) AS BIGINT), 1), 1.0))
-               + 0.3 * least(CAST(CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
-                     / 100.0, 1.0), 6) AS quality_score
-    FROM documents
+           CASE WHEN qn_chars IS NULL THEN NULL
+                ELSE ROUND(0.4 * least(qn_stop * 1.0 / greatest(qn_tokens, 1), 1.0)
+                    + 0.3 * (1.0 - least(qn_punct * 1.0 / greatest(qn_chars, 1), 1.0))
+                    + 0.3 * least(qn_tokens / 100.0, 1.0), 6) END AS quality_score
+    FROM qparts
 ),
 labeled AS (
     SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component,

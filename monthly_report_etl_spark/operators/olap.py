@@ -950,6 +950,7 @@ WITH yearly AS (
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderdate IS NOT NULL
     GROUP BY 1, 2
 )
 SELECT nation, o_year, revenue,
@@ -964,9 +965,20 @@ def yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-over-aggregate shape — LAG runs on the tiny aggregated frame
     (nations x years), so the window exchange moves a few hundred rows
     no matter how large the fact table is. The lag consumes the ROUNDED
-    revenue so the delta arithmetic is identical across engines."""
+    revenue so the delta arithmetic is identical across engines.
+
+    NULL-year contract (fuzz-found r15, fixed r16): an order with a NULL
+    o_orderdate has no year, and its NULL group would sit at opposite
+    sort ends of the LAG window per engine (Spark asc = NULLS FIRST,
+    DuckDB = NULLS LAST), shifting every YoY delta in the partition.
+    Both sides exclude NULL order dates — the filter reaches the orders
+    parquet scan as IsNotNull(o_orderdate) for free."""
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_orderdate")
+    )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation")
     yearly = (

@@ -132,9 +132,14 @@ WITH parts AS (
            -- here'), diverging from regexp_count exactly where the two
            -- token-count forms differ (see COVERAGE.md: the split form
            -- feeds entries that need the token ARRAY; the \S+ count
-           -- form is used where only the count is needed)
-           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+           -- form is used where only the count is needed).
+           -- r16 (ADVICE): spelled out as [ \t\n\x0B\f\r] — DuckDB's
+           -- RE2 \s EXCLUDES vertical tab while Spark's Java \s
+           -- includes it ('a\x0Bb': 1 token/1 punct in RE2 vs
+           -- 2 tokens/0 punct in Java, both measured), so the oracle
+           -- pins Java's exact class in BOTH the token and punct runs
+           CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_punct,
            CAST(len(regexp_extract_all(lower(text), '{stopword_regex("en")}')) AS BIGINT) AS n_stop
     FROM documents
 )

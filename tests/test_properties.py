@@ -1894,6 +1894,73 @@ def test_olap_stats_boundary_cases_match_hand_derivation(spark, tmp_path):
     assert got_ls == {"Supplier#A": 2, "Supplier#B": 2, "Supplier#C": 1}
 
 
+def test_yearly_growth_excludes_null_order_dates(spark, tmp_path):
+    """NULL-year contract probe (fuzz-found r15, fixed r16): a NULL
+    o_orderdate has no year, and before the fix its NULL group sat at
+    opposite ends of the two engines' LAG sorts (Spark asc = NULLS
+    FIRST, DuckDB = NULLS LAST), shifting every YoY delta in the
+    partition — Spark's 1995 row lagged against the NULL-year revenue
+    while the oracle's did not. Both sides now exclude NULL order
+    dates. Pins: hand-derived deltas, the NULL-date revenue absent from
+    every sum, no NULL-year row, and the full driver-gate differential
+    against the registered oracle on the same fixture."""
+    from datetime import datetime
+
+    import duckdb
+    import pandas as pd
+
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    orders = pd.DataFrame(
+        [(1, datetime(1995, 6, 1)), (2, datetime(1996, 6, 1)),
+         (3, None),                       # the poison row: no year
+         (4, datetime(1996, 7, 1))],
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    lineitem = pd.DataFrame(
+        [(1, 1, 100.0, 0.0), (2, 1, 200.0, 0.25),  # 1996: 150 + 50
+         (3, 1, 999.0, 0.0),                        # NULL-dated: excluded
+         (4, 1, 100.0, 0.5)],
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supplier = pd.DataFrame(
+        [(1, 0)], columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pd.DataFrame(
+        [(0, "NATION_A")], columns=["n_nationkey", "n_name"]
+    )
+
+    d = str(tmp_path / "yearly_growth_null_year")
+    os.makedirs(d, exist_ok=True)
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    lineitem.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    supplier.to_parquet(os.path.join(d, "supplier.parquet"), index=False)
+    nation.to_parquet(os.path.join(d, "nation.parquet"), index=False)
+
+    rows = {
+        (r["nation"], r["o_year"]): (r["revenue"], r["yoy_delta"])
+        for r in QUERIES["olap_yearly_growth"](spark, d).collect()
+    }
+    # exactly the two real years; the NULL-year group is gone entirely
+    assert set(rows) == {("NATION_A", 1995), ("NATION_A", 1996)}, rows
+    assert rows[("NATION_A", 1995)] == (100.0, None)
+    # 1996 revenue = 200*0.75 + 100*0.5 = 200; delta vs 1995 = +100 —
+    # and NOT lagged against the 999 NULL-year revenue (pre-fix Spark
+    # gave 1995 a delta of 100 - 999 = -899)
+    assert rows[("NATION_A", 1996)] == (200.0, 100.0)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("orders", "lineitem", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(spark, con, d, ["olap_yearly_growth"])
+
+
 def _agg_window_boundary_fixture(tmp_path):
     """Fourth adversarial fixture (r14): the aggregate/window/date
     convention boundaries not covered by the three third-pin fixtures —
@@ -2448,6 +2515,14 @@ def _nullsafe_boundary_fixture(tmp_path):
         (15, t(15), 6, "view", 7.0, '{"k": true}'),
         (16, t(16), 6, "view", 8.0, "42"),
         (17, t(17), 6, "view", 9.0, '{"k": 9007199254740993}'),
+        # u7 (r16, ADVICE): control-char trim frontier — Spark's
+        # string->long trimAll strips EVERY ASCII control + space + DEL
+        # ([\x00-\x20\x7f], measured), not just the 6 classic whitespace
+        # chars, and NOTHING above 0x7f (NBSP stays -> NULL). Applies to
+        # BOTH the lenient cast and the variant strict grammar.
+        (18, t(18), 7, "view", 1.0, '{"k": "\\u000111\\u0001"}'),
+        (19, t(19), 7, "view", 2.0, '{"k": "\\u001c10\\u001c"}'),
+        (20, t(20), 7, "view", 3.0, '{"k": "\\u00a05\\u00a0"}'),
     ]
     ev_a = pd.DataFrame(
         a_rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -2541,6 +2616,9 @@ def test_nullsafe_boundary_cases_match_hand_derivation(spark, tmp_path):
         15: (None, False),  # boolean extracts as 'true', not a number
         16: (None, True),   # scalar-rooted doc: no k at all
         17: (9007199254740993, False),  # 2^53+1 as a JSON NUMBER
+        18: (11, False),    # '\x0111\x01': SOH is trimmed (full control set)
+        19: (10, False),    # '\x1c10\x1c': FS is trimmed
+        20: (None, False),  # NBSP is NOT trimmed -> parse fails
     }
 
     # --- json_variant_extract: the variant cast contract (r15 twin) ---
@@ -2571,6 +2649,9 @@ def test_nullsafe_boundary_cases_match_hand_derivation(spark, tmp_path):
         17: (9007199254740993, "9007199254740993", None),  # BIGINT
         #   branch: variant keeps int64-range integers exact (a double
         #   would round 2^53+1 to ...992)
+        18: (11, "\x0111\x01", None),  # strict grammar trims the same
+        19: (10, "\x1c10\x1c", None),  #   [\x00-\x20\x7f] set (measured)
+        20: (None, "\xa05\xa0", None),  # NBSP not trimmed -> strict fail
     }
 
     # --- rollup_lineitem / cube_orders: REAL NULL keys vs subtotal NULLs ---
@@ -3067,6 +3148,57 @@ def test_oracles_agree_on_text_boundary_fixture(spark, tmp_path):
             "text_c4_filter",
         ],
     )
+
+
+def test_quality_score_vertical_tab_matches_java_whitespace(spark, tmp_path):
+    """r16 (ADVICE): DuckDB's RE2 \\s excludes vertical tab while
+    Spark's Java \\s includes it — 'a\\x0Bb' counted 1 token / 1 punct
+    char in the old oracle vs 2 tokens / 0 punct on the Spark side.
+    QUALITY_SCORE_ORACLE now spells out Java's exact class
+    [ \\t\\n\\x0B\\f\\r] in both the token and punct runs; this pins it
+    with a Java-semantics python reference plus the registered-oracle
+    gate. The split-form token oracles (TOKS_SQL family) keep RE2 \\s
+    and \\x0B stays excluded from fuzz generation for them — documented
+    in tools/fuzz_differential.py."""
+    import os
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+    from monthly_report_etl_spark.functions.text import stopword_regex
+
+    docs = pd.DataFrame(
+        [(1, "a\x0bb"), (2, "\x0bthe fox\x0b"), (3, "x\x0b\x0by"),
+         (4, "a \x0b b"), (5, "!\x0b?")],
+        columns=["doc_id", "text"],
+    )
+    d = str(tmp_path / "vtab_quality")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["punct_ratio"])
+        for r in QUERIES["text_quality_score"](spark, d).collect()
+    }
+    for i, text in zip(docs.doc_id, docs.text):
+        n_tok = len(re.findall(r"[^ \t\n\x0b\f\r]+", text))
+        n_punct = len(re.findall(r"[^A-Za-z0-9 \t\n\x0b\f\r]", text))
+        assert got[i][0] == n_tok, (i, got[i][0], n_tok)
+        assert abs(got[i][1] - n_punct / len(text)) <= 5e-7, i
+    assert got[1][0] == 2          # 'a\x0Bb': VT separates under Java \s
+    assert got[2][0] == 2          # leading/trailing VT adds no token
+    assert got[5] == (2, 0.666667)  # VT is whitespace, NOT punctuation:
+    #   2 punct chars over 3 chars — the old oracle counted VT as punct
+    #   (3/3) and one token ('!\x0B?' unsplit)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _gate_compare(spark, con, d, ["text_quality_score"])
 
 
 def _corpus_boundary_fixture(tmp_path):

@@ -16,8 +16,22 @@ tool should re-find every run):
     engine version; the engines' own docs disagree);
   * trailing-garbage JSON (Jackson vs DuckDB prefix-lenience,
     documented at dq_violations);
-  * non-ASCII whitespace as a token separator (the family tokenizes
-    by Java \\s — pinned by fixture 13);
+  * non-ASCII whitespace OR vertical tab (\\x0B) as a token separator
+    in TEXT columns (the Spark side tokenizes by Java \\s, which
+    includes \\x0B; the split-form TOKS_SQL oracles use RE2 \\s, which
+    excludes it — the count-form entry text_quality_score is Java-exact
+    as of r16 and pinned by its own VT fixture, but the token-ARRAY
+    entries keep the RE2 split and would diverge on \\x0B-separated
+    tokens; pinned by fixture 13 for the non-ASCII part);
+  * ASCII control chars / DEL inside JSON STRING VALUES are now FAIR
+    GAME (r16: the oracles mirror Spark's measured [\\x00-\\x20\\x7f]
+    cast trimAll) — but the PROPS pool keeps them out of TEXT columns
+    per the bullet above;
+  * int64-range JSON numbers in FRACTIONAL form beyond 2^53
+    (9007199254740993.0): DuckDB types them DOUBLE so the
+    json_variant_extract oracle's double round-trip truncates to
+    ...992 while Spark's variant keeps decimal precision (...993) —
+    documented at json_variant_extract;
   * NULL map keys (map_from_entries RAISES in BOTH engines);
   * values whose ROUND(x, 2) sits within half an ulp of a .xx5
     boundary: Spark's round re-decimalizes the double via its shortest
@@ -54,6 +68,10 @@ PROPS = [
     '{"k": %d}', '{"k": "%d"}', '{"k": null}', "{}", None, "{ba", "nul",
     '{"k": "4.6"}', '{"k": 4.6}', '{"k": "abc"}', "[1,2]", "null",
     '{"k": {"a": 1}}', '{"k": ".5"}', '{"k": true}',
+    # r16: control-char trim frontier is now oracle-mirrored
+    # ([\x00-\x20\x7f], measured) — generate it
+    '{"k": "\\u000111\\u0001"}', '{"k": "\\u001c%d\\u001c"}',
+    '{"k": "\\u00a05\\u00a0"}', '{"k": "\\u007f9\\u007f"}',
 ]
 TEXT_POOL = [
     None, "", "   ", "\t\t", "a", "the quick fox", "spam spam spam",
@@ -313,16 +331,15 @@ ENTRIES = [
     "olap_important_stock", "olap_dominant_supplier",
     "olap_disjunctive_brackets", "olap_forecast_revenue",
     "olap_product_profit", "olap_last_shipper",
-    # olap_yearly_growth is EXCLUDED until its pre-stated r16 fix lands
-    # (COVERAGE.md): the year-over-year lag orders by o_year, and a NULL
-    # order date's NULL year sits at opposite ends of the two engines'
-    # sorts, shifting the deltas -- a YoY delta over an unknown year is
-    # meaningless, so the r16 fix filters NULL dates on both sides; the
-    # entry is r14-latest and both r16 slack slots are taken, hence the
-    # one-round deferral (the cheapest_supplier pattern).
+    # olap_yearly_growth re-admitted r16: the pre-stated NULL-year fix
+    # landed (both sides exclude NULL order dates — a YoY delta over an
+    # unknown year is meaningless, and the NULL year sat at opposite
+    # ends of the two engines' LAG sorts). No exclusions remain outside
+    # the documented recall-floor rationale below.
+    "olap_yearly_growth",
     "join_hints_shuffle_hash", "unpivot_part", "salted_join",
     "range_join_bucketized", "lookup_enrich_broadcast",
-    "null_profile_orders", "rank_in_segment_month",
+    "rank_in_segment_month",
     "rank_pivot_merge_back", "grouping_sets_orders", "rollup_lineitem",
     "cube_orders", "filtered_agg_orders", "stats_corr",
     "stats_moments_group", "window_distribution", "window_fill_forward",
@@ -352,9 +369,15 @@ ENTRIES = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_prefix_jaccard", "dedup_duplicate_spans",
     "dedup_canonical_selection", "corpus_tfidf_top_terms",
-    "corpus_bigram_top", "corpus_ngram_novelty", "text_language_id",
+    "corpus_bigram_top", "corpus_ngram_novelty",
     "date_funcs_extended",
 ]
+
+# ADVICE r16 #4: two names were listed twice, so every seed ran them
+# twice and the per-seed total overstated distinct coverage by 2.
+assert len(ENTRIES) == len(set(ENTRIES)), sorted(
+    n for n in set(ENTRIES) if ENTRIES.count(n) > 1
+)
 
 
 def main() -> int:
