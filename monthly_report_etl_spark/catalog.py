@@ -1385,11 +1385,10 @@ _register_extension_catalogs()
 # plan and slack assignments.
 #
 # Changes applied THIS round (r16) under the displacement rule:
-# olap_yearly_growth (r14-latest, NOT due) lands its pre-stated
-# NULL-year fix (both sides exclude NULL order dates — the one known
-# live cross-engine divergence, VERDICT r15 missing #2); both r16
-# slack-equivalents are consumed by the rotation's own backlog, so it
-# rides receipts exactly ONE round (fixture probe + full-148 hand
+# olap_yearly_growth (r15-latest via the re-run window, NOT due) lands
+# its pre-stated NULL-year fix (both sides exclude NULL order dates —
+# the one known live cross-engine divergence, VERDICT r15 missing #2);
+# it rides receipts exactly ONE round (fixture probe + full-148 hand
 # sweep + re-admission to the fuzzer list) and is pre-assigned an r17
 # slack slot. json_extract_props + the flagship oracle gain the
 # control-char trimAll fix and text_quality_score's oracle gains the
@@ -1397,7 +1396,20 @@ _register_extension_catalogs()
 # text_quality_score are DUE this round, so those fresh rows arrive
 # with this very window; the flagship (exports_report_events,
 # r13-latest) rides receipts one round and its fresh row arrives with
-# its own r17 cohort.
+# its own r17 cohort, as does json_variant_extract (same trim fix).
+# The r16 fuzz continuation then ADMITTED 15 previously-unfuzzed
+# entries and immediately found two more divergences, both fixed this
+# round: events_sessionize_batch (missed the r15 NULL-event-time
+# convention; DUE this round — fresh row with this window, zero
+# friction) and olap_cheapest_supplier (struct-min ranked a NULL
+# acctbal as cheapest — NULLS-LAST isNull-flag struct now; r15-latest,
+# NOT due — rides receipts one round, takes the SECOND r17 slack
+# slot). A third find, recursive_order_chains' NULL-order-date chain
+# (same timeline convention), is NOT fixed this round: three riders
+# cannot fit two r17 slack slots, so per the displacement rule the
+# change itself waits — fix pre-stated for r17, fresh row r18 with its
+# own r15-latest cohort, entry excluded from the fuzzer list until
+# then (the yearly_growth pattern, one round longer).
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list against the

@@ -164,6 +164,7 @@ WITH o AS (
     SELECT user_id, event_id, ts,
            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
     FROM events
+    WHERE ts IS NOT NULL
 ),
 f AS (
     SELECT *, CASE WHEN prev_ts IS NULL
@@ -196,9 +197,22 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, and the (user_id, session_seq) agg's clustering is
     satisfied by it (subset rule) — the whole plan rides a single
     Exchange.
+
+    NULL-event-time convention (r16, found by extending the fuzzer to
+    this entry): the streaming twin and the whole timeline family got
+    the convention at r15 but this batch form was missed — a NULL-ts
+    event sat NULLS FIRST in Spark's session sort (its own phantom
+    first session, shifting every later session_seq) and NULLS LAST in
+    DuckDB's (silently merged into the last session). No event time,
+    no position on the timeline: filtered both sides, the filter
+    reaches the parquet scan.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts")
+    )
     e = e.withColumn("prev_ts", F.lag("ts").over(w))
     gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
     e = e.withColumn(

@@ -902,7 +902,7 @@ WITH sc AS (
 ),
 ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
-                                 ORDER BY s_acctbal, s_suppkey) AS rn
+                                 ORDER BY s_acctbal NULLS LAST, s_suppkey) AS rn
     FROM sc
 )
 SELECT p.p_partkey, p.p_name, r.s_suppkey, r.s_name,
@@ -918,7 +918,18 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     name))`` is the lexicographic argmin with the suppkey tie-break, so
     the whole query is broadcast-join → single hash-agg → broadcast part
     attach. The oracle keeps the faithful ROW_NUMBER form; no distinct
-    pre-pass is needed because MIN is duplicate-insensitive."""
+    pre-pass is needed because MIN is duplicate-insensitive.
+
+    NULL-acctbal contract (r16, found by extending the fuzzer to this
+    entry): Spark's struct ordering puts a NULL field FIRST ascending,
+    so a supplier with an unknown balance beat every priced one — the
+    wrong answer under Q2's correlated-MIN semantics, where MIN skips
+    NULLs and a NULL-acctbal supplier can never be the argmin. The
+    struct now leads with an isNull flag (false < true), which is
+    exactly NULLS LAST; a part whose suppliers ALL have NULL balances
+    still resolves by the suppkey tie-break, matching the oracle's
+    ROW_NUMBER over an all-NULL key. The oracle pins NULLS LAST
+    explicitly rather than riding DuckDB's default."""
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = (
@@ -928,7 +939,14 @@ def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
     agg = j.groupBy("l_partkey").agg(
-        F.min(F.struct("s_acctbal", "s_suppkey", "s_name")).alias("m")
+        F.min(
+            F.struct(
+                F.col("s_acctbal").isNull().alias("acct_is_null"),
+                F.col("s_acctbal").alias("s_acctbal"),
+                F.col("s_suppkey").alias("s_suppkey"),
+                F.col("s_name").alias("s_name"),
+            )
+        ).alias("m")
     )
     return agg.join(
         F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")

@@ -1961,6 +1961,109 @@ def test_yearly_growth_excludes_null_order_dates(spark, tmp_path):
     _gate_compare(spark, con, d, ["olap_yearly_growth"])
 
 
+def test_sessionize_batch_excludes_null_event_times(spark, tmp_path):
+    """NULL-event-time convention, batch twin (r16, found by extending
+    the fuzzer to events_sessionize_batch): the streaming sessionize and
+    the whole timeline family got the convention at r15 but the batch
+    form was missed — a NULL-ts event sat NULLS FIRST in Spark's session
+    sort (its own phantom first session, shifting every later
+    session_seq) and NULLS LAST in DuckDB's (silently merged into the
+    user's last session, inflating its n_events). Both sides now filter
+    NULL ts. Pins the hand-derived sessions and the oracle gate."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pandas as pd
+
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    ev = pd.DataFrame(
+        [(1, t0, 1), (2, t0 + timedelta(minutes=10), 1),
+         (3, None, 1),                                    # the poison row
+         (4, t0 + timedelta(hours=3), 1),
+         (5, None, 2)],                                   # all-NULL user
+        columns=["event_id", "ts", "user_id"],
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    d = str(tmp_path / "sessionize_null_ts")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    rows = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["session_start"],
+                                           r["session_end"])
+        for r in QUERIES["events_sessionize_batch"](spark, d).collect()
+    }
+    # exactly two sessions for user 1 (no phantom NaT session, no seq
+    # shift), and the all-NULL user vanishes entirely
+    assert set(rows) == {(1, 1), (1, 2)}, rows
+    assert rows[(1, 1)] == (2, t0, t0 + timedelta(minutes=10))
+    assert rows[(1, 2)][0] == 1
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    _gate_compare(spark, con, d, ["events_sessionize_batch"])
+
+
+def test_cheapest_supplier_null_acctbal_ranks_last(spark, tmp_path):
+    """NULL-acctbal contract (r16, found by extending the fuzzer to
+    olap_cheapest_supplier): Spark's struct ordering puts a NULL field
+    FIRST ascending, so a supplier with an UNKNOWN balance beat every
+    priced one — wrong under Q2's correlated-MIN semantics (MIN skips
+    NULLs). The struct now leads with an isNull flag (exact NULLS LAST);
+    a part whose suppliers ALL have NULL balances still resolves by the
+    suppkey tie-break, matching the oracle's ROW_NUMBER over an all-NULL
+    key."""
+    import duckdb
+    import pandas as pd
+
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    supplier = pd.DataFrame(
+        [(1, "Supplier#A", 100.0), (2, "Supplier#B", None),
+         (3, "Supplier#C", 50.0), (4, "Supplier#D", None)],
+        columns=["s_suppkey", "s_name", "s_acctbal"],
+    )
+    lineitem = pd.DataFrame(
+        [(10, 1), (10, 2), (10, 3),   # part 10: NULL vs priced -> priced min
+         (20, 2), (20, 4)],           # part 20: all-NULL -> suppkey tiebreak
+        columns=["l_partkey", "l_suppkey"],
+    )
+    part = pd.DataFrame(
+        [(10, "alpha", "PROMO"), (20, "beta", "PROMO")],
+        columns=["p_partkey", "p_name", "p_type"],
+    )
+    d = str(tmp_path / "cheapest_null_acctbal")
+    os.makedirs(d, exist_ok=True)
+    supplier.to_parquet(os.path.join(d, "supplier.parquet"), index=False)
+    lineitem.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    part.to_parquet(os.path.join(d, "part.parquet"), index=False)
+
+    rows = {
+        r["p_partkey"]: (r["s_suppkey"], r["s_name"], r["s_acctbal"])
+        for r in QUERIES["olap_cheapest_supplier"](spark, d).collect()
+    }
+    # pre-fix Spark picked supplier 2 (NULL acctbal) for part 10
+    assert rows[10] == (3, "Supplier#C", 50.0), rows
+    assert rows[20] == (2, "Supplier#B", None), rows
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("supplier", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(spark, con, d, ["olap_cheapest_supplier"])
+
+
 def _agg_window_boundary_fixture(tmp_path):
     """Fourth adversarial fixture (r14): the aggregate/window/date
     convention boundaries not covered by the three third-pin fixtures —
