@@ -1409,7 +1409,15 @@ _register_extension_catalogs()
 # cannot fit two r17 slack slots, so per the displacement rule the
 # change itself waits — fix pre-stated for r17, fresh row r18 with its
 # own r15-latest cohort, entry excluded from the fuzzer list until
-# then (the yearly_growth pattern, one round longer).
+# then (the yearly_growth pattern, one round longer). A second
+# admission wave then brought in the multimodal family: its oracles
+# modeled payloads as per-CHAR ascii() streams (documented ASCII-only,
+# fine on the sf corpora, wrong on the fuzzer's unicode) and now
+# reconstruct the TRUE UTF-8 byte stream via hex(encode(text)) —
+# multimodal_decode_features + multimodal_frame_sample are DUE this
+# round (same-round rows), multimodal_audio_rms is r13-latest and its
+# post-change row arrives r17 with its own cohort (receipts: the
+# extended fixture-14 unicode rows + 6-seed probe + sf0.01 gate).
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list against the

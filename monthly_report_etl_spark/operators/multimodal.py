@@ -269,22 +269,34 @@ def byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The driver corpus is pure ASCII (verified at every SF), so the UTF-8
-# byte stream the Pandas UDFs decode equals the character stream — the
-# decode/frame paths become fully oracle-checkable in SQL. Byte values
-# are ints, so AVG sums exactly in float64: numpy mean == SQL AVG
+# r16 (found by probing the multimodal family against the fuzzer's
+# unicode corpus): the old oracles modeled the payload as the per-CHAR
+# ascii() stream, valid only for pure-ASCII text (the sf corpora are;
+# the fuzz corpus is not — 'café' is 4 chars but 5 UTF-8 bytes, and a
+# multibyte char's ascii() is its CODEPOINT, not its bytes). The
+# oracles now reconstruct the TRUE UTF-8 byte stream in SQL —
+# hex(encode(text)) → per-byte hex-pair parse — so the whole family is
+# byte-exact on arbitrary unicode and fully fuzzable. Byte values are
+# ints, so AVG sums exactly in float64: numpy mean == SQL AVG
 # bit-for-bit, and ROUND(_, 6) on both sides is purely cosmetic.
-DECODE_FEATURES_ORACLE = f"""
--- text <> '' (r15 boundary fix): DuckDB string_split('', '') yields ['']
--- whose ascii('') is 0, fabricating ONE zero byte for an empty document;
--- the Spark side emits no feature row for a zero-byte payload (and skips
--- NULL payloads, which the per-char unnest already drops via NULL <> '')
-WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents
-           WHERE text <> ''),
+# (text <> '' keeps the r15 empty-doc guard: the Spark side emits no
+# feature row for a zero-byte payload and skips NULL payloads.)
+_BYTES_CTE = """h AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS nb
+    FROM documents WHERE text <> ''
+),
 b AS (
-    SELECT doc_id, ascii(cs[i]) AS byte
-    FROM c, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g
-)
+    SELECT doc_id, CAST(i AS BIGINT) AS i,
+           (strpos('0123456789ABCDEF',
+                   substr(hx, 2 * CAST(i AS INTEGER) - 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF',
+                   substr(hx, 2 * CAST(i AS INTEGER), 1)) - 1) AS byte
+    FROM h, LATERAL (SELECT unnest(generate_series(1, nb)) AS i) g
+)"""
+
+DECODE_FEATURES_ORACLE = f"""
+WITH {_BYTES_CTE}
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bytes,
        ROUND(AVG(byte), 6) AS mean_byte,
@@ -296,16 +308,10 @@ FROM b GROUP BY doc_id
 """
 
 FRAME_SAMPLE_ORACLE = f"""
--- text <> '': same empty-doc guard as DECODE_FEATURES_ORACLE (r15)
-WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents
-           WHERE text <> ''),
-b AS (
-    SELECT doc_id,
-           CAST(FLOOR((i - 1) / {FRAME_SIZE}) AS BIGINT) AS frame_idx,
-           ascii(cs[i]) AS byte
-    FROM c, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g
-)
-SELECT doc_id, frame_idx, ROUND(AVG(byte), 6) AS frame_mean
+WITH {_BYTES_CTE}
+SELECT doc_id,
+       CAST(FLOOR((i - 1) / {FRAME_SIZE}) AS BIGINT) AS frame_idx,
+       ROUND(AVG(byte), 6) AS frame_mean
 FROM b GROUP BY doc_id, frame_idx
 """
 
@@ -363,16 +369,19 @@ def audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ASCII corpus → each char is one byte; sample k is cs[2k+1] + 256*cs[2k+2]
-# (ASCII high bytes < 128 keep u < 32768, but the signed fold is written out
-# on both sides so the contract is the true int16 one)
+# sample k = byte(2k+1) + 256*byte(2k+2) over the TRUE UTF-8 byte
+# stream (r16, see _BYTES_CTE note — the old per-char ascii() model was
+# ASCII-only); the lo/hi self-join on consecutive byte indices drops an
+# odd trailing byte exactly like the Spark side's 2*(n//2) truncation,
+# and the signed fold is written out on both sides so the contract is
+# the true little-endian int16 one
 AUDIO_RMS_ORACLE = f"""
-WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+WITH {_BYTES_CTE},
 s AS (
-    SELECT doc_id, k,
-           ascii(cs[2 * k + 1]) + 256 * ascii(cs[2 * k + 2]) AS u
-    FROM c, LATERAL (SELECT unnest(generate_series(0, CAST(len(cs) // 2 AS BIGINT) - 1)) AS k) g
-    WHERE len(cs) >= 2
+    SELECT lo.doc_id, CAST((lo.i - 1) // 2 AS BIGINT) AS k,
+           lo.byte + 256 * hi.byte AS u
+    FROM b lo JOIN b hi ON hi.doc_id = lo.doc_id AND hi.i = lo.i + 1
+    WHERE lo.i % 2 = 1
 ),
 v AS (
     SELECT doc_id, k,

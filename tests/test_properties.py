@@ -4142,17 +4142,21 @@ def test_oracles_agree_on_r13_text_corpus_boundary_fixture(spark, tmp_path):
 
 
 def _multimodal_boundary_fixture(tmp_path):
-    """Fourteenth adversarial fixture (r15): the multimodal family on
-    NULL / empty / odd-length / exact-window-edge payloads (ASCII only
-    -- the oracles' documented 1-char-=-1-byte assumption). The hunt
-    found and fixed TWO defects here: (1) a NULL text made every
-    mapInPandas batcher call bytes(None), crashing the whole job for
-    one null media row, where the oracles' per-byte unnest just emits
-    zero rows (the batchers now skip NULL payloads); (2) DuckDB's
-    string_split('', '') yields [''] whose ascii('') is 0, so the
-    decode/frame oracles fabricated ONE zero byte for an EMPTY document
-    (n_bytes=1, mean_byte=0) that the Spark side never emits -- the
-    oracles now guard WHERE text <> ''. Returns (dir, docs)."""
+    """Fourteenth adversarial fixture (r15; unicode rows added r16): the
+    multimodal family on NULL / empty / odd-length / exact-window-edge
+    payloads. The r15 hunt found and fixed TWO defects here: (1) a NULL
+    text made every mapInPandas batcher call bytes(None), crashing the
+    whole job for one null media row, where the oracles' per-byte
+    unnest just emits zero rows (the batchers now skip NULL payloads);
+    (2) DuckDB's string_split('', '') yields [''] whose ascii('') is 0,
+    so the decode/frame oracles fabricated ONE zero byte for an EMPTY
+    document. r16 removed the fixture's original ASCII-only limitation:
+    the oracles used a per-CHAR ascii() stream (a multibyte char's
+    codepoint, not its bytes) and now reconstruct the TRUE UTF-8 byte
+    stream via hex(encode(text)) — rows 11-12 pin multibyte payloads
+    (n_bytes > n_chars, high-bit histogram bins, int16 samples that
+    cross the sign boundary only under real UTF-8 bytes). Returns
+    (dir, docs)."""
     import pandas as pd
 
     import os
@@ -4168,6 +4172,8 @@ def _multimodal_boundary_fixture(tmp_path):
         (8, "A" * 63 + "!", "en", "web", 64),      # exactly one frame
         (9, "A" * 65, "en", "web", 65),    # frame + 1
         (10, "\x00\x7f" * 10, "en", "web", 20),    # low/high byte mix
+        (11, "café", "fr", "web", 4),      # 4 chars, 5 UTF-8 bytes
+        (12, "é" * 40, "fr", "web", 40),   # 40 chars, 80 bytes: 2 frames
     ]
     docs = pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
@@ -4213,6 +4219,19 @@ def test_multimodal_boundary_hand_derivation(spark, tmp_path):
     assert sorted(fr[8]) == [0]        # exactly one frame
     assert sorted(fr[9]) == [0, 1]     # 65 bytes -> frame + 1-byte tail
     assert len(fr[5]) == 512 // FRAME_SIZE
+    assert sorted(fr[11]) == [0]       # 5 UTF-8 bytes -> one frame
+    assert sorted(fr[12]) == [0, 1]    # 80 bytes (40 chars) -> 2 frames
+
+    # decode_features: multibyte chars land in the high histogram bins
+    # (UTF-8 lead/continuation bytes, NOT codepoints — 'é' is c3+a9)
+    feats_full = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_decode_features"](spark, d).collect()
+    }
+    assert feats_full[11]["n_bytes"] == 5          # café: 4 chars, 5 bytes
+    assert feats_full[11]["hist_bin3"] == 1        # 0xC3 >= 192
+    assert feats_full[11]["hist_bin2"] == 1        # 0xA9 in [128, 192)
+    assert feats_full[12]["n_bytes"] == 80
 
     # audio_rms: docs with < 2 bytes have NO windows (no full int16
     # sample); odd trailing byte dropped; window edge at 512/514 bytes
@@ -4224,6 +4243,7 @@ def test_multimodal_boundary_hand_derivation(spark, tmp_path):
     assert au[7] == [(0, 1)]                      # 3 bytes -> 1 sample
     assert sorted(au[5]) == [(0, AUDIO_WINDOW)]   # exactly one full window
     assert sorted(au[6]) == [(0, AUDIO_WINDOW), (1, 1)]
+    assert au[11] == [(0, 2)]                     # 5 bytes -> 2 samples
 
     # byte_stats: NULL text keeps its row with NULL counts (projection,
     # not aggregation -- presence semantics differ from the UDF family

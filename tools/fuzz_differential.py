@@ -316,6 +316,13 @@ ENTRIES = [
     "corpus_pack_sequences_ranged", "corpus_stratified_sample",
     "corpus_pii_flags", "corpus_decontaminate", "corpus_bpe_pair_counts",
     "dedup_cc_star", "dedup_connected_components",
+    # r16 second admission wave: the whole multimodal family — probing
+    # it found the oracles modeled payloads as per-CHAR ascii() streams
+    # (ASCII-only, fine on the sf corpora, wrong on 'café'); they now
+    # reconstruct the true UTF-8 byte stream via hex(encode(text)), so
+    # the family is byte-exact on arbitrary unicode
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_audio_rms",
     # Still excluded, with reasons: recursive_order_chains (its NULL-
     # order-date chain fix — the same timeline convention as
     # events_sessionize_batch's — is pre-stated for r17: three r16
@@ -328,9 +335,7 @@ ENTRIES = [
     # equivalence-fuzzed separately to 220k corpora at r14);
     # corpus_incremental_ingest* + jsonl_roundtrip_docs + union_by_name
     # (file-sink/manifest/directory entries — they write state the
-    # per-seed view harness doesn't model); multimodal_* (the generator
-    # builds no binary media columns; the Arrow-seam crash guards are
-    # fixture-pinned); similarity_ivf_topk / similarity_pca_ivf /
+    # per-seed view harness doesn't model); similarity_ivf_topk / similarity_pca_ivf /
     # similarity_pq_adc / dedup_semdedup_kmeans (recall floors
     # calibrated to benchmark corpora — the standing rationale below).
     "json_extract_props", "json_variant_extract", "array_functions",
