@@ -1418,6 +1418,12 @@ _register_extension_catalogs()
 # round (same-round rows), multimodal_audio_rms is r13-latest and its
 # post-change row arrives r17 with its own cohort (receipts: the
 # extended fixture-14 unicode rows + 6-seed probe + sf0.01 gate).
+# The second fuzz batch found a FOURTH divergence, asof_join (a NULL-ts
+# purchase carries no as-of click in Spark's NULLS-FIRST sort but the
+# last click in DuckDB's NULLS-LAST) — r15-latest with both r17 slack
+# slots claimed, so its fix joins recursive_order_chains in the
+# pre-stated r17 pair (changes r17, fresh rows r18 with their cohort;
+# both out of the fuzzer until then).
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list against the
