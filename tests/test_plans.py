@@ -909,6 +909,38 @@ def test_bpe_tokenize_sampled_plan_shape(spark, sf_dir):
     assert "ResolvedHint" not in analyzed
 
 
+def test_r16_null_convention_filters_push_to_scan(spark, sf_dir):
+    """The r16 NULL-convention fixes must be FREE like read_vectors':
+    the new isNotNull filters (olap_yearly_growth's order-date,
+    events_sessionize_batch's event-time) have to reach the parquet
+    reader as pushed filters, not post-scan Filter nodes."""
+    plan = _plan(QUERIES["olap_yearly_growth"](spark, sf_dir))
+    assert any(
+        "PushedFilters" in ln and "IsNotNull(o_orderdate)" in ln
+        for ln in plan.splitlines()
+    ), plan
+    plan = _plan(QUERIES["events_sessionize_batch"](spark, sf_dir))
+    assert any(
+        "PushedFilters" in ln and "IsNotNull(ts)" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_cheapest_supplier_keeps_single_agg_plan(spark, sf_dir):
+    """The r16 NULLS-LAST struct fix (an extra boolean lead field in the
+    argmin struct) must not change the plan shape: still ONE
+    hash-aggregate pair over the lineitem side and broadcast joins for
+    both dimension attaches — no window, no extra Exchange."""
+    plan = _plan(QUERIES["olap_cheapest_supplier"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    n_exchanges = sum(
+        1 for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    )
+    assert n_exchanges <= 1, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
 def test_read_vectors_nullfilter_pushes_to_scan(spark):
     """The r15 NULL-vector index contract must be FREE: read_vectors'
     isNotNull filter has to reach the parquet reader as a pushed filter
