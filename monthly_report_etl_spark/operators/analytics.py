@@ -250,8 +250,13 @@ SELECT o_orderpriority, n,
        ROUND(m1, 2) AS mean_price,
        ROUND(sd, 2) AS stddev_price,
        ROUND(med, 2) AS median_price,
+       -- + 0.0 canonicalizes NEGATIVE ZERO (r16, found by the closing
+       -- fuzz batch at seed 20260895 — the standardize-oracle class
+       -- from r15): a tiny negative third central moment rounds to
+       -- -0.000 under DuckDB's sign-preserving ROUND while Spark's
+       -- BigDecimal round has no signed zero
        ROUND((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
-             / POWER(m2 - m1 * m1, 1.5), 3) AS skewness_price
+             / POWER(m2 - m1 * m1, 1.5), 3) + 0.0 AS skewness_price
 FROM m
 """
 

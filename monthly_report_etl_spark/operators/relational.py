@@ -1337,8 +1337,13 @@ CATALOG["join_hints_shuffle_hash"] = (join_hints_shuffle_hash, JOIN_HINTS_ORACLE
 
 STATS_CORR_ORACLE = """
 SELECT o_orderpriority,
-       ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS corr_price_cust,
-       ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS covar_pc,
+       -- + 0.0 canonicalizes NEGATIVE ZERO on the two sign-crossing
+       -- outputs (r16, the standardize-oracle class): a tiny negative
+       -- correlation/covariance rounds to -0.0 under DuckDB's
+       -- sign-preserving ROUND while Spark's BigDecimal round yields
+       -- +0.0; stddev/variance are non-negative by construction
+       ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) + 0.0 AS corr_price_cust,
+       ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) + 0.0 AS covar_pc,
        ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
        ROUND(var_samp(o_totalprice), 4) AS var_price
 FROM orders GROUP BY o_orderpriority
