@@ -1423,7 +1423,13 @@ _register_extension_catalogs()
 # last click in DuckDB's NULLS-LAST) — r15-latest with both r17 slack
 # slots claimed, so its fix joins recursive_order_chains in the
 # pre-stated r17 pair (changes r17, fresh rows r18 with their cohort;
-# both out of the fuzzer until then).
+# both out of the fuzzer until then). The closing batches added two
+# same-round fixes on r13-latest entries (fresh rows r17 with their
+# cohort, receipts ride this round): stats_moments_group +
+# stats_corr's negative-zero canonicalization (oracle-side) and
+# olap_supplier_part_types' NULL-suppkey phantom-group fix (Spark
+# side: NOT IN drops what left_anti keeps — unattributable lines now
+# filtered at the scan, fixture-probed).
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list against the

@@ -1095,8 +1095,22 @@ def supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN (the blocklist is tiny), broadcast part-dim filter join, then one
     hash aggregate — COUNT(DISTINCT l_suppkey) is duplicate-insensitive,
     so no distinct pre-pass over the pairs is needed and the only
-    exchange is the partial-agg shuffle on the 3 group keys."""
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    exchange is the partial-agg shuffle on the 3 group keys.
+
+    NULL-suppkey contract (r16, found by the closing fuzz batch): SQL's
+    three-valued NOT IN drops a NULL-suppkey line (NULL NOT IN (...) is
+    NULL), but a left_anti join KEEPS it (NULL equals nothing), so a
+    part supplied only by unattributable lines formed a phantom
+    supplier_cnt=0 group on the Spark side. A line with no supplier
+    cannot witness a supplier anyway — filtered before the anti join,
+    pushed to the scan (the olap_last_shipper attributable-shipments
+    convention; the blocklist side has no NULL keys by construction,
+    so the NOT-IN empty-on-NULL-blocklist frontier does not arise)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
+        .select("l_partkey", "l_suppkey")
+    )
     bad = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)

@@ -2011,6 +2011,57 @@ def test_sessionize_batch_excludes_null_event_times(spark, tmp_path):
     _gate_compare(spark, con, d, ["events_sessionize_batch"])
 
 
+def test_supplier_part_types_drops_unattributable_lines(spark, tmp_path):
+    """NULL-suppkey contract (r16, found by the closing fuzz batch):
+    SQL's three-valued NOT IN drops a NULL-suppkey line (NULL NOT IN
+    (...) is NULL) while a left_anti join KEEPS it (NULL equals
+    nothing), so a part supplied ONLY by unattributable lines formed a
+    phantom supplier_cnt=0 group on the Spark side. A line with no
+    supplier cannot witness one — filtered both sides now. Pins the
+    phantom-group absence, a mixed part's count, and the oracle gate."""
+    import duckdb
+    import pandas as pd
+
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    supplier = pd.DataFrame(
+        [(1, 100.0), (2, -5.0)], columns=["s_suppkey", "s_acctbal"]
+    )
+    lineitem = pd.DataFrame(
+        [(10, 1.0), (10, None), (20, None),  # part 20: ONLY a NULL line
+         (10, 2.0)],                          # blocked supplier
+        columns=["l_partkey", "l_suppkey"],
+    )
+    lineitem["l_suppkey"] = lineitem["l_suppkey"].astype("Int64")
+    part = pd.DataFrame(
+        [(10, "Brand#7", "STANDARD", 9), (20, "Brand#34", "ECONOMY", 45)],
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    d = str(tmp_path / "spt_null_suppkey")
+    os.makedirs(d, exist_ok=True)
+    supplier.to_parquet(os.path.join(d, "supplier.parquet"), index=False)
+    lineitem.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    part.to_parquet(os.path.join(d, "part.parquet"), index=False)
+
+    rows = {
+        r["p_partkey"] if "p_partkey" in r else (r["p_brand"], r["p_type"], r["p_size"]):
+            r["supplier_cnt"]
+        for r in QUERIES["olap_supplier_part_types"](spark, d).collect()
+    }
+    # pre-fix Spark emitted ('Brand#34','ECONOMY',45) with count 0
+    assert rows == {("Brand#7", "STANDARD", 9): 1}, rows
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("supplier", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(spark, con, d, ["olap_supplier_part_types"])
+
+
 def test_cheapest_supplier_null_acctbal_ranks_last(spark, tmp_path):
     """NULL-acctbal contract (r16, found by extending the fuzzer to
     olap_cheapest_supplier): Spark's struct ordering puts a NULL field
