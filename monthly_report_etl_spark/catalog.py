@@ -1164,14 +1164,33 @@ def calendar_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat_ws('|', c_mktsegment, c_name) AS seg_name,
            CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
            CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_building,
-           split_part(c_name, '#', 1) AS name_stem
+           CASE WHEN c_name IS NULL THEN NULL
+                ELSE split_part(c_name, '#', 1) END AS name_stem
     FROM customer
     """,
 )
 def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string-function family (§2.8) — every function pinned to the
     cross-engine-identical subset (1-based substr/strpos, lpad truncation,
-    classic levenshtein), all codegen'd in one projection."""
+    classic levenshtein), all codegen'd in one projection.
+
+    r16 (found by probing adversarial names): DuckDB's ``split_part`` is
+    NOT NULL-propagating — ``split_part(NULL, '#', 1)`` returns ``''``
+    (measured) where Spark returns NULL, so the oracle wraps it in a
+    NULL-preserving CASE. The divergence was INVISIBLE to every
+    CSV-hash-based compare (both NULL and '' render as an empty CSV
+    field — a measured harness blind spot, caught only by a cell-level
+    diff) but is a real semantic difference. Two more frontiers are
+    MEASURED, documented, and kept out of fuzz generation because no
+    portable SQL expresses them: (1) Unicode SPECIAL-CASING in upper()
+    — Java maps 'ß' → 'SS' and the 'ﬁ' ligature → 'FI' (full case
+    mapping) while DuckDB maps 'ß' → 'ẞ' and leaves ligatures alone
+    (simple mapping); ordinary accented letters ('café' → 'CAFÉ')
+    agree, so generated names may carry accents but not special-casing
+    chars. (2) levenshtein UNITS — DuckDB counts BYTES
+    (levenshtein('Ü','U') = 2, measured) while Spark counts
+    CHARACTERS; the levenshtein input column (c_mktsegment) stays
+    ASCII in generation."""
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -1429,7 +1448,11 @@ _register_extension_catalogs()
 # stats_corr's negative-zero canonicalization (oracle-side) and
 # olap_supplier_part_types' NULL-suppkey phantom-group fix (Spark
 # side: NOT IN drops what left_anti keeps — unattributable lines now
-# filtered at the scan, fixture-probed).
+# filtered at the scan, fixture-probed). A third probe wave
+# (adversarial customer names) added string_funcs_customer's
+# split_part NULL-propagation oracle fix — a divergence INVISIBLE to
+# CSV-hash compares (NULL and '' both render empty), pinned by a
+# cell-level probe — also r13-latest, fresh row r17 with its cohort.
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list against the

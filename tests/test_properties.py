@@ -2011,6 +2011,63 @@ def test_sessionize_batch_excludes_null_event_times(spark, tmp_path):
     _gate_compare(spark, con, d, ["events_sessionize_batch"])
 
 
+def test_string_funcs_adversarial_names_cell_level(spark, tmp_path):
+    """r16 string-frontier probe. DuckDB's split_part is NOT
+    NULL-propagating (split_part(NULL,'#',1) = '' — measured), so a
+    NULL name's name_stem diverged from Spark's NULL; the oracle now
+    wraps it in a NULL-preserving CASE. Crucially the divergence is
+    INVISIBLE to every CSV-hash compare (NULL and '' both render as an
+    empty CSV field), so this probe diffs CELLS, not hashes — the
+    NULL/'' distinction is asserted explicitly. The rest of the fixture
+    pins the portable-subset agreement on accented/emoji/control-char
+    names (strpos/substr/reverse/length are char-based in both
+    engines); the two documented non-portable frontiers (Java
+    special-casing upper, byte-based DuckDB levenshtein) stay out of
+    the fixture by construction."""
+    import duckdb
+    import pandas as pd
+
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES, ORACLES
+
+    names = [None, "", "   ", "Customer#1", "café#42", "ábć#1#2",
+             "a\tb#c", "emoji🙂#7", "Ωmega 9"]
+    cust = pd.DataFrame({
+        "c_custkey": range(1, len(names) + 1),
+        "c_name": pd.array(names, dtype="string"),
+        "c_mktsegment": pd.array(
+            ["BUILDING", None, "", "AUTOMOBILE", "B", "MACHINERY",
+             "FURNITURE", "BUILDIN", "AUTOMOBILE"], dtype="string"),
+    })
+    d = str(tmp_path / "string_adversarial")
+    os.makedirs(d, exist_ok=True)
+    cust.to_parquet(os.path.join(d, "customer.parquet"), index=False)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{d}/customer.parquet')"
+    )
+    s = {r["c_custkey"]: r.asDict()
+         for r in QUERIES["string_funcs_customer"](spark, d).collect()}
+    o_df = con.execute(ORACLES["string_funcs_customer"]).fetchdf()
+    o = {int(r["c_custkey"]): {c: (None if pd.isna(r[c]) else r[c])
+                               for c in o_df.columns}
+         for _, r in o_df.iterrows()}
+    assert set(s) == set(o)
+    for k in s:
+        for col, sv in s[k].items():
+            ov = o[k][col]
+            assert (sv is None and ov is None) or sv == ov, (k, col, sv, ov)
+    # the cell-level teeth: NULL name -> NULL stem on BOTH sides (the
+    # old oracle returned '' here, indistinguishable under a CSV hash)
+    assert s[1]["name_stem"] is None and o[1]["name_stem"] is None
+    assert s[2]["name_stem"] == "" and o[2]["name_stem"] == ""  # empty name
+    assert s[5]["prefix8"] == "café#42"       # accents: char-based substr
+    assert s[8]["name_len"] == len("emoji🙂#7")
+
+
 def test_supplier_part_types_drops_unattributable_lines(spark, tmp_path):
     """NULL-suppkey contract (r16, found by the closing fuzz batch):
     SQL's three-valued NOT IN drops a NULL-suppkey line (NULL NOT IN

@@ -186,9 +186,25 @@ def gen_tables(seed: int, d: str) -> None:
     nation["n_regionkey"] = nation["n_regionkey"].astype("Int32")
     nation["n_nationkey"] = nation["n_nationkey"].astype("int32")
     nation.to_parquet(os.path.join(d, "nation.parquet"), index=False)
+    # segs stay ASCII: DuckDB levenshtein counts BYTES, Spark counts
+    # CHARACTERS (measured: levenshtein('Ü','U') = 2 in DuckDB) — a
+    # documented frontier, so the levenshtein input column never
+    # carries non-ASCII. Names MAY carry accents/emoji/controls (r16:
+    # strpos/substr/reverse/length are char-based and agree in both
+    # engines) but not Unicode SPECIAL-CASING chars (ß, ligatures):
+    # Java upper() full-maps 'ß' -> 'SS' where DuckDB simple-maps to
+    # 'ẞ' — the other documented frontier.
     segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "FURNITURE", None]
+    name_forms = [
+        None, "", "   ", "Customer#{i}", "caf\xe9#{i}", "\xe1bć#{i}#2",
+        "a\tb#{i}", "emoji\U0001f642#{i}", "Ωmega {i}",
+        "Customer#{i}", "Customer#{i}",  # keep the plain form dominant
+    ]
+    def _cname(i):
+        f = rng.choice(name_forms)
+        return None if f is None else f.replace("{i}", str(i))
     customer = pd.DataFrame(
-        [(i, None if rng.random() < 0.1 else f"Customer#{i}",
+        [(i, _cname(i),
           None if rng.random() < 0.1 else rng.randint(0, 9),  # dangler 8/9
           None if rng.random() < 0.12 else float(rng.randint(-999, 9999)),
           rng.choice(segs))
