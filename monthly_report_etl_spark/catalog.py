@@ -1453,6 +1453,10 @@ _register_extension_catalogs()
 # split_part NULL-propagation oracle fix — a divergence INVISIBLE to
 # CSV-hash compares (NULL and '' both render empty), pinned by a
 # cell-level probe — also r13-latest, fresh row r17 with its cohort.
+# A fourth wave (extreme timestamps) fixed events_sliding_window's
+# oracle: DuckDB // truncates toward zero, so pre-1970 off-grid epochs
+# snapped one slide late — rewritten on time_bucket (floor), pinned by
+# a pre-epoch fixture; the entry is DUE this round (same-round row).
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list against the

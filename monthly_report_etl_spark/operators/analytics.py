@@ -341,8 +341,18 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark's window() EXCLUDES rows with NULL event time, while the bare
 # epoch arithmetic kept four NULL-window rows per event type — the same
 # no-event-time-no-window convention as the tumbling twin.
+# time_bucket, not epoch_us // (r16, found by probing PRE-1970
+# timestamps): DuckDB's ``//`` TRUNCATES toward zero (-7 // 2 = -3,
+# measured), so a negative off-grid epoch snapped to the grid point
+# ABOVE the event and every window shifted one slide late — while
+# Spark's grouped window() floors correctly at any epoch (measured:
+# 1963-04-11 16:13:03 → starts {15:15..16:00} in Spark, the correct
+# containing set). time_bucket(INTERVAL, ts) floors on both sides of
+# the epoch (measured: 1963 16:13:03 → 16:00), and its sub-day origin
+# (2000-01-01) sits on the same 15-minute grid as epoch 0.
 SLIDING_WINDOW_ORACLE = """
-SELECT make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS window_start,
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+           AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 2) AS sum_value
@@ -359,8 +369,21 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (no self-join, no 4x shuffle of the input: the explode
     happens map-side and partial aggregation collapses it before the
     exchange). The oracle replicates Spark's epoch-aligned window starts
-    with integer-microsecond arithmetic (``floor(us/900e6) - k``), so
-    both engines bucket sub-second timestamps identically."""
+    via ``time_bucket`` (floor-to-grid), so both engines bucket any
+    timestamp identically.
+
+    PRE-EPOCH contract (r16, found by probing extreme timestamps): the
+    old oracle's ``epoch_us(ts) // slide`` snapped a NEGATIVE off-grid
+    epoch to the grid point ABOVE the event — DuckDB's ``//``
+    TRUNCATES toward zero (``-7 // 2 = -3``, measured) — shifting all
+    four windows one slide late for every pre-1970 event, while
+    Spark's grouped ``window()`` floors correctly at any epoch
+    (measured: 1963-04-11 16:13:03 → starts {15:15..16:00}, exactly
+    the containing set). ``time_bucket(INTERVAL '15 minutes', ts)``
+    floors on both sides of the epoch and its sub-day origin
+    (2000-01-01) sits on the same 15-minute grid as epoch 0. Pinned by
+    ``test_sliding_window_pre_epoch_floor``; the tumbling twin already
+    agreed across 1900-2100 (its oracle never divided epochs)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")

@@ -2011,6 +2011,59 @@ def test_sessionize_batch_excludes_null_event_times(spark, tmp_path):
     _gate_compare(spark, con, d, ["events_sessionize_batch"])
 
 
+def test_sliding_window_pre_epoch_floor(spark, tmp_path):
+    """PRE-EPOCH sliding-window contract (r16, found by probing extreme
+    timestamps): DuckDB's // truncates toward zero, so the old oracle
+    snapped a negative off-grid epoch to the grid point ABOVE the event
+    and shifted all four windows a slide late; Spark's grouped window()
+    floors correctly at any epoch. The oracle now uses time_bucket.
+    Pins the hand-derived window sets for an off-grid pre-1970 event, a
+    grid-aligned pre-1970 event, the epoch boundary, and a modern
+    control — plus the registered-oracle gate on the same fixture."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pandas as pd
+
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    ev = pd.DataFrame(
+        [(1, datetime(1963, 4, 11, 16, 13, 3), 1, "click", 1.0, "{}"),
+         (2, datetime(1963, 4, 11, 16, 15, 0), 2, "view", 2.0, "{}"),
+         (3, datetime(1969, 12, 31, 23, 59, 0), 3, "error", 3.0, "{}"),
+         (4, datetime(1970, 1, 1, 0, 1, 0), 4, "signup", 4.0, "{}"),
+         (5, datetime(2024, 4, 11, 16, 20, 0), 5, "purchase", 5.0, "{}")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    d = str(tmp_path / "sliding_pre_epoch")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    got = {}
+    for r in QUERIES["events_sliding_window"](spark, d).collect():
+        got.setdefault(r["event_type"], []).append(r["window_start"])
+    grid = lambda y, m, dd, hh, mm: [
+        datetime(y, m, dd, hh, mm) - timedelta(minutes=15 * k) for k in range(4)
+    ]
+    # off-grid pre-1970: floor grid is 16:00 (the old truncating oracle
+    # said 16:15, one slide late)
+    assert sorted(got["click"]) == sorted(grid(1963, 4, 11, 16, 0)), got["click"]
+    assert sorted(got["view"]) == sorted(grid(1963, 4, 11, 16, 15))   # on-grid
+    assert sorted(got["error"]) == sorted(grid(1969, 12, 31, 23, 45))
+    assert sorted(got["signup"]) == sorted(grid(1970, 1, 1, 0, 0))
+    assert sorted(got["purchase"]) == sorted(grid(2024, 4, 11, 16, 15))
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    _gate_compare(spark, con, d, ["events_sliding_window"])
+
+
 def test_string_funcs_adversarial_names_cell_level(spark, tmp_path):
     """r16 string-frontier probe. DuckDB's split_part is NOT
     NULL-propagating (split_part(NULL,'#',1) = '' — measured), so a

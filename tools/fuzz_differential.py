@@ -86,9 +86,19 @@ def gen_tables(seed: int, d: str) -> None:
     n_ev = rng.randint(30, 120)
     ev_rows = []
     for i in range(n_ev):
+        # ~1 in 4 non-NULL event times range over 1900-2100 (r16: the
+        # pre-1970 corner found the sliding-window oracle's truncating
+        # epoch division — DuckDB // rounds toward zero, snapping a
+        # negative off-grid epoch one slide late); the rest stay
+        # 2024-centered so funnels/attribution windows keep firing
+        r_ts = rng.random()
         ts = (
             None
-            if rng.random() < 0.08
+            if r_ts < 0.08
+            else datetime(rng.randint(1900, 2100), rng.randint(1, 12),
+                          rng.randint(1, 28), rng.randint(0, 23),
+                          rng.randint(0, 59), rng.randint(0, 59))
+            if r_ts < 0.28
             else t0 + timedelta(seconds=rng.randint(-10**8, 10**8))
         )
         user = None if rng.random() < 0.08 else rng.randint(-3, 12)
