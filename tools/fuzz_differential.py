@@ -155,9 +155,16 @@ def gen_tables(seed: int, d: str) -> None:
         cust = None if rng.random() < 0.1 else rng.randint(1, 10)
         status = rng.choice(["O", "F", "P", None])
         price = None if rng.random() < 0.12 else float(rng.randint(0, 9000))
+        # ~1 in 5 non-NULL order dates range over 1900-2100 (r16, the
+        # timestamp-domain widening); the rest stay 1992-2001 so the
+        # OLAP constant-date filters keep selecting rows
+        r_dt = rng.random()
         date = (
             None
-            if rng.random() < 0.08
+            if r_dt < 0.08
+            else datetime(rng.randint(1900, 2100), rng.randint(1, 12),
+                          rng.randint(1, 28))
+            if r_dt < 0.24
             else datetime(rng.randint(1992, 2001), rng.randint(1, 12), rng.randint(1, 28))
         )
         prio = rng.choice(
@@ -274,7 +281,11 @@ def gen_tables(seed: int, d: str) -> None:
             None if rng.random() < 0.1 else rng.choice([0.0, 0.25, 0.5]),
             rng.choice(["N", "R", "A", None]),
             rng.choice(["O", "F", None]),
-            None if rng.random() < 0.08
+            # same 1900-2100 widening as order dates (r16)
+            None if (r_sd := rng.random()) < 0.08
+            else datetime(rng.randint(1900, 2100), rng.randint(1, 12),
+                          rng.randint(1, 28))
+            if r_sd < 0.24
             else datetime(rng.randint(1992, 2001), rng.randint(1, 12),
                           rng.randint(1, 28)),
         ))
