@@ -415,7 +415,14 @@ WITH ranked AS (
     FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id,
-       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       -- COALESCE '' (r16, found the first run after the harness
+       -- learned to hash NULL differently from the empty string): a
+       -- user whose kept events ALL have NULL event_type gets '' from
+       -- Spark's array_join (it drops NULL elements and joins the
+       -- empty remainder) but NULL from string_agg (skips NULLs,
+       -- all-NULL group -> NULL) — the r14 array_functions convention
+       -- (empty joins are '', never NULL) applies
+       COALESCE(string_agg(event_type, '>' ORDER BY ts, event_id), '') AS seq,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(ANY_VALUE(n_total) AS BIGINT) AS n_events_total,
        MIN(ts) AS first_ts,

@@ -1597,8 +1597,12 @@ def _gate_compare(spark, con, sf_dir, names):
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     def vhash(df):
+        # na_rep sentinel (r16, finding 35's lesson): plain to_csv
+        # renders BOTH NULL and '' as an empty field, hiding NULL-vs-
+        # empty-string divergences from every hash compare
         return hashlib.sha256(
-            df.to_csv(index=False, float_format="%.9g").encode()
+            df.to_csv(index=False, float_format="%.9g",
+                      na_rep="\x00NULL\x00").encode()
         ).hexdigest()
 
     for name in names:
@@ -2009,6 +2013,52 @@ def test_sessionize_batch_excludes_null_event_times(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
     )
     _gate_compare(spark, con, d, ["events_sessionize_batch"])
+
+
+def test_user_sequences_all_null_types_join_empty(spark, tmp_path):
+    """r16, found the FIRST run after vhash learned to distinguish NULL
+    from '' (finding 35's harness lesson applied): a user whose kept
+    events ALL have NULL event_type got '' from Spark's array_join
+    (drops NULL elements, joins the empty remainder) but NULL from the
+    oracle's string_agg (skips NULLs; all-NULL group → NULL) — the two
+    hash IDENTICALLY under plain to_csv, so every prior sweep was blind
+    to it. The oracle now coalesces to '' per the r14 array_functions
+    convention. Cell-level pins plus the (now NULL-aware) gate."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pandas as pd
+
+    import os
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    t0 = datetime(2024, 5, 1, 10, 0, 0)
+    ev = pd.DataFrame(
+        [(1, t0, 1, None, 1.0, "{}"),                       # all-NULL user
+         (2, t0 + timedelta(minutes=1), 1, None, 2.0, "{}"),
+         (3, t0, 2, "view", 1.0, "{}"),                     # mixed user
+         (4, t0 + timedelta(minutes=1), 2, None, 2.0, "{}"),
+         (5, t0 + timedelta(minutes=2), 2, "click", 3.0, "{}")],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["event_type"] = ev["event_type"].astype("string")
+    d = str(tmp_path / "user_seq_null_types")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    rows = {r["user_id"]: r["seq"]
+            for r in QUERIES["events_user_sequences"](spark, d).collect()}
+    assert rows[1] == ""             # all-NULL types: empty join, NOT NULL
+    assert rows[2] == "view>click"   # interior NULL dropped, no '>>'
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    _gate_compare(spark, con, d, ["events_user_sequences"])
 
 
 def test_sliding_window_pre_epoch_floor(spark, tmp_path):

@@ -473,8 +473,14 @@ def main() -> int:
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     def vhash(df):
+        # na_rep sentinel (r16, finding 35's lesson): plain to_csv
+        # renders BOTH NULL and '' as an empty field, so a NULL-vs-
+        # empty-string divergence hashes equal and slips through — the
+        # split_part divergence was invisible to every hash compare.
+        # The sentinel makes NULL hash differently from ''.
         return hashlib.sha256(
-            df.to_csv(index=False, float_format="%.9g").encode()
+            df.to_csv(index=False, float_format="%.9g",
+                      na_rep="\x00NULL\x00").encode()
         ).hexdigest()
 
     failures = 0
