@@ -137,7 +137,10 @@ def gen_tables(seed: int, d: str) -> None:
                 for _ in range(rng.randint(1, 50))
             )
         lang = rng.choice(["en", "de", "fr", None, "zz", "4.2"])
-        source = rng.choice(["web", "books", "cc", None])
+        # 'src19' is INGEST_SOURCE (corpus.py): sampling it makes the
+        # corpus_incremental_ingest* incoming batch non-empty, so their
+        # anti-join/Bloom/near-dup paths actually execute per seed
+        source = rng.choice(["web", "books", "cc", None, "src19"])
         n_chars = None if text is None else len(text)
         doc_rows.append((i, text, lang, source, n_chars))
     docs = pd.DataFrame(
@@ -380,9 +383,7 @@ ENTRIES = [
     # documented frontier above); corpus_bpe_train_merges /
     # corpus_bpe_tokenize (iterative trainers, ~30-60 s per seed —
     # equivalence-fuzzed separately to 220k corpora at r14);
-    # corpus_incremental_ingest* + jsonl_roundtrip_docs + union_by_name
-    # (file-sink/manifest/directory entries — they write state the
-    # per-seed view harness doesn't model); similarity_ivf_topk / similarity_pca_ivf /
+    # similarity_ivf_topk / similarity_pca_ivf /
     # similarity_pq_adc / dedup_semdedup_kmeans (recall floors
     # calibrated to benchmark corpora — the standing rationale below).
     "json_extract_props", "json_variant_extract", "array_functions",
@@ -396,6 +397,17 @@ ENTRIES = [
     "corpus_train_val_test_split", "corpus_feature_hashing",
     "corpus_chunk_documents", "corpus_chunk_documents_udtf",
     "corpus_sample_hash_mod", "corpus_length_trim", "dedup_exact",
+    # sink/ingest admission wave (r16 continuation): these were excluded
+    # as "file-sink/manifest entries the per-seed view harness doesn't
+    # model", but each keys its external state by the SOURCE FILE's
+    # path+size+mtime fingerprint (or md5(sf_dir) for the JSONL stage
+    # dir), so per-seed temp dirs mint per-seed state with no collisions
+    # and no cross-seed reuse. The generator now samples 'src19'
+    # (= INGEST_SOURCE) so the incoming batch is non-empty.
+    "union_by_name", "jsonl_roundtrip_docs",
+    "corpus_incremental_ingest", "corpus_incremental_ingest_bucketed",
+    "corpus_incremental_ingest_bloom", "corpus_incremental_ingest_neardup",
+    "corpus_incremental_ingest_neardup_bucketed",
     "multimodal_byte_stats", "upsert_full_outer", "topk_orders",
     "month_membership_filter",
     # TPC-H/OLAP family (needs the dimension chain the generator builds)
