@@ -1019,12 +1019,16 @@ def date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    HAVING count(*) > 0
     """,
 )
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (the general form rollup/cube specialize): three
     explicit grouping sets in ONE aggregation pass (Expand + single
-    shuffle), with GROUPING() disambiguating real NULLs from subtotals."""
+    shuffle), with GROUPING() disambiguating real NULLs from subtotals.
+    Empty-input convention: zero rows even for the () set (Spark expands
+    rows per set before aggregating); the oracle's HAVING count(*) > 0
+    mirrors it — rationale at relational.py ROLLUP_ORACLE."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
     return spark.sql(
         """

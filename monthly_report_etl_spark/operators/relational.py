@@ -76,6 +76,16 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rollup / cube with grouping ids
 # ---------------------------------------------------------------------------
 
+# HAVING count(*) > 0 mirrors Spark's empty-input grouping-set
+# convention (r16 fuzz finding, tiny-table probe): Spark expands input
+# rows per grouping set BEFORE the hash agg, so an EMPTY input produces
+# zero groups even for the () set, where ANSI/DuckDB emit one
+# grand-total row (count 0, NULL sums). Forcing the ANSI row Spark-side
+# would need a second full aggregation pass (or a literal-row anti-join
+# that still evaluates the aggregate twice) — anti-scale at 100 TB for
+# a row no downstream consumer of an empty report needs. On non-empty
+# input the clause is vacuous: every group that exists has >= 1 row.
+# Pinned by test_properties.py::test_grouping_sets_empty_input_convention.
 ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
@@ -83,6 +93,7 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """
 
 
@@ -101,12 +112,14 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HAVING mirrors the empty-input convention — see ROLLUP_ORACLE above.
 CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
        CAST(count(*) AS BIGINT) AS n
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
+HAVING count(*) > 0
 """
 
 

@@ -1413,8 +1413,8 @@ def _pq_partials_udf(codebooks):
 
 def train_pq_codebooks(
     spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS,
-    v: DataFrame | None = None,
-) -> list[list[list[float]]]:
+    v: DataFrame | None = None, allow_empty: bool = False,
+) -> list[list[list[float]]] | None:
     """M x K x dsub PQ codebooks via Lloyd on NORMALIZED vectors (the
     index stores unit vectors so ADC inner product approximates cosine).
     Init: subvectors of the first K vectors by vec_id (deterministic, no
@@ -1448,6 +1448,11 @@ def train_pq_codebooks(
             ).persist()
         first = [r["e"] for r in v.orderBy("vec_id").limit(PQ_K).collect()]
         if not first:
+            # same empty-corpus split as train_pca_model: transform
+            # callers opt into None, model-producing callers get the
+            # loud error (r16 tiny-table fuzz)
+            if allow_empty:
+                return None
             raise ValueError("cannot train PQ codebooks on an empty corpus")
         # corpora smaller than PQ_K cycle their rows so init is always
         # K x dim (duplicate centroids resolve by argmin's first-min)
@@ -1558,7 +1563,22 @@ def pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).persist()  # shared by the training iterations' repeated actions
     try:
-        codebooks = train_pq_codebooks(spark, sf_dir, v=v)
+        codebooks = train_pq_codebooks(spark, sf_dir, v=v, allow_empty=True)
+        if codebooks is None:
+            # no trainable (non-zero-norm) vector exists — the corpus is
+            # empty or all-zero. Nothing is encodable, so zero codes are
+            # emitted and both contracts hold vacuously (an all-zero
+            # corpus reconstructs exactly); the per-vector norm rows
+            # (all 0.0, or none) still flow. r16 tiny-table fuzz: the
+            # old unconditional raise killed the job on an empty ingest.
+            return read_vectors(spark, sf_dir).select(
+                "vec_id",
+                F.round(
+                    l2_norm(F.col("embedding").cast("array<double>")), 6
+                ).alias("norm_r"),
+                F.lit(True).alias("pq_fidelity_ok"),
+                F.lit(True).alias("pq_codes_ok"),
+            )
         enc = v.withColumn("pq", _pq_encode_udf(codebooks)(F.col("e")))
         flags = enc.agg(
             (F.avg("pq.recon_cos") >= PQ_FIDELITY_FLOOR).alias("pq_fidelity_ok"),
@@ -1792,8 +1812,9 @@ def _pca_partials_udf():
 
 
 def train_pca_model(
-    spark: SparkSession, sf_dir: str, r: int = PCA_R
-) -> tuple:
+    spark: SparkSession, sf_dir: str, r: int = PCA_R,
+    allow_empty: bool = False,
+) -> tuple | None:
     """(mean, components, eigenvalues) from one distributed covariance
     pass + a driver-side eigh on the d x d Gram (d=64: trivially
     model-sized — at 100 TB the corpus pass is the cost and it is a
@@ -1812,6 +1833,12 @@ def train_pca_model(
     ).collect()  # <= #partitions rows: model state
     n = sum(row["n"] for row in rows)
     if not n:
+        # transform callers (project every vector) pass allow_empty:
+        # an empty corpus has a well-defined empty projection, and an
+        # empty ingest day must not kill the pipeline (r16 tiny-table
+        # fuzz). A MODEL-producing caller still gets the loud error.
+        if allow_empty:
+            return None
         raise ValueError("cannot train PCA on an empty corpus")
     s = np.sum([row["s"] for row in rows], axis=0)
     g = np.sum([np.array(row["g"]).reshape(_DIM, _DIM) for row in rows], axis=0)
@@ -1836,7 +1863,17 @@ def pca_project(spark: SparkSession, sf_dir: str, r: int = PCA_R) -> DataFrame:
     corpus ratio is the data-path explained-variance check)."""
     import numpy as np
 
-    mu, V, _ = train_pca_model(spark, sf_dir, r)
+    model = train_pca_model(spark, sf_dir, r, allow_empty=True)
+    if model is None:
+        # empty corpus → empty projection, correct schema (the flags
+        # downstream aggregate to NULL over zero rows and the per-vector
+        # join-back produces zero rows either way)
+        return spark.createDataFrame(
+            [],
+            "vec_id long, proj array<double>, recon_cos double, "
+            "res2 double, cen2 double",
+        )
+    mu, V, _ = model
 
     @F.pandas_udf(
         "proj array<double>, recon_cos double, res2 double, cen2 double"
@@ -1900,11 +1937,20 @@ def pca_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``pca_recon_ok`` — mean cosine(x, x̂) >= PCA_RECON_COS_FLOOR.
     """
     proj = pca_project(spark, sf_dir)
+    # degenerate-safe flags (r16 tiny-table fuzz): an all-zero corpus
+    # has sum(cen2) = 0 (nothing to explain — reconstruction is EXACT)
+    # and zero defined cosines, so both measurements are TRUE by
+    # construction, not NULL (0/0 and avg-over-nothing would otherwise
+    # emit NULL where the contract asserts TRUE)
     flags = proj.agg(
-        (
+        F.when(F.coalesce(F.sum("cen2"), F.lit(0.0)) == 0, F.lit(True))
+        .otherwise(
             F.lit(1.0) - F.sum("res2") / F.sum("cen2") >= PCA_EVR_FLOOR
-        ).alias("pca_var_ok"),
-        (F.avg("recon_cos") >= PCA_RECON_COS_FLOOR).alias("pca_recon_ok"),
+        )
+        .alias("pca_var_ok"),
+        F.when(F.count("recon_cos") == 0, F.lit(True))
+        .otherwise(F.avg("recon_cos") >= PCA_RECON_COS_FLOOR)
+        .alias("pca_recon_ok"),
     )
     return (
         read_vectors(spark, sf_dir)

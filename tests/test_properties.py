@@ -5151,3 +5151,96 @@ def test_oracles_agree_on_embeddings_boundary_fixture(spark, tmp_path):
             "embeddings_pq",
         ],
     )
+
+
+def _degenerate_corpus_fixture(tmp_path, all_zero_vectors=False):
+    """Eighteenth adversarial fixture (r16 continuation, tiny-table
+    fuzz probe): EMPTY and all-zero-information inputs. A 1000-executor
+    job sees empty partitions and empty ingest days constantly; the
+    probe found (1) Spark's grouping-set convention — rollup/cube/
+    GROUPING SETS expand input rows per set BEFORE aggregating, so an
+    EMPTY input yields ZERO rows even for the () set where ANSI/DuckDB
+    emit one grand-total row; the oracles mirror it with
+    HAVING count(*) > 0 (vacuous on any non-empty input) rather than
+    forcing a second full aggregation pass Spark-side; and (2) the
+    PCA/PQ trainers RAISED on an empty or all-zero-norm corpus, killing
+    the job where the transform entries have a well-defined answer
+    (empty projection / vacuously-true fidelity on a corpus that
+    reconstructs exactly). Returns the table dir."""
+    import os
+
+    import pandas as pd
+
+    from tools.fuzz_differential import _SCHEMAS, _write
+
+    d = str(tmp_path / ("degenerate_zero" if all_zero_vectors else "degenerate_empty"))
+    os.makedirs(d, exist_ok=True)
+    for t, sch in _SCHEMAS.items():
+        if t == "embeddings" and all_zero_vectors:
+            emb = pd.DataFrame(
+                [(0, [0.0] * 64, 1), (1, [0.0] * 64, None), (2, None, 0)],
+                columns=["vec_id", "embedding", "label"],
+            )
+            emb["label"] = emb["label"].astype("Int32")
+            _write(emb, d, t)
+        else:
+            _write(pd.DataFrame(columns=[f.name for f in sch]), d, t)
+    return d
+
+
+def test_degenerate_corpus_hand_derivation(spark, tmp_path):
+    """Hand-derivation leg of the eighteenth fixture."""
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    d = _degenerate_corpus_fixture(tmp_path)
+    # Spark's empty-input grouping-set convention: zero rows, () set
+    # included (the oracle's HAVING mirror is gate-checked below)
+    for name in ("rollup_lineitem", "cube_orders", "grouping_sets_orders"):
+        assert QUERIES[name](spark, d).count() == 0, name
+    # transform entries on an EMPTY vector corpus: empty, not a raise
+    for name in ("embeddings_pca", "embeddings_pq"):
+        assert QUERIES[name](spark, d).count() == 0, name
+
+    # all-zero corpus: PQ has no trainable vector and PCA nothing to
+    # explain — per-vector rows flow with norm 0 and TRUE flags
+    dz = _degenerate_corpus_fixture(tmp_path, all_zero_vectors=True)
+    pca = {r["vec_id"]: r for r in QUERIES["embeddings_pca"](spark, dz).collect()}
+    pq = {r["vec_id"]: r for r in QUERIES["embeddings_pq"](spark, dz).collect()}
+    assert set(pca) == {0, 1} and set(pq) == {0, 1}  # NULL vector dropped
+    assert all(r["norm_r"] == 0.0 for r in pca.values())
+    assert all(r["pca_var_ok"] and r["pca_recon_ok"] for r in pca.values())
+    assert all(r["pq_fidelity_ok"] and r["pq_codes_ok"] for r in pq.values())
+
+    # model-PRODUCING callers still get the loud error on empty input
+    import pytest
+
+    from monthly_report_etl_spark.operators.similarity import (
+        train_pca_model,
+        train_pq_codebooks,
+    )
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_pca_model(spark, d)
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_pq_codebooks(spark, d)
+
+
+def test_oracles_agree_on_degenerate_corpus_fixture(spark, tmp_path):
+    """Gate leg of the eighteenth fixture: the empty-input and all-zero
+    conventions hold under the driver's rows+schema+value-hash compare."""
+    import duckdb
+
+    names = ["rollup_lineitem", "cube_orders", "grouping_sets_orders",
+             "embeddings_pca", "embeddings_pq", "embeddings_standardize",
+             "embeddings_quantize_int8", "topk_orders", "set_ops",
+             "pricing_summary", "null_profile_orders"]
+    for all_zero in (False, True):
+        d = _degenerate_corpus_fixture(tmp_path, all_zero_vectors=all_zero)
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        for t in ("events", "documents", "orders", "lineitem", "part",
+                  "supplier", "customer", "nation", "region", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+        _gate_compare(spark, con, d, names)

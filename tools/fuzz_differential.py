@@ -60,8 +60,70 @@ from datetime import datetime, timedelta
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Every table is written under an EXPLICIT arrow schema (r16 tiny-table
+# probe lesson): a column that samples empty or all-NULL would otherwise
+# be written null-typed — DuckDB reads it as INT32 and Spark can't cast
+# INT to ARRAY<DOUBLE> — i.e. the probe would be testing a generator
+# artifact, not the engines. The schemas ARE the table contracts.
+_SCHEMAS = {
+    "events": pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ]),
+    "documents": pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+    ]),
+    "orders": pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+    ]),
+    "region": pa.schema([("r_regionkey", pa.int64()), ("r_name", pa.string())]),
+    "nation": pa.schema([
+        ("n_nationkey", pa.int32()), ("n_name", pa.string()),
+        ("n_regionkey", pa.int32()),
+    ]),
+    "customer": pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]),
+    "supplier": pa.schema([
+        ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+        ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64()),
+    ]),
+    "part": pa.schema([
+        ("p_partkey", pa.int64()), ("p_name", pa.string()),
+        ("p_brand", pa.string()), ("p_type", pa.string()),
+        ("p_size", pa.int32()), ("p_retailprice", pa.float64()),
+    ]),
+    "lineitem": pa.schema([
+        ("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]),
+    "embeddings": pa.schema([
+        ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64())),
+        ("label", pa.int32()),
+    ]),
+}
+
+
+def _write(df: pd.DataFrame, d: str, table: str) -> None:
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=_SCHEMAS[table], preserve_index=False),
+        os.path.join(d, f"{table}.parquet"),
+    )
 
 EVENT_TYPES = ["click", "view", "purchase", "error", "signup", None, "refund", "café"]
 PROPS = [
@@ -77,13 +139,28 @@ TEXT_POOL = [
     None, "", "   ", "\t\t", "a", "the quick fox", "spam spam spam",
     "caf\xe9 d\xe9j\xe0 vu", "!!! ???", "\tTab led words here",
     "w0 " * 40, "the der die das", "x\ny\nz",
+    # astral-plane probe (r16 continuation): supplementary-plane code
+    # points are TWO UTF-16 units in Java but ONE code point everywhere
+    # the engines count (Spark length/substring are code-point based on
+    # UTF8String; DuckDB and Python agree) — these rows prove the text
+    # family never falls back to UTF-16-unit arithmetic. No ß/ligatures
+    # (the documented Java-full-map vs DuckDB-simple-map case frontier).
+    "\U0001f984 unicorn \U0001f984", "ab \U00010348 cd \U00010348",
+    "\U0001d518nicode t\U0001d522st words",
 ]
 
 
 def gen_tables(seed: int, d: str) -> None:
     rng = random.Random(seed)
+    # tiny-table probe (r16 continuation): 1 in 7 seeds generates 0-6
+    # row tables — empty inputs, empty groups, single-row windows, a
+    # possibly-empty embeddings table. A 1000-executor job sees empty
+    # partitions and empty ingest days constantly; an operator that
+    # crashes or diverges on zero rows dies at 100 TB, same class as
+    # the r15 np.stack poison-row crash.
+    tiny = seed % 7 == 3
     t0 = datetime(2024, 1, 1)
-    n_ev = rng.randint(30, 120)
+    n_ev = rng.randint(0, 6) if tiny else rng.randint(30, 120)
     ev_rows = []
     for i in range(n_ev):
         # ~1 in 4 non-NULL event times range over 1900-2100 (r16: the
@@ -92,14 +169,21 @@ def gen_tables(seed: int, d: str) -> None:
         # negative off-grid epoch one slide late); the rest stay
         # 2024-centered so funnels/attribution windows keep firing
         r_ts = rng.random()
+        # ~half of all non-NULL event times carry a sub-second
+        # microsecond component (r16 continuation): window/session/
+        # slide bucketing must floor identically on off-second epochs,
+        # including NEGATIVE pre-1970 ones where truncating division
+        # would snap the wrong way
+        us = rng.randint(0, 999_999) if rng.random() < 0.5 else 0
         ts = (
             None
             if r_ts < 0.08
             else datetime(rng.randint(1900, 2100), rng.randint(1, 12),
                           rng.randint(1, 28), rng.randint(0, 23),
-                          rng.randint(0, 59), rng.randint(0, 59))
+                          rng.randint(0, 59), rng.randint(0, 59), us)
             if r_ts < 0.28
-            else t0 + timedelta(seconds=rng.randint(-10**8, 10**8))
+            else t0 + timedelta(seconds=rng.randint(-10**8, 10**8),
+                                microseconds=us)
         )
         user = None if rng.random() < 0.08 else rng.randint(-3, 12)
         et = rng.choice(EVENT_TYPES)
@@ -124,9 +208,9 @@ def gen_tables(seed: int, d: str) -> None:
     # DuckDB reads as INT32, making `col = 'literal'` a conversion error
     for c in ("event_type", "props"):
         ev[c] = ev[c].astype("string")
-    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    _write(ev, d, "events")
 
-    n_doc = rng.randint(15, 40)
+    n_doc = rng.randint(0, 5) if tiny else rng.randint(15, 40)
     doc_rows = []
     for i in range(n_doc):
         if rng.random() < 0.5:
@@ -149,9 +233,9 @@ def gen_tables(seed: int, d: str) -> None:
     docs["n_chars"] = docs["n_chars"].astype("Int64")
     for c in ("text", "lang", "source"):
         docs[c] = docs[c].astype("string")
-    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    _write(docs, d, "documents")
 
-    n_ord = rng.randint(15, 60)
+    n_ord = rng.randint(0, 5) if tiny else rng.randint(15, 60)
     o_rows = []
     for i in range(n_ord):
         key = None if rng.random() < 0.05 else i + 1
@@ -183,7 +267,7 @@ def gen_tables(seed: int, d: str) -> None:
     orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
     for c in ("o_orderstatus", "o_orderpriority"):
         orders[c] = orders[c].astype("string")
-    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    _write(orders, d, "orders")
 
     # TPC-H dimension chain + fact (r15 second fuzz surface: the OLAP
     # family). Names deliberately include the constants the queries
@@ -194,7 +278,7 @@ def gen_tables(seed: int, d: str) -> None:
          (4, "EUROPE")],
         columns=["r_regionkey", "r_name"],
     )
-    region.to_parquet(os.path.join(d, "region.parquet"), index=False)
+    _write(region, d, "region")
     nat_names = ["NATION_1", "NATION_2", "NATION_3", "NATION_9", None,
                  "ALGERIA", "BRAZIL"]
     nation = pd.DataFrame(
@@ -205,7 +289,7 @@ def gen_tables(seed: int, d: str) -> None:
     )
     nation["n_regionkey"] = nation["n_regionkey"].astype("Int32")
     nation["n_nationkey"] = nation["n_nationkey"].astype("int32")
-    nation.to_parquet(os.path.join(d, "nation.parquet"), index=False)
+    _write(nation, d, "nation")
     # segs stay ASCII: DuckDB levenshtein counts BYTES, Spark counts
     # CHARACTERS (measured: levenshtein('Ü','U') = 2 in DuckDB) — a
     # documented frontier, so the levenshtein input column never
@@ -228,24 +312,24 @@ def gen_tables(seed: int, d: str) -> None:
           None if rng.random() < 0.1 else rng.randint(0, 9),  # dangler 8/9
           None if rng.random() < 0.12 else float(rng.randint(-999, 9999)),
           rng.choice(segs))
-         for i in range(1, rng.randint(6, 14))],
+         for i in range(1, rng.randint(2, 4) if tiny else rng.randint(6, 14))],
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
                  "c_mktsegment"],
     )
     customer["c_nationkey"] = customer["c_nationkey"].astype("Int32")
     for c in ("c_name", "c_mktsegment"):
         customer[c] = customer[c].astype("string")
-    customer.to_parquet(os.path.join(d, "customer.parquet"), index=False)
+    _write(customer, d, "customer")
     supplier = pd.DataFrame(
         [(i, None if rng.random() < 0.1 else f"Supplier#{i}",
           None if rng.random() < 0.12 else rng.randint(0, 9),
           None if rng.random() < 0.15 else float(rng.randint(-99, 999)))
-         for i in range(1, rng.randint(4, 9))],
+         for i in range(1, rng.randint(2, 4) if tiny else rng.randint(4, 9))],
         columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
     )
     supplier["s_nationkey"] = supplier["s_nationkey"].astype("Int32")
     supplier["s_name"] = supplier["s_name"].astype("string")
-    supplier.to_parquet(os.path.join(d, "supplier.parquet"), index=False)
+    _write(supplier, d, "supplier")
     types = ["PROMO", "PROMO POLISHED", "STANDARD BRUSHED", "ECONOMY",
              None, "PROMO ANODIZED"]
     names = ["blue misty crate", "green metal thing", "red shiny box",
@@ -256,15 +340,15 @@ def gen_tables(seed: int, d: str) -> None:
           rng.choice(types),
           None if rng.random() < 0.12 else rng.randint(1, 50),
           None if rng.random() < 0.12 else float(rng.randint(0, 2000)))
-         for i in range(1, rng.randint(4, 10))],
+         for i in range(1, rng.randint(2, 4) if tiny else rng.randint(4, 10))],
         columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
                  "p_retailprice"],
     )
     part["p_size"] = part["p_size"].astype("Int32")
     for c in ("p_name", "p_brand", "p_type"):
         part[c] = part[c].astype("string")
-    part.to_parquet(os.path.join(d, "part.parquet"), index=False)
-    n_li = rng.randint(20, 90)
+    _write(part, d, "part")
+    n_li = rng.randint(0, 6) if tiny else rng.randint(20, 90)
     li_rows = []
     for i in range(n_li):
         li_rows.append((
@@ -303,7 +387,7 @@ def gen_tables(seed: int, d: str) -> None:
     lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[us]")
     for c in ("l_returnflag", "l_linestatus"):
         lineitem[c] = lineitem[c].astype("string")
-    lineitem.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    _write(lineitem, d, "lineitem")
 
     # embeddings (r15 third fuzz surface: the vector family): 64-d
     # float32 vectors with NULL rows (the read_vectors contract), zero
@@ -311,7 +395,7 @@ def gen_tables(seed: int, d: str) -> None:
     # duplicates and negations (cos +-1 ties), and NULL labels. DIM is
     # fixed by the table contract (ragged vectors are out of contract).
     DIM = 64
-    n_vec = rng.randint(20, 45)
+    n_vec = rng.randint(0, 6) if tiny else rng.randint(20, 45)
     vec_rows = []
     for i in range(n_vec):
         r = rng.random()
@@ -334,7 +418,7 @@ def gen_tables(seed: int, d: str) -> None:
         vec_rows, columns=["vec_id", "embedding", "label"]
     )
     embeddings["label"] = embeddings["label"].astype("Int32")
-    embeddings.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+    _write(embeddings, d, "embeddings")
 
 
 # Entries runnable on (events, documents, orders) alone — no joins to
