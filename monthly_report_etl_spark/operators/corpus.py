@@ -705,6 +705,11 @@ def normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-source rollup (corpus provenance profile)
 # ---------------------------------------------------------------------------
 
+# HAVING count(*) > 0 mirrors Spark's empty-input grouping-set
+# convention (r16 finding 38, same as relational.py ROLLUP_ORACLE):
+# Spark expands rows per grouping set before aggregating, so an empty
+# ingest batch yields zero rows even for the () set where ANSI/DuckDB
+# emit one grand-total row; vacuous on any non-empty input.
 SOURCE_ROLLUP_ORACLE = """
 SELECT source, lang,
        CAST(GROUPING(source) AS BIGINT) AS g_source,
@@ -713,6 +718,7 @@ SELECT source, lang,
        ROUND(AVG(n_chars), 2) AS avg_chars
 FROM documents
 GROUP BY ROLLUP(source, lang)
+HAVING count(*) > 0
 """
 
 

