@@ -5204,6 +5204,13 @@ def test_degenerate_corpus_hand_derivation(spark, tmp_path):
     # transform entry on an EMPTY vector corpus: empty, not a raise
     assert QUERIES["embeddings_pca"](spark, d).count() == 0
 
+    # sketch_partial_merge on EMPTY orders currently drops its 'ALL'
+    # row through the inner ranks join (finding 40) where the oracle
+    # keeps it — the left-join fix is pre-stated for r17 with the
+    # displacement rationale at relational.py; this assertion flips to
+    # count == 1 when it lands
+    assert QUERIES["sketch_partial_merge"](spark, d).count() == 0
+
     # all-zero corpus: PCA has nothing to explain — per-vector rows
     # flow with norm 0 and TRUE flags (reconstruction is exact)
     dz = _degenerate_corpus_fixture(tmp_path, all_zero_vectors=True)
