@@ -118,7 +118,11 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETURNED_ITEMS_ORACLE = """
 SELECT c.c_custkey, c.c_name,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       ROUND(c.c_acctbal, 2) AS c_acctbal
+       -- + 0.0 canonicalizes the signed zero (r16 finding 41): a stored
+       -- -0.0 balance stays -0.0 under DuckDB's sign-preserving ROUND
+       -- while Spark's ROUND re-decimalizes through BigDecimal, which
+       -- has no signed zero; -0.0 + 0.0 = +0.0, all else unchanged
+       ROUND(c.c_acctbal, 2) + 0.0 AS c_acctbal
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey

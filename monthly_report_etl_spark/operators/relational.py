@@ -613,6 +613,11 @@ SELECT user_id,
        CAST(len(list_filter(vals, v -> v > 500)) AS BIGINT) AS n_big,
        ROUND(list_reduce(list_prepend(0.0::DOUBLE, vals), (a, v) -> a + v), 2)
            AS sum_vals,
+       -- first_doubled diverges on a stored -0.0 value (r16 finding 41:
+       -- DuckDB's ROUND preserves the sign of zero, Spark's BigDecimal
+       -- round normalizes it) — the + 0.0 canonicalization here is
+       -- PRE-STATED for r17 (the entry is r15-latest; displacement
+       -- rule), excluded from the fuzzer's -0.0 probe until it lands
        ROUND(list_transform(vals, v -> v * 2)[1], 2) AS first_doubled,
        list_contains(types, 'error') AS has_error,
        COALESCE(array_to_string(

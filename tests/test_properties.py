@@ -5262,3 +5262,66 @@ def test_oracles_agree_on_degenerate_corpus_fixture(spark, tmp_path):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
             )
         _gate_compare(spark, con, d, names)
+
+
+def test_returned_items_negative_zero_acctbal_canonical(spark, tmp_path):
+    """Finding 41 probe (the fuzzer's -0.0 wave): a customer whose
+    STORED balance is IEEE -0.0 must hash identically through both
+    engines' ROUND — Spark's BigDecimal round has no signed zero while
+    DuckDB's binary round preserves it, so the oracle canonicalizes
+    with + 0.0 (the stats_moments pattern). The fixture forces the
+    customer into Q10's top-20 via one returned lineitem."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from tools.fuzz_differential import _write
+
+    d = str(tmp_path / "neg_zero_acctbal")
+    os.makedirs(d, exist_ok=True)
+    cust = pd.DataFrame(
+        [(1, "Customer#1", 0, -0.0, "BUILDING"),
+         (2, "Customer#2", 0, 0.0, "BUILDING"),
+         (3, "Customer#3", 0, -123.0, "AUTOMOBILE")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+    _write(cust, d, "customer")
+    orders = pd.DataFrame(
+        [(10, 1, "F", 100.0, pd.Timestamp("1995-01-01"), "1-URGENT"),
+         (11, 2, "F", 100.0, pd.Timestamp("1995-02-01"), "5-LOW"),
+         (12, 3, "F", 100.0, pd.Timestamp("1995-03-01"), "5-LOW")],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    _write(orders, d, "orders")
+    li = pd.DataFrame(
+        [(10, 1, 1, 1, 5.0, 1000.0, 0.0, 0.0, "R", "F", pd.Timestamp("1995-01-05")),
+         (11, 1, 1, 1, 5.0, 800.0, 0.25, 0.0, "R", "F", pd.Timestamp("1995-02-05")),
+         (12, 1, 1, 1, 5.0, 600.0, 0.0, 0.0, "R", "F", pd.Timestamp("1995-03-05"))],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    _write(li, d, "lineitem")
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(spark, con, d, ["olap_returned_items"])
+    # the canonicalized cell is POSITIVE zero on both sides
+    import math
+
+    import __spark_entry__ as entrymod
+
+    srow = {r["c_custkey"]: r["c_acctbal"]
+            for r in entrymod.queries()["olap_returned_items"](spark, d).collect()}
+    orow = dict(con.execute(
+        "SELECT c_custkey, c_acctbal FROM (" +
+        entrymod.oracle_sql()["olap_returned_items"] + ")").fetchall())
+    assert math.copysign(1.0, srow[1]) == 1.0
+    assert math.copysign(1.0, orow[1]) == 1.0
