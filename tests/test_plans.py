@@ -958,3 +958,23 @@ def test_read_vectors_nullfilter_pushes_to_scan(spark):
     scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scan_lines, plan
     assert any("PushedFilters: [IsNotNull(embedding)]" in ln for ln in scan_lines), plan
+
+
+@pytest.mark.parametrize(
+    "name", ["rollup_lineitem", "cube_orders", "grouping_sets_orders",
+             "corpus_source_lang_rollup"]
+)
+def test_grouping_sets_single_pass(spark, sf_dir, name):
+    """The grouping-set entries claim 'one Expand + single shuffle' —
+    Spark expands each input row per grouping set and aggregates once.
+    A refactor to a union-of-aggregations would rescan the fact table
+    per set (3-4x the 100 TB scan cost) and show multiple Exchanges or
+    no Expand; pin the single-pass shape."""
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert _lines(plan, ") Expand"), plan
+    n_exchange = len(_lines(plan, ") Exchange"))
+    assert n_exchange == 1, f"{name}: {n_exchange} Exchanges\n{plan}"
+    # one scan of the fact table, not one per grouping set (detail-
+    # section lines only — the tree section repeats each node)
+    n_scans = len(_lines(plan, ") Scan parquet"))
+    assert n_scans == 1, f"{name}: {n_scans} scans\n{plan}"
