@@ -249,7 +249,12 @@ def gen_tables(seed: int, d: str) -> None:
         key = None if rng.random() < 0.05 else i + 1
         cust = None if rng.random() < 0.1 else rng.randint(1, 10)
         status = rng.choice(["O", "F", "P", None])
-        price = None if rng.random() < 0.12 else float(rng.randint(0, 9000))
+        r_tp = rng.random()
+        price = (
+            None if r_tp < 0.12
+            else -0.0 if r_tp < 0.17  # negative-zero probe
+            else float(rng.randint(0, 9000))
+        )
         # ~1 in 5 non-NULL order dates range over 1900-2100 (r16, the
         # timestamp-domain widening); the rest stay 1992-2001 so the
         # OLAP constant-date filters keep selecting rows
@@ -333,7 +338,9 @@ def gen_tables(seed: int, d: str) -> None:
     supplier = pd.DataFrame(
         [(i, None if rng.random() < 0.1 else f"Supplier#{i}",
           None if rng.random() < 0.12 else rng.randint(0, 9),
-          None if rng.random() < 0.15 else float(rng.randint(-99, 999)))
+          None if (r_sb := rng.random()) < 0.15
+          else -0.0 if r_sb < 0.21  # negative-zero probe (finding 41 class)
+          else float(rng.randint(-99, 999)))
          for i in range(1, rng.randint(2, 4) if tiny else rng.randint(4, 9))],
         columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
     )
@@ -349,7 +356,9 @@ def gen_tables(seed: int, d: str) -> None:
           rng.choice(["Brand#7", "Brand#12", "Brand#34", None]),
           rng.choice(types),
           None if rng.random() < 0.12 else rng.randint(1, 50),
-          None if rng.random() < 0.12 else float(rng.randint(0, 2000)))
+          None if (r_rp := rng.random()) < 0.12
+          else -0.0 if r_rp < 0.18  # negative-zero probe
+          else float(rng.randint(0, 2000)))
          for i in range(1, rng.randint(2, 4) if tiny else rng.randint(4, 10))],
         columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
                  "p_retailprice"],
