@@ -910,7 +910,9 @@ ranked AS (
     FROM sc
 )
 SELECT p.p_partkey, p.p_name, r.s_suppkey, r.s_name,
-       ROUND(r.s_acctbal, 2) AS s_acctbal
+       -- + 0.0: signed-zero canonicalization (r16 finding 41 — DuckDB's
+       -- ROUND preserves -0.0, Spark's BigDecimal round normalizes it)
+       ROUND(r.s_acctbal, 2) + 0.0 AS s_acctbal
 FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
 WHERE r.rn = 1 AND p.p_type = 'PROMO'
 """
