@@ -247,9 +247,13 @@ WITH m AS (
     FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n,
-       ROUND(m1, 2) AS mean_price,
+       -- mean/median also get + 0.0 (r16 extended -0.0 probe, seed
+       -- 20262012): a group whose only price is a stored -0.0 has
+       -- mean/median exactly -0.0, same signed-zero ROUND class as
+       -- skewness below; stddev is non-negative by construction
+       ROUND(m1, 2) + 0.0 AS mean_price,
        ROUND(sd, 2) AS stddev_price,
-       ROUND(med, 2) AS median_price,
+       ROUND(med, 2) + 0.0 AS median_price,
        -- + 0.0 canonicalizes NEGATIVE ZERO (r16, found by the closing
        -- fuzz batch at seed 20260895 — the standardize-oracle class
        -- from r15): a tiny negative third central moment rounds to

@@ -252,6 +252,11 @@ def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact percentiles
 # ---------------------------------------------------------------------------
 
+# The four ROUND sites here diverge on a group whose percentile lands
+# exactly on a stored -0.0 (r16 finding 41: DuckDB's ROUND preserves
+# the signed zero, Spark's BigDecimal round normalizes it) — the + 0.0
+# canonicalization is PRE-STATED for r17 (the entry is r15-latest;
+# displacement rule), excluded from the fuzzer's -0.0 probe until then.
 PERCENTILES_ORACLE = """
 SELECT o_orderpriority,
        ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,

@@ -489,6 +489,11 @@ ENTRIES = [
     # with both r17 slack slots claimed, so their fixes join the
     # pre-stated r17 pair per the displacement rule and the entries
     # stay out of the tiny-probe fuzz until then);
+    # percentiles_exact (finding 41 class, the extended -0.0 probe: a
+    # group whose interpolated percentile lands exactly on a stored
+    # -0.0 order total — + 0.0 canonicalization pre-stated for r17
+    # with the r15-latest displacement rationale, same as
+    # array_functions below);
     # array_functions (finding 41, the -0.0 probe: a stored -0.0 value
     # as a group's smallest element makes first_doubled 0.0 in Spark
     # vs -0.0 in DuckDB — Spark's ROUND re-decimalizes through
@@ -558,7 +563,7 @@ ENTRIES = [
     "stats_moments_group", "window_distribution", "window_fill_forward",
     "islands_active_months", "scd2_history", "semi_anti_join",
     "set_ops", "window_family", "window_range_frame",
-    "percentiles_exact", "string_funcs_customer", "calendar_spine_monthly",
+    "string_funcs_customer", "calendar_spine_monthly",
     # vector family (needs the embeddings table the generator builds).
     # The three recall-FLOOR entries (similarity_ivf_topk,
     # similarity_pca_ivf, similarity_pq_adc) are excluded: their
