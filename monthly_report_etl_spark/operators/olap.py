@@ -349,7 +349,9 @@ WITH big AS (
 )
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
-       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       -- + 0.0: signed-zero canonicalization (r16 finding 41 — a stored
+       -- -0.0 total survives DuckDB's ROUND, normalizes in Spark's)
+       ROUND(o.o_totalprice, 2) + 0.0 AS o_totalprice,
        ROUND(b.sum_qty, 2) AS sum_qty
 FROM big b
 JOIN orders o ON o.o_orderkey = b.l_orderkey
