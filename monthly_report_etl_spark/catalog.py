@@ -132,12 +132,20 @@ base AS (
            END AS k_value
     FROM raw
 ),
+-- tie convention (r16 finding 42, same as dedup_latest_maxby): 'latest'
+-- is totalized as (ts, event_id) — MAX_BY under exact duplicate
+-- timestamps is engine-arbitrary, so among tied max timestamps the
+-- highest event_id wins; FIRST(... ORDER BY) because DuckDB's MAX_BY
+-- takes no composite key. FILTER keeps the value-null-skip semantics.
 dedup AS (
     SELECT user_id,
            MAX(ts) AS time,
-           MAX_BY(event_type, ts) AS event_type,
-           MAX_BY(value, ts) AS value,
-           MAX_BY(k_value, ts) AS k_value
+           FIRST(event_type ORDER BY ts DESC, event_id DESC)
+               FILTER (event_type IS NOT NULL) AS event_type,
+           FIRST(value ORDER BY ts DESC, event_id DESC)
+               FILTER (value IS NOT NULL) AS value,
+           FIRST(k_value ORDER BY ts DESC, event_id DESC)
+               FILTER (k_value IS NOT NULL) AS k_value
     FROM base GROUP BY user_id
 ),
 flagged AS (
@@ -187,6 +195,7 @@ def exports_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         "value",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
@@ -199,15 +208,19 @@ def exports_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle — and the NULL value then slipped past the `value < 10`
     # failure rule that the real latest-known value would have tripped.
     # Invisible on the sf tables (no NULL event_type/value rows).
+    # r16 finding 42 (ts-collision probe): the ordering key is the
+    # STRUCT (ts, event_id) — 'latest' totalized so exact duplicate
+    # timestamps break deterministically to the highest event_id in
+    # both engines (ts is never NULL here: the range filter dropped
+    # NULLs at the scan). Same convention as dedup_latest_maxby.
+    latest = lambda c: F.max_by(
+        c, F.when(F.col(c).isNotNull(), F.struct("ts", "event_id"))
+    ).alias(c)
     dedup = base.groupBy("user_id").agg(
         F.max("ts").alias("time"),
-        F.max_by(
-            "event_type", F.when(F.col("event_type").isNotNull(), F.col("ts"))
-        ).alias("event_type"),
-        F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))).alias(
-            "value"
-        ),
-        F.max_by("k_value", F.when(F.col("k_value").isNotNull(), F.col("ts"))).alias("k_value"),
+        latest("event_type"),
+        latest("value"),
+        latest("k_value"),
     )
     passing = dedup.filter(
         ~(
@@ -430,29 +443,42 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            MAX(ts) AS time,
-           MAX_BY(event_type, ts) AS event_type,
-           MAX_BY(value, ts) AS value,
-           MAX_BY(props, ts) AS props
+           FIRST(event_type ORDER BY ts DESC, event_id DESC)
+               FILTER (event_type IS NOT NULL AND ts IS NOT NULL) AS event_type,
+           FIRST(value ORDER BY ts DESC, event_id DESC)
+               FILTER (value IS NOT NULL AND ts IS NOT NULL) AS value,
+           FIRST(props ORDER BY ts DESC, event_id DESC)
+               FILTER (props IS NOT NULL AND ts IS NOT NULL) AS props
     FROM events GROUP BY user_id
     """,
 )
 def dedup_latest_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: latest-record-wins dedup via MAX/MAX_BY — one hash-agg
-    shuffle with map-side partials (exports_results.sql:51-71)."""
+    shuffle with map-side partials (exports_results.sql:51-71).
+
+    Tie convention (r16 finding 42, the ts-collision probe): MAX_BY
+    under EXACT duplicate timestamps is engine-arbitrary — plain
+    ``MAX_BY(v, ts)`` picked different tied rows in Spark and DuckDB.
+    'Latest' is totalized as (ts, event_id): among tied max timestamps
+    the HIGHEST event_id wins (later ingest id), via a struct ordering
+    key Spark-side and FIRST(... ORDER BY ts DESC, event_id DESC)
+    oracle-side (DuckDB's MAX_BY takes no composite key). The NULL
+    guard keeps DuckDB's value-null-skip semantics exactly as before."""
+    latest = lambda c: F.max_by(
+        c,
+        F.when(
+            F.col(c).isNotNull() & F.col("ts").isNotNull(),
+            F.struct("ts", "event_id"),
+        ),
+    ).alias(c)
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
             F.max("ts").alias("time"),
-            # DuckDB MAX_BY skips NULL values (returns the latest NON-NULL);
-            # Spark returns value-at-latest-row. The conditional ordering key
-            # reproduces the null-skip exactly (same guard as the flagship
-            # dedup_latest in operators/exports.py).
-            F.max_by("event_type", F.when(F.col("event_type").isNotNull(), F.col("ts"))).alias(
-                "event_type"
-            ),
-            F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))).alias("value"),
-            F.max_by("props", F.when(F.col("props").isNotNull(), F.col("ts"))).alias("props"),
+            latest("event_type"),
+            latest("value"),
+            latest("props"),
         )
     )
 

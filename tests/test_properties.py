@@ -5325,3 +5325,54 @@ def test_returned_items_negative_zero_acctbal_canonical(spark, tmp_path):
         entrymod.oracle_sql()["olap_returned_items"] + ")").fetchall())
     assert math.copysign(1.0, srow[1]) == 1.0
     assert math.copysign(1.0, orow[1]) == 1.0
+
+
+def test_latest_wins_tiebreak_under_duplicate_timestamps(spark, tmp_path):
+    """Finding 42 probe (the fuzzer's ts-collision wave): MAX_BY under
+    EXACT duplicate timestamps is engine-arbitrary, so 'latest' is
+    totalized as (ts, event_id) — among tied max timestamps the highest
+    event_id wins, in the catalog dedup AND the flagship twin. Two
+    events share the flagship-window timestamp; the higher event_id's
+    payload must win on both sides of the gate."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from tools.fuzz_differential import _write
+
+    d = str(tmp_path / "ts_ties")
+    os.makedirs(d, exist_ok=True)
+    t = pd.Timestamp("2024-01-10 12:30:00.500000")
+    ev = pd.DataFrame(
+        [
+            (1, t, 1, "click", 100.0, '{"k": 90}'),
+            (2, t, 1, "view", 200.0, '{"k": 95}'),     # tied ts, higher id
+            (3, pd.Timestamp("2024-01-06"), 1, "error", 5.0, '{"k": 1}'),
+            (4, t, 2, None, 700.0, '{"k": 60}'),       # tied with id 5
+            (5, t, 2, "purchase", None, '{"k": 55}'),  # NULL value: skip
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _write(ev, d, "events")
+
+    from monthly_report_etl_spark.catalog import QUERIES
+
+    rows = {r["user_id"]: r for r in QUERIES["dedup_latest_maxby"](spark, d).collect()}
+    # user 1: id 2 wins the tie outright
+    assert rows[1]["event_type"] == "view" and rows[1]["value"] == 200.0
+    # user 2: per-column null-skip still applies on top of the tiebreak —
+    # event_type comes from id 5 (id 4's is NULL), value from id 4
+    assert rows[2]["event_type"] == "purchase" and rows[2]["value"] == 700.0
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    _gate_compare(spark, con, d, ["dedup_latest_maxby", "exports_report_events"])
+    # the flagship's winner row classifies from id 2's payload
+    flag = {r["user_id"]: r
+            for r in QUERIES["exports_report_events"](spark, d).collect()}
+    assert flag[1]["event_type"] == "view"

@@ -185,6 +185,21 @@ def gen_tables(seed: int, d: str) -> None:
                           rng.randint(1, 28), rng.randint(0, 23),
                           rng.randint(0, 59), rng.randint(0, 59), us)
             if r_ts < 0.28
+            # ~15% draw from a 3-timestamp collision pool (r16
+            # continuation): EXACT duplicate event times — including
+            # same-user ones — exercise every ordering tiebreak under
+            # genuine ties; an oracle ordered by ts alone would be
+            # legitimately nondeterministic and the hash gate catches it
+            # one pool member sits INSIDE the flagship's
+            # 2024-01-05..2024-01-25 window so exports_report_events'
+            # dedup actually sees ties (the first pool draft missed it:
+            # the flagship matched 0 rows on every collision seed)
+            else rng.choice([
+                datetime(2024, 1, 1, 12, 0, 0),
+                datetime(2024, 1, 10, 12, 30, 0, 500_000),
+                datetime(1969, 12, 31, 23, 59, 59),
+            ])
+            if r_ts < 0.43
             else t0 + timedelta(seconds=rng.randint(-10**8, 10**8),
                                 microseconds=us)
         )
