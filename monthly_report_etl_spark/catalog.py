@@ -1409,146 +1409,118 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r16 recomputation (latest GREEN round per entry across r1-r15):
-# r15-latest: 50 entries, r13-latest: 49, r12-latest: 49, nothing
-# older, nothing never-green. HISTORY NOTE (VERDICT r15 #1): the r15
-# rotation was NOT executed — this list was left at its r14 state, so
-# the driver re-ran the r14 window verbatim and CORRECTNESS_r15's key
-# set is byte-identical to CORRECTNESS_r14's. The r12-latest cohort
-# (the pre-stated r15 plan) is therefore three rounds stale at its hard
-# driver signal, mitigated only by the committed full-148 hand sweeps
-# (artifacts/driver_window_sweep_r15.txt) and the 36-seed fuzz receipt.
-# Window THIS round = the missed r15 plan, executed one round late:
-# the 49-entry r12-latest cohort (EXACTLY the names COVERAGE.md
-# pre-stated at r14 for the r15 window) + the corpus_bpe_tokenize slack
-# rider (r13-latest; its _release_vocab_frame per-type warning latch
-# landed r14, receipts rode r14 AND — because of the missed rotation —
-# r15; its fresh row is two rounds overdue). 49 + 1 = 50 exactly. This
-# single window delivers every queued fresh row at once: the six
-# r14-changed entries (json_extract_props, regex_clean_strings,
-# text_fingerprint, text_token_stats, text_quality_score,
-# corpus_sample_hash_mod), the ~12 entries the r15 hunt changed again
-# (the read_vectors vector family similarity_*/embeddings_*/
-# dedup_embedding_cosine, events_sliding_window, embeddings_standardize,
-# text_quality_score, olap_last_shipper's oracle twin), and the
-# corpus_bpe_tokenize latch rider — all of which live in this cohort.
-# The r13-latest cohort (the originally-pre-stated r16 window) is
-# pushed wholesale to r17 — see COVERAGE.md for the recomputed r17
-# plan and slack assignments.
+# r17 recomputation (latest GREEN round per entry across r1-r16):
+# r16-latest: 50 entries (the executed late rotation), r15-latest: 50,
+# r13-latest: 48, nothing older, nothing never-green. Window THIS
+# round = the pre-stated r17 plan (COVERAGE.md, recomputed and
+# confirmed byte-identical here): the full 48-entry r13-latest cohort
+# — now 3 rounds stale at the hard driver signal, the planned cost of
+# executing the missed r15 rotation one round late — plus the two
+# pre-assigned slack riders olap_yearly_growth (NULL-year fix landed
+# r16, receipts rode r16) and olap_cheapest_supplier (NULLS-LAST
+# isNull-flag struct landed r16, receipts rode r16). 48 + 2 = 50
+# exactly. This window delivers every queued post-change fresh row:
+# the flagship exports_report_events + json_variant_extract (r16
+# control-char trimAll oracle fix), multimodal_audio_rms (r16
+# byte-exact unicode oracle rebuild), stats_moments_group + stats_corr
+# (r16 negative-zero canonicalization), olap_supplier_part_types (r16
+# NULL-suppkey phantom-group scan filter), string_funcs_customer (r16
+# split_part NULL-propagation oracle fix), and both slack riders.
 #
-# Changes applied THIS round (r16) under the displacement rule:
-# olap_yearly_growth (r15-latest via the re-run window, NOT due) lands
-# its pre-stated NULL-year fix (both sides exclude NULL order dates —
-# the one known live cross-engine divergence, VERDICT r15 missing #2);
-# it rides receipts exactly ONE round (fixture probe + full-148 hand
-# sweep + re-admission to the fuzzer list) and is pre-assigned an r17
-# slack slot. json_extract_props + the flagship oracle gain the
-# control-char trimAll fix and text_quality_score's oracle gains the
-# Java-\S token regex (ADVICE r16 #1/#2) — json_extract_props and
-# text_quality_score are DUE this round, so those fresh rows arrive
-# with this very window; the flagship (exports_report_events,
-# r13-latest) rides receipts one round and its fresh row arrives with
-# its own r17 cohort, as does json_variant_extract (same trim fix).
-# The r16 fuzz continuation then ADMITTED 15 previously-unfuzzed
-# entries and immediately found two more divergences, both fixed this
-# round: events_sessionize_batch (missed the r15 NULL-event-time
-# convention; DUE this round — fresh row with this window, zero
-# friction) and olap_cheapest_supplier (struct-min ranked a NULL
-# acctbal as cheapest — NULLS-LAST isNull-flag struct now; r15-latest,
-# NOT due — rides receipts one round, takes the SECOND r17 slack
-# slot). A third find, recursive_order_chains' NULL-order-date chain
-# (same timeline convention), is NOT fixed this round: three riders
-# cannot fit two r17 slack slots, so per the displacement rule the
-# change itself waits — fix pre-stated for r17, fresh row r18 with its
-# own r15-latest cohort, entry excluded from the fuzzer list until
-# then (the yearly_growth pattern, one round longer). A second
-# admission wave then brought in the multimodal family: its oracles
-# modeled payloads as per-CHAR ascii() streams (documented ASCII-only,
-# fine on the sf corpora, wrong on the fuzzer's unicode) and now
-# reconstruct the TRUE UTF-8 byte stream via hex(encode(text)) —
-# multimodal_decode_features + multimodal_frame_sample are DUE this
-# round (same-round rows), multimodal_audio_rms is r13-latest and its
-# post-change row arrives r17 with its own cohort (receipts: the
-# extended fixture-14 unicode rows + 6-seed probe + sf0.01 gate).
-# The second fuzz batch found a FOURTH divergence, asof_join (a NULL-ts
-# purchase carries no as-of click in Spark's NULLS-FIRST sort but the
-# last click in DuckDB's NULLS-LAST) — r15-latest with both r17 slack
-# slots claimed, so its fix joins recursive_order_chains in the
-# pre-stated r17 pair (changes r17, fresh rows r18 with their cohort;
-# both out of the fuzzer until then). The closing batches added two
-# same-round fixes on r13-latest entries (fresh rows r17 with their
-# cohort, receipts ride this round): stats_moments_group +
-# stats_corr's negative-zero canonicalization (oracle-side) and
-# olap_supplier_part_types' NULL-suppkey phantom-group fix (Spark
-# side: NOT IN drops what left_anti keeps — unattributable lines now
-# filtered at the scan, fixture-probed). A third probe wave
-# (adversarial customer names) added string_funcs_customer's
-# split_part NULL-propagation oracle fix — a divergence INVISIBLE to
-# CSV-hash compares (NULL and '' both render empty), pinned by a
-# cell-level probe — also r13-latest, fresh row r17 with its cohort.
-# A fourth wave (extreme timestamps) fixed events_sliding_window's
-# oracle: DuckDB // truncates toward zero, so pre-1970 off-grid epochs
-# snapped one slide late — rewritten on time_bucket (floor), pinned by
-# a pre-epoch fixture; the entry is DUE this round (same-round row).
+# Changes applied THIS round (r17) under the displacement rule — the
+# five pre-stated boundary fixes from the r16 fuzz continuation, all
+# on entries IN or OUT of this window as noted:
+#   * recursive_order_chains (r15-latest, NOT due): NULL-order-date
+#     phantom chain — WHERE o_orderdate IS NOT NULL in the shared
+#     adjacency template, both engines. Fresh row r18 with its cohort.
+#   * asof_join (r15-latest, NOT due): NULL-ts rows filtered both
+#     sides (Spark sorts NULLS FIRST, DuckDB ASOF NULLS LAST — the
+#     NULL-event-time convention class). Fresh row r18.
+#   * grouping_sets_orders (r15-latest, NOT due): empty-input
+#     convention mirrored with HAVING count(*) > 0, matching the
+#     rollup/cube twins fixed in-window at r16. Fresh row r18.
+#   * embeddings_pq (r15-latest, NOT due): empty/all-zero-corpus
+#     transform split (the embeddings_pca twin landed r16 in-window).
+#     Fresh row r18.
+#   * sketch_partial_merge (r15-latest, NOT due): empty-orders
+#     'ALL'-row fix — ranks join made LEFT so the global row survives
+#     an empty ranks side. Fresh row r18.
+# Plus the two signed-zero canonicalizations (array_functions
+# first_doubled, percentiles_exact ROUNDs — both r15-latest, NOT due,
+# fresh rows r18). All seven re-admitted to the fuzzer this round;
+# the pending-fix exclusion list at tools/fuzz_differential.py ends
+# the round EMPTY (only permanent rationale-carrying exclusions
+# remain). Receipts for all seven: fixture probes + full-148 hand
+# sweep + fuzz dry batches on HEAD.
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
-# test_driver_window_rotated_from_last_round pins this list against the
-# newest CORRECTNESS_r*.json key set — a forgotten rotation now fails
-# pytest instead of silently re-running last round's window.
+# test_driver_window_rotated_from_last_round pins this list (and
+# _DRIVER_WINDOW_ROUND below) against the committed CORRECTNESS
+# history — a forgotten rotation fails pytest, and (new this round,
+# VERDICT r16 wrong #1) the guard is state-aware: when the driver has
+# already written CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json (round just
+# closed), equality with THAT file is the expected success state, not
+# a missed rotation.
+
+# The round this window was declared FOR. Bump in the same commit that
+# rotates _DRIVER_WINDOW_PRIORITY — the rotation guard derives its
+# expectations from this constant.
+_DRIVER_WINDOW_ROUND = 17
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- slack slot: the twice-ridden receipt rider (r14 latch change) --
-    "corpus_bpe_tokenize",
-    # -- r12-latest cohort: all 49, as pre-stated in COVERAGE.md at r14 --
-    "corpus_bigram_top",
-    "corpus_bpe_pair_counts",
-    "corpus_chunk_documents",
-    "corpus_sample_hash_mod",
-    "corpus_stratified_sample",
-    "corpus_tfidf_top_terms",
-    "cube_orders",
-    "date_ops",
-    "dedup_cc_star",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_latest_maxby",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_simhash",
-    "embeddings_pca",
-    "embeddings_quantize_int8",
-    "embeddings_standardize",
-    "events_funnel",
-    "events_sessionize_batch",
-    "events_sliding_window",
-    "events_user_sequences",
-    "global_denominators",
-    "json_extract_props",
-    "multimodal_byte_stats",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "numeric_coercion",
-    "pricing_summary",
-    "rank_in_segment_month",
-    "rank_pivot_merge_back",
-    "regex_clean_strings",
-    "rollup_lineitem",
-    "set_ops",
-    "similarity_ann_lsh",
-    "similarity_ivf_topk",
-    "similarity_knn_brute_force",
-    "similarity_pca_ivf",
-    "similarity_pq_adc",
-    "streaming_sessionize",
-    "streaming_tumbling_window_batch",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "topk_orders",
-    "union_by_name",
+    # -- flagship first (entry() references it by name) --
+    "exports_report_events",
+    # -- r13-latest cohort: the remaining 47, pre-stated at r16 --
+    "corpus_chunk_documents_udtf",
+    "corpus_feature_hashing",
+    "corpus_incremental_ingest_bloom",
+    "corpus_incremental_ingest_bucketed",
+    "corpus_incremental_ingest_neardup",
+    "corpus_length_buckets",
+    "corpus_normalize_dedup",
+    "corpus_pii_flags",
+    "corpus_repetition_stats",
+    "corpus_source_lang_rollup",
+    "corpus_train_val_test_split",
+    "dq_violations",
+    "events_retention_cohort",
+    "islands_active_months",
+    "join_hints_shuffle_hash",
+    "json_variant_extract",
+    "multimodal_audio_rms",
+    "olap_disjunctive_brackets",
+    "olap_dominant_supplier",
+    "olap_dormant_rich_customers",
+    "olap_forecast_revenue",
+    "olap_important_stock",
+    "olap_large_orders",
+    "olap_local_supplier_volume",
+    "olap_order_count_distribution",
+    "olap_order_priority_semijoin",
+    "olap_priority_linecount",
+    "olap_promo_revenue",
+    "olap_regional_revenue",
+    "olap_returned_items",
+    "olap_shipping_priority",
+    "olap_small_quantity_avg",
+    "olap_supplier_part_types",
+    "olap_top_revenue_supplier",
+    "posexplode_tokens",
+    "scd2_history",
+    "sketch_count_min",
+    "stats_corr",
+    "stats_moments_group",
+    "string_funcs_customer",
+    "text_c4_filter",
+    "text_lang_mismatch",
+    "text_unigram_logprob",
+    "unpivot_part",
+    "upsert_full_outer",
+    "window_distribution",
+    "window_fill_forward",
+    # -- slack slots: the two r16 receipts riders (one-round cap) --
+    "olap_yearly_growth",
+    "olap_cheapest_supplier",
 ]
 
 

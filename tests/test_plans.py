@@ -370,30 +370,66 @@ def test_driver_window_uses_all_50_slots():
 
 
 def test_driver_window_rotated_from_last_round():
-    """Anti-recurrence guard (VERDICT r15 #1): the r15 rotation was never
-    executed — _DRIVER_WINDOW_PRIORITY stayed at its r14 state, so the
-    driver silently re-ran the identical window and burned all 50 checks
-    re-proving what r14 already proved. This pins the CURRENT window
-    against the NEWEST committed CORRECTNESS_r*.json key set: the two
-    must differ, because the freshness policy always rotates the just-
-    checked cohort out. A forgotten rotation now fails pytest."""
+    """Anti-recurrence guard (VERDICT r15 #1, state-aware per VERDICT r16
+    wrong #1): the r15 rotation was never executed —
+    _DRIVER_WINDOW_PRIORITY stayed at its r14 state, so the driver
+    silently re-ran the identical window and burned all 50 checks
+    re-proving what r14 already proved. The original guard pinned the
+    window against the NEWEST CORRECTNESS key set, which went red the
+    moment the driver wrote the file the window itself produced (the
+    round-close blind spot). The guard now derives its expectations from
+    _DRIVER_WINDOW_ROUND, bumped in the same commit as each rotation:
+
+      * CORRECTNESS_r{ROUND-1}.json must exist and DIFFER from the
+        window (the rotation actually moved);
+      * if CORRECTNESS_r{ROUND}.json exists (the declared round just
+        closed), its key set must EQUAL the window — the expected
+        success state, not a missed rotation;
+      * no CORRECTNESS file beyond ROUND may exist — the driver ran a
+        round this list was never declared for (forgotten bump)."""
     import glob
     import json
     import os
     import re
 
-    from monthly_report_etl_spark.catalog import _DRIVER_WINDOW_PRIORITY
+    from monthly_report_etl_spark.catalog import (
+        _DRIVER_WINDOW_PRIORITY,
+        _DRIVER_WINDOW_ROUND,
+    )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    paths = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-    assert paths, "no CORRECTNESS files — cannot verify rotation"
-    latest = max(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
-    with open(latest) as f:
-        last_window = set(json.load(f).keys())
-    assert set(_DRIVER_WINDOW_PRIORITY) != last_window, (
+    rounds = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        n = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        rounds[n] = path
+    assert rounds, "no CORRECTNESS files — cannot verify rotation"
+
+    window = set(_DRIVER_WINDOW_PRIORITY)
+    prev = _DRIVER_WINDOW_ROUND - 1
+    assert prev in rounds, (
+        f"CORRECTNESS_r{prev}.json missing — _DRIVER_WINDOW_ROUND "
+        f"({_DRIVER_WINDOW_ROUND}) was bumped past the recorded history"
+    )
+    with open(rounds[prev]) as f:
+        prev_keys = set(json.load(f).keys())
+    assert window != prev_keys, (
         f"_DRIVER_WINDOW_PRIORITY is byte-identical to the key set of "
-        f"{os.path.basename(latest)} — the rotation was not executed "
-        f"(VERDICT r15 #1 recurrence)"
+        f"CORRECTNESS_r{prev}.json — the r{_DRIVER_WINDOW_ROUND} rotation "
+        f"was not executed (VERDICT r15 #1 recurrence)"
+    )
+    if _DRIVER_WINDOW_ROUND in rounds:
+        with open(rounds[_DRIVER_WINDOW_ROUND]) as f:
+            own_keys = set(json.load(f).keys())
+        assert own_keys == window, (
+            f"CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json exists but its key "
+            f"set differs from the declared window — the driver checked a "
+            f"different cohort than this list declares"
+        )
+    beyond = [n for n in rounds if n > _DRIVER_WINDOW_ROUND]
+    assert not beyond, (
+        f"CORRECTNESS rounds {sorted(beyond)} exist beyond "
+        f"_DRIVER_WINDOW_ROUND={_DRIVER_WINDOW_ROUND} — the rotation (and "
+        f"its constant bump) was forgotten for those rounds"
     )
 
 

@@ -37,7 +37,9 @@ def latest_green() -> tuple[dict[str, int], int]:
     latest: dict[str, int] = {}
     newest = 0
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        # basename only (ADVICE r16): a checkout under a directory named
+        # e.g. repo_r2/ would otherwise misparse every round as 2
+        rnd = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
         newest = max(newest, rnd)
         with open(path) as f:
             rows = json.load(f)
