@@ -1045,19 +1045,18 @@ def date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    HAVING count(*) > 0
     """,
 )
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (the general form rollup/cube specialize): three
     explicit grouping sets in ONE aggregation pass (Expand + single
     shuffle), with GROUPING() disambiguating real NULLs from subtotals.
-    Empty-input convention: zero rows even for the () set (Spark expands
-    rows per set before aggregating) where ANSI/DuckDB emit one
-    grand-total row — the oracle's HAVING count(*) > 0 mirror (rationale
-    at relational.py ROLLUP_ORACLE) is PRE-STATED for r17: the entry is
-    r15-latest and both r17 slack slots are claimed, so the change
-    waits per the displacement rule (the recursive_order_chains
-    pattern); excluded from the fuzzer's tiny-table probe until then."""
+    Empty-input convention (the pre-stated r17 fix, landed): zero rows
+    even for the () set (Spark expands rows per set before aggregating)
+    where ANSI/DuckDB emit one grand-total row — the oracle's HAVING
+    count(*) > 0 mirror matches the rollup/cube twins (rationale at
+    relational.py ROLLUP_ORACLE); vacuous on non-empty input."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
     return spark.sql(
         """

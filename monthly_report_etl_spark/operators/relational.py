@@ -85,7 +85,9 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that still evaluates the aggregate twice) — anti-scale at 100 TB for
 # a row no downstream consumer of an empty report needs. On non-empty
 # input the clause is vacuous: every group that exists has >= 1 row.
-# Pinned by test_properties.py::test_grouping_sets_empty_input_convention.
+# Pinned by test_properties.py::test_degenerate_corpus_hand_derivation
+# and ::test_oracles_agree_on_degenerate_corpus_fixture (ADVICE r16: an
+# earlier revision of this comment named a test that never existed).
 ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
@@ -172,7 +174,13 @@ WITH tagged AS (
     SELECT user_id, ts, event_id,
            CASE WHEN event_type = 'purchase' THEN NULL ELSE ts END AS click_ts,
            event_type
-    FROM events WHERE event_type IN ('purchase', 'click')
+    -- ts IS NOT NULL (r16 finding, seed 20260848): a NULL-ts row has no
+    -- position on the as-of timeline. Spark's window sort puts NULLs
+    -- FIRST (a NULL-ts purchase sees no prior click -> NULL), DuckDB's
+    -- puts them LAST (it carries the final click) — same convention
+    -- class as the r15 NULL-event-time sessionize fix. Both engines now
+    -- exclude timeline-less rows.
+    FROM events WHERE event_type IN ('purchase', 'click') AND ts IS NOT NULL
 ),
 carried AS (
     SELECT *,
@@ -195,8 +203,16 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ignorenulls)`` over event order, then keep the probe rows. O(n log n)
     per partition, no Python, no broadcast of either side — this is how
     an as-of works at 100 TB.
+
+    NULL-ts rows are excluded on BOTH sides (r16 finding, seed
+    20260848): they have no position on the as-of timeline, and the
+    engines disagree on where to sort them (Spark NULLS FIRST, DuckDB
+    NULLS LAST). The conjunct reaches the parquet scan as
+    IsNotNull(ts), so timeline-less rows never leave the source.
     """
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "click"))
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click") & F.col("ts").isNotNull()
+    )
     tagged = ev.withColumn(
         "click_ts", F.when(F.col("event_type") != "purchase", F.col("ts"))
     )
@@ -259,10 +275,14 @@ def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # displacement rule), excluded from the fuzzer's -0.0 probe until then.
 PERCENTILES_ORACLE = """
 SELECT o_orderpriority,
-       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-       ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90,
-       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+       -- + 0.0 on each ROUND: signed-zero canonicalization (r16 finding
+       -- 41, the pre-stated r17 fix, landed) — a group whose percentile
+       -- interpolates to exactly -0.0 keeps the sign under DuckDB's
+       -- binary ROUND where Spark's BigDecimal round normalizes it
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) + 0.0 AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) + 0.0 AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.90), 4) + 0.0 AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) + 0.0 AS p99
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -341,7 +361,15 @@ _ORDER_CHAINS_ADJ_SQL = """SELECT o_custkey, o_orderkey, o_orderdate,
            LEAD(o_orderkey)  OVER w AS next_key,
            LEAD(o_orderdate) OVER w AS next_date
     FROM {orders}
+    WHERE o_orderdate IS NOT NULL
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+# ^ o_orderdate IS NOT NULL (r16 fuzz finding, fix pre-stated for r17):
+# an undated order has no position on the chain timeline, and the
+# engines sort window NULLs differently (Spark FIRST, DuckDB LAST), so
+# a NULL-date row seeded a phantom chain head on one engine and a
+# phantom successor on the other. Shared template -> one edit fixes
+# both engines identically; the conjunct reaches the parquet scan as
+# IsNotNull(o_orderdate) before the window shuffle.
 
 _ORDER_CHAINS_CHAIN_SQL = """chain (head_key, o_custkey, cur_key, cur_date, depth) AS (
     SELECT o_orderkey, o_custkey, o_orderkey, o_orderdate, 1
@@ -618,12 +646,10 @@ SELECT user_id,
        CAST(len(list_filter(vals, v -> v > 500)) AS BIGINT) AS n_big,
        ROUND(list_reduce(list_prepend(0.0::DOUBLE, vals), (a, v) -> a + v), 2)
            AS sum_vals,
-       -- first_doubled diverges on a stored -0.0 value (r16 finding 41:
-       -- DuckDB's ROUND preserves the sign of zero, Spark's BigDecimal
-       -- round normalizes it) — the + 0.0 canonicalization here is
-       -- PRE-STATED for r17 (the entry is r15-latest; displacement
-       -- rule), excluded from the fuzzer's -0.0 probe until it lands
-       ROUND(list_transform(vals, v -> v * 2)[1], 2) AS first_doubled,
+       -- + 0.0: signed-zero canonicalization (r16 finding 41, the
+       -- pre-stated r17 fix, landed — DuckDB's ROUND preserves -0.0,
+       -- Spark's BigDecimal round normalizes it)
+       ROUND(list_transform(vals, v -> v * 2)[1], 2) + 0.0 AS first_doubled,
        list_contains(types, 'error') AS has_error,
        COALESCE(array_to_string(
            list_sort(list_intersect(types, ['click', 'view', 'error'])), '|'),
@@ -897,17 +923,15 @@ def sketch_partial_merge_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_le"),
         )
     )
-    # r16 tiny-table fuzz (finding 40): on EMPTY orders the ranks frame
-    # is empty (groupBy after joining the empty fact) and this INNER
-    # join drops the 'ALL' row the oracle keeps (0 distinct customers,
-    # vacuously-true bounds). The fix — make the ranks join LEFT, the
-    # p50_ok coalesce below already treats NULL ranks as vacuous — is
-    # PRE-STATED for r17: the entry is r15-latest (r14 window, re-run
-    # at r15), so the change waits per the displacement rule with the
-    # rest of the r17 quintet; excluded from the fuzzer until then.
+    # LEFT ranks join (r16 tiny-table fuzz, finding 40 — the pre-stated
+    # r17 fix, landed): on EMPTY orders the ranks frame is empty
+    # (groupBy after joining the empty fact) and an INNER join dropped
+    # the 'ALL' row the oracle keeps (0 distinct customers,
+    # vacuously-true bounds). LEFT keeps the row; the p50_ok coalesce
+    # below already treats its NULL ranks as vacuous.
     joined = keyed.join(
         exact, keyed["grp"].eqNullSafe(exact["o_orderpriority"])
-    ).join(ranks, F.col("grp").eqNullSafe(F.col("_rgrp")))
+    ).join(ranks, F.col("grp").eqNullSafe(F.col("_rgrp")), "left")
     return joined.select(
         F.col("grp").alias("o_orderpriority"),
         "exact_distinct_custs",

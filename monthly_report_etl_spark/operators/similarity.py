@@ -1414,7 +1414,8 @@ def _pq_partials_udf(codebooks):
 def train_pq_codebooks(
     spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS,
     v: DataFrame | None = None,
-) -> list[list[list[float]]]:
+    allow_empty: bool = False,
+) -> list[list[list[float]]] | None:
     """M x K x dsub PQ codebooks via Lloyd on NORMALIZED vectors (the
     index stores unit vectors so ADC inner product approximates cosine).
     Init: subvectors of the first K vectors by vec_id (deterministic, no
@@ -1448,15 +1449,15 @@ def train_pq_codebooks(
             ).persist()
         first = [r["e"] for r in v.orderBy("vec_id").limit(PQ_K).collect()]
         if not first:
-            # r16 tiny-table fuzz: an empty/all-zero-norm corpus should
-            # NOT raise on the transform path (embeddings_pq has a
-            # well-defined answer: per-vector norm rows with vacuously
-            # TRUE flags — an all-zero corpus reconstructs exactly).
-            # The fix (allow_empty split, the train_pca_model pattern)
-            # is PRE-STATED for r17: embeddings_pq is r15-latest and
-            # both r17 slack slots are claimed, so the change waits per
-            # the displacement rule; the entry is excluded from the
-            # fuzzer's tiny-table probe until then.
+            # allow_empty split (r16 tiny-table fuzz, the pre-stated r17
+            # fix, landed — the train_pca_model pattern): an empty or
+            # all-zero-norm corpus leaves NOTHING to train on, but the
+            # TRANSFORM path (embeddings_pq) has a well-defined answer —
+            # per-vector norm rows with vacuously TRUE flags, since zero
+            # vectors were encoded. A MODEL-producing caller still gets
+            # the loud error.
+            if allow_empty:
+                return None
             raise ValueError("cannot train PQ codebooks on an empty corpus")
         # corpora smaller than PQ_K cycle their rows so init is always
         # K x dim (duplicate centroids resolve by argmin's first-min)
@@ -1567,14 +1568,27 @@ def pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).persist()  # shared by the training iterations' repeated actions
     try:
-        codebooks = train_pq_codebooks(spark, sf_dir, v=v)
-        enc = v.withColumn("pq", _pq_encode_udf(codebooks)(F.col("e")))
-        flags = enc.agg(
-            (F.avg("pq.recon_cos") >= PQ_FIDELITY_FLOOR).alias("pq_fidelity_ok"),
-            (
-                (F.min("pq.code_min") >= 0) & (F.max("pq.code_max") < PQ_K)
-            ).alias("pq_codes_ok"),
-        )
+        codebooks = train_pq_codebooks(spark, sf_dir, v=v, allow_empty=True)
+        if codebooks is None:
+            # empty/all-zero-norm corpus (r16 tiny-table fuzz, the
+            # pre-stated r17 fix, landed): nothing was encoded, so both
+            # contract booleans are vacuously TRUE — matching the
+            # oracle's literal TRUE on whatever rows the table holds
+            # (zero-norm rows still get their exact norm_r below)
+            flags = spark.range(1).select(
+                F.lit(True).alias("pq_fidelity_ok"),
+                F.lit(True).alias("pq_codes_ok"),
+            )
+        else:
+            enc = v.withColumn("pq", _pq_encode_udf(codebooks)(F.col("e")))
+            flags = enc.agg(
+                (F.avg("pq.recon_cos") >= PQ_FIDELITY_FLOOR).alias(
+                    "pq_fidelity_ok"
+                ),
+                (
+                    (F.min("pq.code_min") >= 0) & (F.max("pq.code_max") < PQ_K)
+                ).alias("pq_codes_ok"),
+            )
         out = (
             read_vectors(spark, sf_dir)
             .select(
@@ -1848,8 +1862,10 @@ def pca_project(spark: SparkSession, sf_dir: str, r: int = PCA_R) -> DataFrame:
     """Project every vector onto the top-r principal components (the
     whitening/compression pass), emitting per-vector reconstruction
     diagnostics in the SAME Arrow pass: y = Vᵀ(x-mu), cosine(x, x̂),
-    residual energy ||x-x̂||² and centered energy ||x-mu||² (their
-    corpus ratio is the data-path explained-variance check)."""
+    residual energy ||x-x̂||², centered energy ||x-mu||² (their
+    corpus ratio is the data-path explained-variance check), and raw
+    energy ||x||² (the scale reference for the degenerate-variance
+    epsilon in pca_checked, ADVICE r16)."""
     import numpy as np
 
     model = train_pca_model(spark, sf_dir, r, allow_empty=True)
@@ -1860,17 +1876,19 @@ def pca_project(spark: SparkSession, sf_dir: str, r: int = PCA_R) -> DataFrame:
         return spark.createDataFrame(
             [],
             "vec_id long, proj array<double>, recon_cos double, "
-            "res2 double, cen2 double",
+            "res2 double, cen2 double, nrm2 double",
         )
     mu, V, _ = model
 
     @F.pandas_udf(
-        "proj array<double>, recon_cos double, res2 double, cen2 double"
+        "proj array<double>, recon_cos double, res2 double, cen2 double, "
+        "nrm2 double"
     )
     def project(e: pd.Series) -> pd.DataFrame:
         if not len(e):  # zero-row Arrow batch guard
             return pd.DataFrame(
-                {"proj": [], "recon_cos": [], "res2": [], "cen2": []}
+                {"proj": [], "recon_cos": [], "res2": [], "cen2": [],
+                 "nrm2": []}
             )
         X = np.stack(e.to_numpy())
         Xc = X - mu
@@ -1891,6 +1909,7 @@ def pca_project(spark: SparkSession, sf_dir: str, r: int = PCA_R) -> DataFrame:
                 "recon_cos": pd.Series(cos, dtype="object"),
                 "res2": ((Xc - Y @ V.T) ** 2).sum(1),
                 "cen2": (Xc**2).sum(1),
+                "nrm2": (X**2).sum(1),
             }
         )
 
@@ -1898,7 +1917,7 @@ def pca_project(spark: SparkSession, sf_dir: str, r: int = PCA_R) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return v.withColumn("p", project(F.col("e"))).select(
-        "vec_id", "p.proj", "p.recon_cos", "p.res2", "p.cen2"
+        "vec_id", "p.proj", "p.recon_cos", "p.res2", "p.cen2", "p.nrm2"
     )
 
 
@@ -1930,9 +1949,17 @@ def pca_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # has sum(cen2) = 0 (nothing to explain — reconstruction is EXACT)
     # and zero defined cosines, so both measurements are TRUE by
     # construction, not NULL (0/0 and avg-over-nothing would otherwise
-    # emit NULL where the contract asserts TRUE)
+    # emit NULL where the contract asserts TRUE). The degenerate branch
+    # is a RELATIVE epsilon, not exact == 0 (ADVICE r16): a corpus of
+    # identical nonzero vectors leaves sum(cen2) tiny-but-nonzero
+    # (mu = s/n rounding, ~1e-32 of the raw energy), where the EVR
+    # ratio is pure noise but the variance is still fully "explained".
     flags = proj.agg(
-        F.when(F.coalesce(F.sum("cen2"), F.lit(0.0)) == 0, F.lit(True))
+        F.when(
+            F.coalesce(F.sum("cen2"), F.lit(0.0))
+            <= 1e-12 * F.coalesce(F.sum("nrm2"), F.lit(0.0)),
+            F.lit(True),
+        )
         .otherwise(
             F.lit(1.0) - F.sum("res2") / F.sum("cen2") >= PCA_EVR_FLOOR
         )

@@ -5194,22 +5194,22 @@ def test_degenerate_corpus_hand_derivation(spark, tmp_path):
 
     d = _degenerate_corpus_fixture(tmp_path)
     # Spark's empty-input grouping-set convention: zero rows, () set
-    # included (the rollup/cube oracles' HAVING mirror is gate-checked
-    # below; grouping_sets_orders shares the convention but its oracle
-    # mirror is PRE-STATED for r17 — the entry is r15-latest with both
-    # r17 slack slots claimed, the recursive_order_chains pattern)
+    # included (the rollup/cube/grouping_sets oracles all carry the
+    # HAVING count(*) > 0 mirror — grouping_sets_orders' landed r17)
     for name in ("rollup_lineitem", "cube_orders", "grouping_sets_orders",
                  "corpus_source_lang_rollup"):
         assert QUERIES[name](spark, d).count() == 0, name
     # transform entry on an EMPTY vector corpus: empty, not a raise
     assert QUERIES["embeddings_pca"](spark, d).count() == 0
 
-    # sketch_partial_merge on EMPTY orders currently drops its 'ALL'
-    # row through the inner ranks join (finding 40) where the oracle
-    # keeps it — the left-join fix is pre-stated for r17 with the
-    # displacement rationale at relational.py; this assertion flips to
-    # count == 1 when it lands
-    assert QUERIES["sketch_partial_merge"](spark, d).count() == 0
+    # sketch_partial_merge on EMPTY orders keeps exactly the 'ALL' row
+    # (finding 40, the LEFT ranks-join fix, landed r17): 0 distinct
+    # customers, vacuously-true bounds — matching the oracle's
+    # global-agg row
+    sk = QUERIES["sketch_partial_merge"](spark, d).collect()
+    assert len(sk) == 1 and sk[0]["o_orderpriority"] == "ALL", sk
+    assert sk[0]["exact_distinct_custs"] == 0
+    assert sk[0]["hll_ok"] and sk[0]["p50_ok"], sk
 
     # all-zero corpus: PCA has nothing to explain — per-vector rows
     # flow with norm 0 and TRUE flags (reconstruction is exact)
@@ -5226,13 +5226,15 @@ def test_degenerate_corpus_hand_derivation(spark, tmp_path):
         train_pq_codebooks,
     )
 
-    # embeddings_pq still RAISES on an empty/all-zero corpus — its
-    # allow_empty transform split (the train_pca_model pattern above)
-    # is pre-stated for r17 with the same displacement rationale; this
-    # assertion flips to the pca-style row check when it lands
-    for dd in (d, dz):
-        with pytest.raises(ValueError, match="empty corpus"):
-            QUERIES["embeddings_pq"](spark, dd).count()
+    # embeddings_pq on an empty/all-zero corpus (the allow_empty
+    # transform split, landed r17 — the train_pca_model pattern):
+    # nothing to train means nothing was encoded, so the rows flow with
+    # their exact norms and vacuously TRUE flags instead of a raise
+    assert QUERIES["embeddings_pq"](spark, d).count() == 0
+    pqr = {r["vec_id"]: r for r in QUERIES["embeddings_pq"](spark, dz).collect()}
+    assert set(pqr) == {0, 1}  # NULL vector dropped (oracle's IS NOT NULL)
+    assert all(r["norm_r"] == 0.0 for r in pqr.values())
+    assert all(r["pq_fidelity_ok"] and r["pq_codes_ok"] for r in pqr.values())
 
     # model-PRODUCING callers get the loud error on empty input
     with pytest.raises(ValueError, match="empty corpus"):
@@ -5246,12 +5248,17 @@ def test_oracles_agree_on_degenerate_corpus_fixture(spark, tmp_path):
     conventions hold under the driver's rows+schema+value-hash compare."""
     import duckdb
 
-    # grouping_sets_orders and embeddings_pq join when their pre-stated
-    # r17 fixes land (empty-input oracle mirror / allow_empty split)
+    # grouping_sets_orders / embeddings_pq / sketch_partial_merge /
+    # percentiles_exact / array_functions / asof_join /
+    # recursive_order_chains joined when their r17 fixes landed (the
+    # whole deferred queue gates here on the degenerate corpora now)
     names = ["rollup_lineitem", "cube_orders", "corpus_source_lang_rollup",
              "embeddings_pca", "embeddings_standardize",
              "embeddings_quantize_int8", "topk_orders", "set_ops",
-             "pricing_summary", "null_profile_orders"]
+             "pricing_summary", "null_profile_orders",
+             "grouping_sets_orders", "embeddings_pq",
+             "sketch_partial_merge", "percentiles_exact",
+             "array_functions", "asof_join", "recursive_order_chains"]
     for all_zero in (False, True):
         d = _degenerate_corpus_fixture(tmp_path, all_zero_vectors=all_zero)
         con = duckdb.connect()
@@ -5376,3 +5383,96 @@ def test_latest_wins_tiebreak_under_duplicate_timestamps(spark, tmp_path):
     flag = {r["user_id"]: r
             for r in QUERIES["exports_report_events"](spark, d).collect()}
     assert flag[1]["event_type"] == "view"
+
+
+def test_timeline_null_and_negzero_conventions(spark, tmp_path):
+    """Nineteenth fixture — hand-derivation leg for the r17 deferred-fix
+    queue's two input classes:
+
+    * NULL timestamps/dates on the timeline entries (asof_join,
+      recursive_order_chains): a row with no position on the timeline is
+      EXCLUDED on both engines (Spark window sorts put NULLs FIRST,
+      DuckDB's LAST — the r15 sessionize convention);
+    * stored IEEE -0.0 through oracle ROUNDs (percentiles_exact,
+      array_functions.first_doubled): canonicalized with + 0.0
+      (finding 41 — Spark's BigDecimal round has no signed zero,
+      DuckDB's binary round preserves it).
+    """
+    import math
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+    from tools.fuzz_differential import _write
+
+    d = str(tmp_path / "timeline_negzero")
+    os.makedirs(d, exist_ok=True)
+
+    # events: user 1 has a NULL-ts purchase (excluded — NOT matched to
+    # any click) and a dated purchase AFTER a click (matched); user 2's
+    # only purchase precedes its click (NULL asof)
+    ev = pd.DataFrame(
+        [
+            (1, pd.Timestamp("2025-01-02"), 1, "click", 10.0, "{}"),
+            (2, None, 1, "purchase", -0.0, "{}"),
+            (3, pd.Timestamp("2025-01-05"), 1, "purchase", -0.0, "{}"),
+            (4, pd.Timestamp("2025-03-01"), 2, "purchase", 30.0, "{}"),
+            (5, pd.Timestamp("2025-03-02"), 2, "click", 40.0, "{}"),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _write(ev, d, "events")
+
+    # orders: customer 1 chains 1→2 (20 days apart), with a NULL-date
+    # order that must seed no phantom chain; customer 2's two orders are
+    # 60 days apart (two singleton chains). Every total is -0.0 so all
+    # four percentile cuts land exactly on the signed zero.
+    od = pd.DataFrame(
+        [
+            (1, 1, "O", -0.0, pd.Timestamp("2025-01-01"), "1-URGENT"),
+            (2, 1, "O", -0.0, pd.Timestamp("2025-01-21"), "1-URGENT"),
+            (3, 1, "O", -0.0, None, "1-URGENT"),
+            (4, 2, "O", -0.0, pd.Timestamp("2025-02-01"), "5-LOW"),
+            (5, 2, "O", -0.0, pd.Timestamp("2025-04-02"), "5-LOW"),
+        ],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    od["o_orderdate"] = od["o_orderdate"].astype("datetime64[us]")
+    _write(od, d, "orders")
+
+    # --- hand-derived asof: event 2 (NULL ts) is ABSENT, not NULL-matched
+    asof = {r["event_id"]: r for r in QUERIES["asof_join"](spark, d).collect()}
+    assert set(asof) == {3, 4}
+    assert asof[3]["asof_click_ts"] == pd.Timestamp("2025-01-02")
+    assert asof[4]["asof_click_ts"] is None
+
+    # --- hand-derived chains: the NULL-date order seeds nothing; chains
+    # are (1: len 2) for customer 1 and two singletons for customer 2
+    chains = {r["head_key"]: r
+              for r in QUERIES["recursive_order_chains"](spark, d).collect()}
+    assert set(chains) == {1, 4, 5}
+    assert chains[1]["chain_len"] == 2
+    assert chains[4]["chain_len"] == 1 and chains[5]["chain_len"] == 1
+
+    # --- hand-derived -0.0 canonicalization: every percentile cell is
+    # POSITIVE zero on the Spark side (and the gate below pins the
+    # oracle to the same)
+    for r in QUERIES["percentiles_exact"](spark, d).collect():
+        for c in ("p25", "p50", "p90", "p99"):
+            assert r[c] == 0.0 and math.copysign(1.0, r[c]) == 1.0, (r, c)
+    af = {r["user_id"]: r for r in QUERIES["array_functions"](spark, d).collect()}
+    assert math.copysign(1.0, af[1]["first_doubled"]) == 1.0
+
+    # --- gate leg: the driver's rows+schema+value-hash compare
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    _gate_compare(spark, con, d, ["asof_join", "recursive_order_chains",
+                                  "percentiles_exact", "array_functions"])

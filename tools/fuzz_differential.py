@@ -474,11 +474,8 @@ ENTRIES = [
     # Spark's as-of sort (no prior click -> NULL) and NULLS LAST in
     # DuckDB's (carries the last click) — the same NULL-event-time
     # convention the rest of the timeline family pins. Its fix (filter
-    # NULL ts both sides) is pre-stated for r17 with
-    # recursive_order_chains': the entry is r15-latest and both r17
-    # slack slots are already claimed by this round's riders, so the
-    # change itself waits per the displacement rule (COVERAGE.md names
-    # the schedule); re-admit with the fix.
+    # NULL ts both sides) landed r17 and the entry is re-admitted in
+    # the r17 block below.
     "olap_cheapest_supplier", "order_nulls_handling", "regex_clean_strings",
     "corpus_mix_weights", "corpus_pack_sequences",
     "corpus_pack_sequences_ranged", "corpus_stratified_sample",
@@ -491,35 +488,22 @@ ENTRIES = [
     # the family is byte-exact on arbitrary unicode
     "multimodal_decode_features", "multimodal_frame_sample",
     "multimodal_audio_rms",
-    # Still excluded, with reasons: recursive_order_chains (its NULL-
-    # order-date chain fix — the same timeline convention as
-    # events_sessionize_batch's — is pre-stated for r17: three r16
-    # receipt riders compete for two r17 slack slots, so the change
-    # itself waits per the displacement rule; COVERAGE.md names the
-    # schedule); grouping_sets_orders + embeddings_pq (the tiny-table
-    # probe found their empty-input divergences — the ()-set HAVING
-    # mirror and the PQ empty/all-zero-corpus transform answer, both
-    # already landed for the in-window twins rollup_lineitem /
-    # cube_orders / embeddings_pca — but BOTH entries are r15-latest
-    # with both r17 slack slots claimed, so their fixes join the
-    # pre-stated r17 pair per the displacement rule and the entries
-    # stay out of the tiny-probe fuzz until then);
-    # percentiles_exact (finding 41 class, the extended -0.0 probe: a
-    # group whose interpolated percentile lands exactly on a stored
-    # -0.0 order total — + 0.0 canonicalization pre-stated for r17
-    # with the r15-latest displacement rationale, same as
-    # array_functions below);
-    # array_functions (finding 41, the -0.0 probe: a stored -0.0 value
-    # as a group's smallest element makes first_doubled 0.0 in Spark
-    # vs -0.0 in DuckDB — Spark's ROUND re-decimalizes through
-    # BigDecimal, which has no signed zero, DuckDB rounds the binary;
-    # the + 0.0 oracle canonicalization, the stats_moments pattern, is
-    # pre-stated for r17 with the r15-latest displacement rationale);
-    # sketch_partial_merge (finding 40, the tiny-heavy batch: empty
-    # orders drop the Spark side's 'ALL' row through an inner ranks
-    # join the oracle's global-agg row survives — left-join fix
-    # pre-stated for r17 with the same r15-latest displacement
-    # rationale, rejoining the fuzzer when it lands);
+    # r17 re-admissions — the whole deferred-fix queue landed, so every
+    # pending-fix exclusion is gone (the r16 verdict's contract: the
+    # exclusion list ends the round EMPTY of pending-fix entries):
+    # recursive_order_chains (NULL-order-date rows now filtered in the
+    # shared adjacency template), asof_join (NULL-ts rows filtered both
+    # sides — the timeline convention), grouping_sets_orders (()-set
+    # HAVING mirror, the rollup/cube twins' fix), embeddings_pq (the
+    # allow_empty transform split), percentiles_exact + array_functions
+    # (+ 0.0 signed-zero canonicalizations, finding 41),
+    # sketch_partial_merge (LEFT ranks join keeps the 'ALL' row on
+    # empty orders, finding 40). All seven fuzz with their classes'
+    # dedicated probes (tiny tables, NULL timestamps, -0.0 values).
+    "recursive_order_chains", "asof_join", "grouping_sets_orders",
+    "embeddings_pq", "percentiles_exact", "array_functions",
+    "sketch_partial_merge",
+    # Still excluded, with PERMANENT reasons:
     # map_functions (the generator's NULL event_type becomes
     # a map KEY and map_from_entries RAISES in both engines — the
     # documented frontier above); corpus_bpe_train_merges /
