@@ -301,8 +301,45 @@ def _streaming_throughput(spark) -> dict:
     }
 
 
+def _host_probe() -> dict:
+    """Ambient-host snapshot recorded INSIDE the bench artifact (VERDICT
+    r16 wrong #3): the driver's official number has twice disagreed with
+    the same-code canonical quiet-host pair by 10-16% because the host
+    was busy, and the attribution had to be reconstructed after the
+    fact from same-night reruns. Recording load and stray-JVM count at
+    bench start/end makes the next ambient smear self-documenting — a
+    BENCH artifact with load1 >> cores-used or foreign JVMs present
+    discredits its own movers."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:  # pragma: no cover - non-POSIX
+        la1 = la5 = la15 = -1.0
+    stray_java = 0
+    try:
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() == "java":
+                        stray_java += 1
+            except OSError:
+                continue
+    except OSError:  # pragma: no cover - no /proc
+        stray_java = -1
+    return {
+        "load1": round(la1, 2),
+        "load5": round(la5, 2),
+        "load15": round(la15, 2),
+        "java_procs": stray_java,
+        "cpus": os.cpu_count(),
+    }
+
+
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
+    host_pre = _host_probe()  # BEFORE our own JVM exists
     spark = get_spark(app_name="bench")
 
     from monthly_report_etl_spark.catalog import QUERIES
@@ -363,6 +400,10 @@ def main() -> None:
     streaming = _streaming_throughput(spark)
 
     total = round(sum(timings.values()), 3)
+    # host probe at both ends: "pre" is taken before our JVM exists, so
+    # java_procs > 0 there means FOREIGN JVMs were running; "post" load
+    # includes our own work and is the contention-during-run signal
+    host = {"pre": host_pre, "post": _host_probe()}
     full = {
         "metric": "headline_queries_wall_time",
         "value": total,
@@ -372,6 +413,7 @@ def main() -> None:
         "streaming": streaming,
         "reps": REPS,
         "sf": sf,
+        "host": host,
     }
     # VERDICT r7 #3: the driver's artifact keeps only the last ~2000
     # chars of stdout, which truncated the full JSON's head out of
@@ -398,6 +440,7 @@ def main() -> None:
         "streaming_input_rows": streaming["input_rows"],
         "reps": REPS,
         "sf": sf,
+        "host": host,
         "detail": "bench_results.json (committed copy of artifacts/bench_results.json)",
     }
     print(json.dumps(compact, separators=(",", ":")))
