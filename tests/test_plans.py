@@ -1014,3 +1014,20 @@ def test_grouping_sets_single_pass(spark, sf_dir, name):
     # section lines only — the tree section repeats each node)
     n_scans = len(_lines(plan, ") Scan parquet"))
     assert n_scans == 1, f"{name}: {n_scans} scans\n{plan}"
+
+
+def test_timeline_null_filters_push_to_scan(spark):
+    """The r17 timeline-NULL fixes must be FREE (the read_vectors
+    pattern): asof_join's ts filter and recursive_order_chains' order-
+    date filter have to reach the parquet reader as pushed filters —
+    timeline-less rows are skipped at the scan, never shuffled into the
+    window sort they would have poisoned."""
+    plan = _plan(QUERIES["asof_join"](spark, "/root/testdata/sf0.001"))
+    pushed = _lines(plan, "PushedFilters")
+    assert pushed, plan
+    assert any("IsNotNull(ts)" in ln for ln in pushed), plan
+
+    plan = _plan(QUERIES["recursive_order_chains"](spark, "/root/testdata/sf0.001"))
+    pushed = _lines(plan, "PushedFilters")
+    assert pushed, plan
+    assert all("IsNotNull(o_orderdate)" in ln for ln in pushed), plan
