@@ -888,3 +888,34 @@ def test_ivf_trainer_clamps_k_on_sub_k_corpus(spark):
     cents = similarity.train_ivf_centroids(spark, sf_dir="", k=8, iters=2, v=v)
     assert 1 <= len(cents) <= 3
     assert all(len(c) == 2 for c in cents)
+
+
+def test_identical_nonzero_corpus_explained_variance_vacuous(spark, tmp_path):
+    """ADVICE r16: a corpus of IDENTICAL nonzero vectors leaves
+    sum(cen2) tiny-but-nonzero (mu = s/n rounding), where the EVR ratio
+    1 - res2/cen2 is pure float noise while the oracle asserts literal
+    TRUE. The degenerate branch is a RELATIVE epsilon
+    (sum(cen2) <= 1e-12 * sum(nrm2)), so the flag must be TRUE here —
+    the variance is fully 'explained' because there is none."""
+    import numpy as np
+    import pandas as pd
+
+    vec = (np.arange(64, dtype=np.float64) / 7.0 + 0.3).astype(np.float32)
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": [vec] * 6,
+            "label": np.zeros(6, dtype=np.int32),
+        }
+    )
+    emb.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    sf = str(tmp_path)
+
+    flags = (
+        similarity.pca_checked(spark, sf)
+        .select("pca_var_ok", "pca_recon_ok")
+        .distinct()
+        .collect()
+    )
+    assert len(flags) == 1 and flags[0]["pca_var_ok"] is True, flags
+    assert flags[0]["pca_recon_ok"] is True, flags
