@@ -42,6 +42,15 @@ def regex_token_count(text: Column) -> Column:
 
 
 def stopword_regex(lang: str) -> str:
+    # Documented frontier (r17 unicode corner probe): Java's \b treats
+    # COMBINING MARKS as word-internal while RE2's ASCII \b puts a
+    # boundary at them — \ble\b on 'élève' counts 0 in
+    # Spark and 1 in DuckDB (both measured). RE2 has no lookarounds,
+    # so Java's exact boundary is not expressible oracle-side; the
+    # fuzzer's TEXT_POOL therefore keeps combining sequences out
+    # (precomposed forms like 'café' are fine — boundaries agree).
+    # Pinned by tests/test_properties.py::
+    # test_combining_mark_word_boundary_frontier.
     return r"\b(" + "|".join(LANGUAGE_STOPWORDS[lang]) + r")\b"
 
 

@@ -5476,3 +5476,37 @@ def test_timeline_null_and_negzero_conventions(spark, tmp_path):
         )
     _gate_compare(spark, con, d, ["asof_join", "recursive_order_chains",
                                   "percentiles_exact", "array_functions"])
+
+
+def test_combining_mark_word_boundary_frontier(spark):
+    """Documented frontier (r17 unicode corner probe): Java's \\b treats
+    COMBINING MARKS as word-internal while RE2's ASCII \\b puts a
+    boundary at them, so a stopword flanked by combining accents
+    ('e<acute>le<grave>ve' contains the letter pair 'le' between two
+    marks) counts 0 in Spark and 1 in DuckDB. This pins BOTH measured
+    behaviors so a silent change in either engine's semantics surfaces
+    here instead of as an unexplained fuzz mismatch. Precomposed forms
+    ('élève' as single code points) contain no bare 'le' and agree."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    combining = "élève"  # e◌́ l e◌̀ v e
+    precomposed = "élève"  # é l è v e
+
+    row = spark.range(1).select(
+        F.regexp_count(F.lit(combining), F.lit(r"\ble\b")).alias("comb"),
+        F.regexp_count(F.lit(precomposed), F.lit(r"\ble\b")).alias("pre"),
+    ).collect()[0]
+    assert row["comb"] == 0, row  # Java: mark is word-internal, no boundary
+    assert row["pre"] == 0, row
+
+    con = duckdb.connect()
+    dd_comb = con.execute(
+        "SELECT len(regexp_extract_all(?, '\\ble\\b'))", [combining]
+    ).fetchone()[0]
+    dd_pre = con.execute(
+        "SELECT len(regexp_extract_all(?, '\\ble\\b'))", [precomposed]
+    ).fetchone()[0]
+    assert dd_comb == 1, dd_comb  # RE2: boundary at the mark
+    assert dd_pre == 0, dd_pre

@@ -23,6 +23,13 @@ tool should re-find every run):
     as of r16 and pinned by its own VT fixture, but the token-ARRAY
     entries keep the RE2 split and would diverge on \\x0B-separated
     tokens; pinned by fixture 13 for the non-ASCII part);
+  * COMBINING MARKS adjacent to stopword letters in TEXT columns
+    (r17 unicode corner probe: Java's \\b treats a combining mark as
+    word-internal, RE2's ASCII \\b puts a boundary there — \\ble\\b
+    on 'e<combining acute>le<combining grave>ve' is 0 in Spark, 1 in
+    DuckDB, both measured; RE2 has no lookarounds so Java's boundary
+    is not expressible oracle-side — precomposed forms like 'café'
+    agree and stay in the pool);
   * ASCII control chars / DEL inside JSON STRING VALUES are now FAIR
     GAME (r16: the oracles mirror Spark's measured [\\x00-\\x20\\x7f]
     cast trimAll) — but the PROPS pool keeps them out of TEXT columns
