@@ -1,0 +1,241 @@
+"""Deterministic corner-case gate compares over the fuzz-admitted surface.
+
+The seeded fuzzer (tools/fuzz_differential.py) rolls each table's shape
+independently, so some input classes are never GUARANTEED in any single
+seed: every table empty at once, every nullable cell NULL at once, every
+non-key cell identical, every timestamp pre-epoch / far-future, every
+text cell exotic unicode. Each corner here builds the full ten-table
+directory deterministically in that class and runs the driver-gate
+rows+schema+value-hash compare for every fuzz-admitted entry.
+
+Respects the documented cross-engine frontiers (the fuzzer's docstring
+is the registry): text is NFC-normalized (combining marks flip Java-vs-
+RE2 \\b — the frontier this tool's unicode corner surfaced at r17),
+c_mktsegment stays ASCII (DuckDB levenshtein counts bytes), no NaN, no
+vertical-tab separators, exact-binary money values.
+
+Usage: python tools/corner_gates.py [empty nulls dup pre_epoch far_future unicode]
+Runs all six when no corner is named; exits nonzero on any mismatch.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+import sys
+import tempfile
+import unicodedata
+from datetime import datetime, timedelta
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fuzz_differential import _SCHEMAS, _write, ENTRIES  # noqa: E402
+
+# identity columns stay non-NULL/unique in every corner (table contracts)
+KEYS = {
+    "events": {"event_id"}, "documents": {"doc_id"}, "orders": {"o_orderkey"},
+    "region": {"r_regionkey"}, "nation": {"n_nationkey"},
+    "customer": {"c_custkey"}, "supplier": {"s_suppkey"}, "part": {"p_partkey"},
+    "lineitem": {"l_orderkey", "l_linenumber"}, "embeddings": {"vec_id"},
+}
+
+# one fixed exact-binary value per column for the identical-values corner
+CONST = {
+    "ts": pd.Timestamp("2025-06-15 12:00:00"),
+    "user_id": 7, "event_type": "click", "value": 250.0, "props": '{"k": 3}',
+    "text": "the same text the same text", "lang": "en", "source": "src1",
+    "n_chars": 27,
+    "o_custkey": 7, "o_orderstatus": "O", "o_totalprice": 1250.0,
+    "o_orderdate": pd.Timestamp("2025-06-15"), "o_orderpriority": "1-URGENT",
+    "r_name": "EUROPE", "n_name": "FRANCE", "n_regionkey": 1,
+    "c_name": "Customer#7", "c_nationkey": 1, "c_acctbal": 500.0,
+    "c_mktsegment": "BUILDING",
+    "s_name": "Supplier#7", "s_nationkey": 1, "s_acctbal": 500.0,
+    "p_name": "ivory linen", "p_brand": "Brand#1", "p_type": "PROMO BRUSHED",
+    "p_size": 10, "p_retailprice": 100.0,
+    "l_partkey": 1, "l_suppkey": 1, "l_quantity": 5.0,
+    "l_extendedprice": 800.0, "l_discount": 0.25, "l_tax": 0.0,
+    "l_returnflag": "R", "l_linestatus": "F",
+    "l_shipdate": pd.Timestamp("2025-06-20"),
+    "embedding": [0.5] * 64, "label": 2,
+}
+
+# NFC-normalized exotic text pool for the unicode corner (astral, RTL,
+# CJK, ZWJ — no combining sequences, no \\x0B, per the frontier registry)
+UNI = [unicodedata.normalize("NFC", u) for u in [
+    "\U0001f984 unicorn \U0001f984 gallops",
+    "ab \U00010348 cd \U00010348 ef",
+    "\U0001d518nicode t\U0001d522st words here",
+    "שלום עולם rtl text",
+    "مرحبا بالعالم",
+    "élève tête forêt déjà",
+    "漢字のテスト 中文文本",
+    "ça va très bien üöä",
+    "\U0001f1eb\U0001f1f7 flags \U0001f468‍\U0001f469‍\U0001f467 zwj family",
+    "café ☃ snowman ❤ heart",
+]]
+
+
+def _rand_pool(rng, text_pool, ts_base):
+    """Column -> value callables for the randomized (pre_epoch /
+    far_future / unicode) corners."""
+    def ts():
+        return ts_base + timedelta(
+            seconds=rng.randint(0, 30 * 365 * 86400),
+            microseconds=rng.randint(0, 999999),
+        )
+
+    def txt():
+        return rng.choice(text_pool)
+
+    return {
+        "user_id": lambda: rng.randint(1, 5),
+        "event_type": lambda: rng.choice(
+            ["click", "view", "purchase", "café", None]),
+        "value": lambda: rng.choice([0.0, 25.0, 250.0, 990.0, None]),
+        "props": lambda: rng.choice(['{"k": 1}', "{}", None]),
+        "text": txt,
+        "lang": lambda: rng.choice(["en", "fr", None]),
+        "source": lambda: rng.choice(["src1", "src2"]),
+        "n_chars": lambda: rng.randint(5, 40),
+        "o_custkey": lambda: rng.randint(1, 4),
+        "o_orderstatus": lambda: rng.choice(["O", "F"]),
+        "o_totalprice": lambda: float(rng.randint(10, 5000)),
+        "o_orderpriority": lambda: rng.choice(["1-URGENT", "5-LOW", None]),
+        "r_name": lambda: "EUROPE",
+        "n_name": lambda: "FRANCE",
+        "n_regionkey": lambda: 1,
+        "c_name": txt,
+        "c_nationkey": lambda: 1,
+        "c_acctbal": lambda: float(rng.randint(-500, 500)),
+        # ASCII only: DuckDB levenshtein counts BYTES (documented frontier)
+        "c_mktsegment": lambda: rng.choice(["BUILDING", "AUTOMOBILE"]),
+        "s_name": txt,
+        "s_nationkey": lambda: 1,
+        "s_acctbal": lambda: float(rng.randint(-500, 500)),
+        "p_name": txt,
+        "p_brand": lambda: "Brand#1",
+        "p_type": lambda: rng.choice(["PROMO BRUSHED", "STANDARD POLISHED"]),
+        "p_size": lambda: rng.randint(1, 50),
+        "p_retailprice": lambda: float(rng.randint(10, 2000)),
+        "l_partkey": lambda: rng.randint(1, 6),
+        "l_suppkey": lambda: rng.randint(1, 4),
+        "l_quantity": lambda: float(rng.randint(1, 50)),
+        "l_extendedprice": lambda: float(rng.randint(100, 9000)),
+        "l_discount": lambda: rng.choice([0.0, 0.25, 0.5]),
+        "l_tax": lambda: rng.choice([0.0, 0.25]),
+        "l_returnflag": lambda: rng.choice(["N", "R", "A"]),
+        "l_linestatus": lambda: rng.choice(["O", "F"]),
+        "embedding": lambda: [
+            round(rng.uniform(-2, 2) * 4) / 4 for _ in range(64)],
+        "label": lambda: rng.randint(0, 3),
+        "ts": ts, "o_orderdate": ts, "l_shipdate": ts,
+    }
+
+
+def _build(corner: str) -> str:
+    d = tempfile.mkdtemp(prefix=f"corner_{corner}_")
+    if corner == "empty":
+        for t, sch in _SCHEMAS.items():
+            _write(pd.DataFrame(columns=[f.name for f in sch]), d, t)
+        return d
+
+    n = 4 if corner == "nulls" else 5 if corner == "dup" else 24
+    pool = None
+    if corner == "pre_epoch":
+        pool = _rand_pool(random.Random(20261931),
+                          ["old text here", "more words in rows", None],
+                          datetime(1931, 1, 1))
+    elif corner == "far_future":
+        pool = _rand_pool(random.Random(20262085),
+                          ["old text here", "more words in rows", None],
+                          datetime(2085, 1, 1))
+    elif corner == "unicode":
+        pool = _rand_pool(random.Random(20260016), UNI, datetime(2024, 1, 1))
+
+    for t, sch in _SCHEMAS.items():
+        cols = {}
+        for f in sch:
+            if f.name in KEYS[t]:
+                dtype = "int64" if f.type == pa.int64() else "int32"
+                cols[f.name] = pd.Series(range(1, n + 1), dtype=dtype)
+            elif corner == "nulls":
+                cols[f.name] = pd.Series([None] * n, dtype="object")
+            elif corner == "dup":
+                cols[f.name] = pd.Series([CONST[f.name]] * n, dtype="object")
+            else:
+                vals = [pool[f.name]() for _ in range(n)]
+                if pa.types.is_timestamp(f.type):
+                    cols[f.name] = pd.Series(vals, dtype="datetime64[us]")
+                else:
+                    cols[f.name] = pd.Series(vals, dtype="object")
+        _write(pd.DataFrame(cols), d, t)
+    return d
+
+
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _vhash(df):
+    return hashlib.sha256(
+        df.to_csv(index=False, float_format="%.9g",
+                  na_rep="\x00NULL\x00").encode()
+    ).hexdigest()
+
+
+def main() -> int:
+    corners = sys.argv[1:] or [
+        "empty", "nulls", "dup", "pre_epoch", "far_future", "unicode"]
+    import __spark_entry__ as entrymod
+    from monthly_report_etl_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for corner in corners:
+        d = _build(corner)
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        for t in _SCHEMAS:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        bad = []
+        for name in ENTRIES:
+            try:
+                s = _canon(queries[name](spark, d).toPandas())
+                o = _canon(con.execute(oracles[name]).fetchdf())
+                for c in s.columns:
+                    if c in o.columns and s[c].dtype != o[c].dtype:
+                        try:
+                            o[c] = o[c].astype(s[c].dtype)
+                        except Exception:
+                            pass
+                if not (len(s) == len(o)
+                        and list(s.columns) == list(o.columns)
+                        and _vhash(s) == _vhash(o)):
+                    bad.append(name)
+                    print(f"{corner} BAD {name}: spark={len(s)} "
+                          f"oracle={len(o)}", flush=True)
+            except Exception as exc:
+                bad.append(name)
+                print(f"{corner} ERROR {name}: {type(exc).__name__}: "
+                      f"{str(exc)[:160]}", flush=True)
+        con.close()
+        print(f"{corner}: {len(ENTRIES) - len(bad)}/{len(ENTRIES)} ok; "
+              f"bad: {bad}", flush=True)
+        failures += len(bad)
+    print(f"TOTAL corners={len(corners)} failures={failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
