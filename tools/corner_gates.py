@@ -14,8 +14,10 @@ RE2 \\b — the frontier this tool's unicode corner surfaced at r17),
 c_mktsegment stays ASCII (DuckDB levenshtein counts bytes), no NaN, no
 vertical-tab separators, exact-binary money values.
 
-Usage: python tools/corner_gates.py [empty nulls dup pre_epoch far_future unicode]
-Runs all six when no corner is named; exits nonzero on any mismatch.
+Usage: python tools/corner_gates.py [empty nulls dup single pre_epoch far_future unicode]
+Runs all seven when no corner is named; exits nonzero on any mismatch.
+(`single` = exactly one row per table: singleton windows, LAG/LEAD over
+one row, one-point percentiles, a one-vector corpus.)
 """
 from __future__ import annotations
 
@@ -145,7 +147,8 @@ def _build(corner: str) -> str:
             _write(pd.DataFrame(columns=[f.name for f in sch]), d, t)
         return d
 
-    n = 4 if corner == "nulls" else 5 if corner == "dup" else 24
+    n = (4 if corner == "nulls" else 5 if corner == "dup"
+         else 1 if corner == "single" else 24)
     pool = None
     if corner == "pre_epoch":
         pool = _rand_pool(random.Random(20261931),
@@ -166,7 +169,7 @@ def _build(corner: str) -> str:
                 cols[f.name] = pd.Series(range(1, n + 1), dtype=dtype)
             elif corner == "nulls":
                 cols[f.name] = pd.Series([None] * n, dtype="object")
-            elif corner == "dup":
+            elif corner in ("dup", "single"):
                 cols[f.name] = pd.Series([CONST[f.name]] * n, dtype="object")
             else:
                 vals = [pool[f.name]() for _ in range(n)]
@@ -192,7 +195,8 @@ def _vhash(df):
 
 def main() -> int:
     corners = sys.argv[1:] or [
-        "empty", "nulls", "dup", "pre_epoch", "far_future", "unicode"]
+        "empty", "nulls", "dup", "single", "pre_epoch", "far_future",
+        "unicode"]
     import __spark_entry__ as entrymod
     from monthly_report_etl_spark.session import get_spark
 
