@@ -440,7 +440,14 @@ def main() -> None:
         "streaming_input_rows": streaming["input_rows"],
         "reps": REPS,
         "sf": sf,
-        "host": host,
+        # compact carries only two host SCALARS (code-review r17): the
+        # full host dict pushed this line to 2055 chars, past the
+        # driver's ~2000-char stdout tail capture — re-truncating the
+        # headline metric out of the BENCH artifact, the exact
+        # regression the compact line exists to prevent (VERDICT r7
+        # #3). Full probes live in the full JSON + bench_results.json.
+        "host_load1_pre": host["pre"]["load1"],
+        "host_java_pre": host["pre"]["java_procs"],
         "detail": "bench_results.json (committed copy of artifacts/bench_results.json)",
     }
     print(json.dumps(compact, separators=(",", ":")))

@@ -1954,10 +1954,14 @@ def pca_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical nonzero vectors leaves sum(cen2) tiny-but-nonzero
     # (mu = s/n rounding, ~1e-32 of the raw energy), where the EVR
     # ratio is pure noise but the variance is still fully "explained".
+    # 1e-24 (code-review r17, tightened from 1e-12): far above the
+    # ~1e-32 noise floor, far below real structure — variation at
+    # relative amplitude 1e-7 gives cen2/nrm2 ~ 1e-14 and is still
+    # MEASURED, where 1e-12 would have vacuously passed it.
     flags = proj.agg(
         F.when(
             F.coalesce(F.sum("cen2"), F.lit(0.0))
-            <= 1e-12 * F.coalesce(F.sum("nrm2"), F.lit(0.0)),
+            <= 1e-24 * F.coalesce(F.sum("nrm2"), F.lit(0.0)),
             F.lit(True),
         )
         .otherwise(

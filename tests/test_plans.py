@@ -425,6 +425,22 @@ def test_driver_window_rotated_from_last_round():
             f"set differs from the declared window — the driver checked a "
             f"different cohort than this list declares"
         )
+        # Known trade-off (code-review r17): in this state the guard
+        # cannot distinguish "round just closed" from "next round's
+        # rotation forgotten" — a forgotten rotation now hard-fails only
+        # AFTER the wasted re-run (the 'beyond' assertion below), where
+        # the pre-r17 guard failed before it (at the cost of being red
+        # across every round boundary). Surface the pending obligation
+        # as a warning so the round-start receipt isn't silent.
+        import warnings
+
+        warnings.warn(
+            f"round {_DRIVER_WINDOW_ROUND} is closed "
+            f"(CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json exists): rotate "
+            f"_DRIVER_WINDOW_PRIORITY and bump _DRIVER_WINDOW_ROUND as the "
+            f"FIRST commit of round {_DRIVER_WINDOW_ROUND + 1}",
+            stacklevel=1,
+        )
     beyond = [n for n in rounds if n > _DRIVER_WINDOW_ROUND]
     assert not beyond, (
         f"CORRECTNESS rounds {sorted(beyond)} exist beyond "
@@ -1025,7 +1041,10 @@ def test_timeline_null_filters_push_to_scan(spark):
     plan = _plan(QUERIES["asof_join"](spark, "/root/testdata/sf0.001"))
     pushed = _lines(plan, "PushedFilters")
     assert pushed, plan
-    assert any("IsNotNull(ts)" in ln for ln in pushed), plan
+    # all(), not any() (code-review r17): asof_join reads ONLY the
+    # filtered events table, so every scan must carry the conjunct — a
+    # future second scan that loses the pushdown must fail here
+    assert all("IsNotNull(ts)" in ln for ln in pushed), plan
 
     plan = _plan(QUERIES["recursive_order_chains"](spark, "/root/testdata/sf0.001"))
     pushed = _lines(plan, "PushedFilters")

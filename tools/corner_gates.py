@@ -21,7 +21,6 @@ one row, one-point percentiles, a one-vector corpus.)
 """
 from __future__ import annotations
 
-import hashlib
 import os
 import random
 import sys
@@ -36,7 +35,12 @@ import pyarrow as pa
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fuzz_differential import _SCHEMAS, _write, ENTRIES  # noqa: E402
+from fuzz_differential import (  # noqa: E402
+    _SCHEMAS,
+    _write,
+    ENTRIES,
+    gate_once,
+)
 
 # identity columns stay non-NULL/unique in every corner (table contracts)
 KEYS = {
@@ -52,7 +56,11 @@ CONST = {
     "user_id": 7, "event_type": "click", "value": 250.0, "props": '{"k": 3}',
     "text": "the same text the same text", "lang": "en", "source": "src1",
     "n_chars": 27,
-    "o_custkey": 7, "o_orderstatus": "O", "o_totalprice": 1250.0,
+    # o_custkey references customer key 1 (code-review r17: the corner
+    # previously used 7 while customer keys run 1..n, so every
+    # orders-to-customer join produced unmatched rows on both engines
+    # and the tie coverage never crossed those joins)
+    "o_custkey": 1, "o_orderstatus": "O", "o_totalprice": 1250.0,
     "o_orderdate": pd.Timestamp("2025-06-15"), "o_orderpriority": "1-URGENT",
     "r_name": "EUROPE", "n_name": "FRANCE", "n_regionkey": 1,
     "c_name": "Customer#7", "c_nationkey": 1, "c_acctbal": 500.0,
@@ -181,18 +189,6 @@ def _build(corner: str) -> str:
     return d
 
 
-def _canon(df):
-    df = df[sorted(df.columns)]
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
-def _vhash(df):
-    return hashlib.sha256(
-        df.to_csv(index=False, float_format="%.9g",
-                  na_rep="\x00NULL\x00").encode()
-    ).hexdigest()
-
-
 def main() -> int:
     corners = sys.argv[1:] or [
         "empty", "nulls", "dup", "single", "pre_epoch", "far_future",
@@ -215,24 +211,33 @@ def main() -> int:
         bad = []
         for name in ENTRIES:
             try:
-                s = _canon(queries[name](spark, d).toPandas())
-                o = _canon(con.execute(oracles[name]).fetchdf())
-                for c in s.columns:
-                    if c in o.columns and s[c].dtype != o[c].dtype:
-                        try:
-                            o[c] = o[c].astype(s[c].dtype)
-                        except Exception:
-                            pass
-                if not (len(s) == len(o)
-                        and list(s.columns) == list(o.columns)
-                        and _vhash(s) == _vhash(o)):
-                    bad.append(name)
-                    print(f"{corner} BAD {name}: spark={len(s)} "
-                          f"oracle={len(o)}", flush=True)
+                ok, sf_, of_ = gate_once(
+                    spark, con, queries, oracles, name, d)
             except Exception as exc:
                 bad.append(name)
                 print(f"{corner} ERROR {name}: {type(exc).__name__}: "
                       f"{str(exc)[:160]}", flush=True)
+                continue
+            if not ok:
+                # retry once (the fuzzer's transient protocol): the
+                # tables are deterministic, so a REAL divergence
+                # reproduces — a mismatch that vanishes on immediate
+                # re-execution is an engine flake, logged but not fatal
+                try:
+                    ok2, _, _ = gate_once(
+                        spark, con, queries, oracles, name, d)
+                except Exception:
+                    ok2 = False
+                if ok2:
+                    print(f"{corner} TRANSIENT {name} (first run "
+                          f"spark={len(sf_)} oracle={len(of_)}, retry "
+                          f"agrees) — engine flake, not a divergence",
+                          flush=True)
+                else:
+                    bad.append(name)
+                    print(f"{corner} BAD {name}: spark={len(sf_)} "
+                          f"oracle={len(of_)} (persists on retry)",
+                          flush=True)
         con.close()
         print(f"{corner}: {len(ENTRIES) - len(bad)}/{len(ENTRIES)} ok; "
               f"bad: {bad}", flush=True)

@@ -604,6 +604,42 @@ assert len(ENTRIES) == len(set(ENTRIES)), sorted(
 )
 
 
+# Shared gate-compare primitives (hoisted at r17 — code-review: a third
+# copy of canon/vhash was accreting in tools/corner_gates.py, and the
+# r16 na_rep sentinel fix already had to land in two places).
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def vhash(df):
+    # na_rep sentinel (r16, finding 35's lesson): plain to_csv renders
+    # BOTH NULL and '' as an empty field, so a NULL-vs-empty-string
+    # divergence hashes equal and slips through — the split_part
+    # divergence was invisible to every hash compare. The sentinel
+    # makes NULL hash differently from ''.
+    return hashlib.sha256(
+        df.to_csv(index=False, float_format="%.9g",
+                  na_rep="\x00NULL\x00").encode()
+    ).hexdigest()
+
+
+def gate_once(spark, con, queries, oracles, name, sf_dir):
+    """One driver-gate compare: (ok, spark_frame, oracle_frame)."""
+    s = canon(queries[name](spark, sf_dir).toPandas())
+    o = canon(con.execute(oracles[name]).fetchdf())
+    for c in s.columns:
+        if c in o.columns and s[c].dtype != o[c].dtype:
+            try:
+                o[c] = o[c].astype(s[c].dtype)
+            except Exception:
+                pass
+    ok = (len(s) == len(o)
+          and list(s.columns) == list(o.columns)
+          and vhash(s) == vhash(o))
+    return ok, s, o
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     start = int(sys.argv[2]) if len(sys.argv) > 2 else 20260815
@@ -612,21 +648,6 @@ def main() -> int:
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     oracles, queries = entrymod.oracle_sql(), entrymod.queries()
-
-    def canon(df):
-        df = df[sorted(df.columns)]
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-    def vhash(df):
-        # na_rep sentinel (r16, finding 35's lesson): plain to_csv
-        # renders BOTH NULL and '' as an empty field, so a NULL-vs-
-        # empty-string divergence hashes equal and slips through — the
-        # split_part divergence was invisible to every hash compare.
-        # The sentinel makes NULL hash differently from ''.
-        return hashlib.sha256(
-            df.to_csv(index=False, float_format="%.9g",
-                      na_rep="\x00NULL\x00").encode()
-        ).hexdigest()
 
     failures = 0
     for seed in range(start, start + n_seeds):
@@ -642,18 +663,7 @@ def main() -> int:
         seed_bad = 0
 
         def run_once(name):
-            s = canon(queries[name](spark, d).toPandas())
-            o = canon(con.execute(oracles[name]).fetchdf())
-            for c in s.columns:
-                if c in o.columns and s[c].dtype != o[c].dtype:
-                    try:
-                        o[c] = o[c].astype(s[c].dtype)
-                    except Exception:
-                        pass
-            ok = (len(s) == len(o)
-                  and list(s.columns) == list(o.columns)
-                  and vhash(s) == vhash(o))
-            return ok, s, o
+            return gate_once(spark, con, queries, oracles, name, d)
 
         for name in ENTRIES:
             try:
