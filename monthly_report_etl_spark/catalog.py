@@ -1408,118 +1408,100 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r17 recomputation (latest GREEN round per entry across r1-r16):
-# r16-latest: 50 entries (the executed late rotation), r15-latest: 50,
-# r13-latest: 48, nothing older, nothing never-green. Window THIS
-# round = the pre-stated r17 plan (COVERAGE.md, recomputed and
-# confirmed byte-identical here): the full 48-entry r13-latest cohort
-# — now 3 rounds stale at the hard driver signal, the planned cost of
-# executing the missed r15 rotation one round late — plus the two
-# pre-assigned slack riders olap_yearly_growth (NULL-year fix landed
-# r16, receipts rode r16) and olap_cheapest_supplier (NULLS-LAST
-# isNull-flag struct landed r16, receipts rode r16). 48 + 2 = 50
-# exactly. This window delivers every queued post-change fresh row:
-# the flagship exports_report_events + json_variant_extract (r16
-# control-char trimAll oracle fix), multimodal_audio_rms (r16
-# byte-exact unicode oracle rebuild), stats_moments_group + stats_corr
-# (r16 negative-zero canonicalization), olap_supplier_part_types (r16
-# NULL-suppkey phantom-group scan filter), string_funcs_customer (r16
-# split_part NULL-propagation oracle fix), and both slack riders.
-#
-# Changes applied THIS round (r17) under the displacement rule — the
-# five pre-stated boundary fixes from the r16 fuzz continuation, all
-# on entries IN or OUT of this window as noted:
-#   * recursive_order_chains (r15-latest, NOT due): NULL-order-date
-#     phantom chain — WHERE o_orderdate IS NOT NULL in the shared
-#     adjacency template, both engines. Fresh row r18 with its cohort.
-#   * asof_join (r15-latest, NOT due): NULL-ts rows filtered both
-#     sides (Spark sorts NULLS FIRST, DuckDB ASOF NULLS LAST — the
-#     NULL-event-time convention class). Fresh row r18.
-#   * grouping_sets_orders (r15-latest, NOT due): empty-input
-#     convention mirrored with HAVING count(*) > 0, matching the
-#     rollup/cube twins fixed in-window at r16. Fresh row r18.
-#   * embeddings_pq (r15-latest, NOT due): empty/all-zero-corpus
-#     transform split (the embeddings_pca twin landed r16 in-window).
-#     Fresh row r18.
-#   * sketch_partial_merge (r15-latest, NOT due): empty-orders
-#     'ALL'-row fix — ranks join made LEFT so the global row survives
-#     an empty ranks side. Fresh row r18.
-# Plus the two signed-zero canonicalizations (array_functions
-# first_doubled, percentiles_exact ROUNDs — both r15-latest, NOT due,
-# fresh rows r18). All seven re-admitted to the fuzzer this round;
-# the pending-fix exclusion list at tools/fuzz_differential.py ends
-# the round EMPTY (only permanent rationale-carrying exclusions
-# remain). Receipts for all seven: fixture probes + full-148 hand
-# sweep + fuzz dry batches on HEAD.
+# r18 recomputation (latest GREEN round per entry across r1-r17,
+# tools/rotation_report.py on the committed history): r17-latest: 50
+# (the executed r17 rotation, 50/50 green), r16-latest: 50,
+# r15-latest: 48, nothing older, nothing never-green — max staleness
+# entering this round is 3 (the r15 cohort), the pre-stated mortgage.
+# Window THIS round = the r18 plan pre-stated verbatim at r17
+# (COVERAGE.md window note; recomputed here and confirmed identical):
+# the full 48-entry r15-latest cohort — every name matches
+# rotation_report's due list 1:1 — plus two slack slots:
+#   * slack #1 (pre-assigned at r17): embeddings_pca — late-r17
+#     receipts rider; its degenerate explained-variance epsilon was
+#     tightened 1e-12 → 1e-24 in the r17 self-review AFTER its r16
+#     driver row, so the post-change hard signal lands here.
+#   * slack #2 (policy: no further late-r17 rider exists, so the
+#     stalest r16-latest entry): all 50 r16-latest entries tie at
+#     prior-green r12, so staleness alone cannot rank them; the
+#     pre-stated tiebreak is lexicographic first → corpus_bigram_top
+#     (prior green r12, i.e. 4 rounds between hard signals before
+#     this refresh — the widest gap in the r16 cohort).
+# 48 + 2 = 50 exactly. This window delivers the post-change driver
+# rows for ALL SEVEN r17 boundary fixes (asof_join,
+# recursive_order_chains, grouping_sets_orders, embeddings_pq,
+# sketch_partial_merge, percentiles_exact, array_functions — each in
+# the due 48) plus the pca epsilon rider. The flagship
+# exports_report_events is r17-fresh and therefore NOT in this
+# window; ``entry()`` references it by name directly, so the smoke
+# check is unaffected by its window position.
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list (and
 # _DRIVER_WINDOW_ROUND below) against the committed CORRECTNESS
-# history — a forgotten rotation fails pytest, and (new this round,
-# VERDICT r16 wrong #1) the guard is state-aware: when the driver has
-# already written CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json (round just
-# closed), equality with THAT file is the expected success state, not
-# a missed rotation.
+# history — a forgotten rotation fails pytest; the guard is
+# state-aware (round-closed state warns instead of fails), and since
+# r18 tools/rotation_report.py prints a ROTATE-DUE line in that state
+# so the obligation is visible to the receipt workflow (ADVICE r17).
 
 # The round this window was declared FOR. Bump in the same commit that
 # rotates _DRIVER_WINDOW_PRIORITY — the rotation guard derives its
 # expectations from this constant.
-_DRIVER_WINDOW_ROUND = 17
+_DRIVER_WINDOW_ROUND = 18
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- flagship first (entry() references it by name) --
-    "exports_report_events",
-    # -- r13-latest cohort: the remaining 47, pre-stated at r16 --
-    "corpus_chunk_documents_udtf",
-    "corpus_feature_hashing",
-    "corpus_incremental_ingest_bloom",
-    "corpus_incremental_ingest_bucketed",
-    "corpus_incremental_ingest_neardup",
-    "corpus_length_buckets",
-    "corpus_normalize_dedup",
-    "corpus_pii_flags",
-    "corpus_repetition_stats",
-    "corpus_source_lang_rollup",
-    "corpus_train_val_test_split",
-    "dq_violations",
-    "events_retention_cohort",
-    "islands_active_months",
-    "join_hints_shuffle_hash",
-    "json_variant_extract",
-    "multimodal_audio_rms",
-    "olap_disjunctive_brackets",
-    "olap_dominant_supplier",
-    "olap_dormant_rich_customers",
-    "olap_forecast_revenue",
-    "olap_important_stock",
-    "olap_large_orders",
-    "olap_local_supplier_volume",
-    "olap_order_count_distribution",
-    "olap_order_priority_semijoin",
-    "olap_priority_linecount",
-    "olap_promo_revenue",
-    "olap_regional_revenue",
-    "olap_returned_items",
-    "olap_shipping_priority",
-    "olap_small_quantity_avg",
-    "olap_supplier_part_types",
-    "olap_top_revenue_supplier",
-    "posexplode_tokens",
-    "scd2_history",
-    "sketch_count_min",
-    "stats_corr",
-    "stats_moments_group",
-    "string_funcs_customer",
-    "text_c4_filter",
-    "text_lang_mismatch",
-    "text_unigram_logprob",
-    "unpivot_part",
-    "upsert_full_outer",
-    "window_distribution",
-    "window_fill_forward",
-    # -- slack slots: the two r16 receipts riders (one-round cap) --
-    "olap_yearly_growth",
-    "olap_cheapest_supplier",
+    # -- r15-latest cohort: all 48, pre-stated at r17 (COVERAGE.md) --
+    "approx_aggregates",
+    "array_functions",
+    "asof_join",
+    "calendar_spine_monthly",
+    "case_classifier",
+    "collect_types_sorted",
+    "corpus_bpe_train_merges",
+    "corpus_decontaminate",
+    "corpus_incremental_ingest",
+    "corpus_incremental_ingest_neardup_bucketed",
+    "corpus_length_trim",
+    "corpus_mix_weights",
+    "corpus_ngram_novelty",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_ranged",
+    "date_funcs_extended",
+    "dedup_canonical_selection",
+    "dedup_duplicate_spans",
+    "dedup_semdedup",
+    "dedup_semdedup_exact",
+    "dedup_semdedup_kmeans",
+    "distinct_event_types",
+    "embeddings_pq",
+    "events_last_touch_attribution",
+    "exact_distinct_bounds",
+    "exists_over_array",
+    "filter_project_window",
+    "filtered_agg_orders",
+    "grouping_sets_orders",
+    "jsonl_roundtrip_docs",
+    "lookup_enrich_broadcast",
+    "map_functions",
+    "month_membership_filter",
+    "null_profile_orders",
+    "olap_last_shipper",
+    "olap_market_share",
+    "olap_nation_pair_volume",
+    "olap_product_profit",
+    "order_nulls_handling",
+    "percentiles_exact",
+    "range_join_bucketized",
+    "recursive_order_chains",
+    "salted_join",
+    "semi_anti_join",
+    "sketch_partial_merge",
+    "streaming_interval_join_batch",
+    "window_family",
+    "window_range_frame",
+    # -- slack slots (policy + tiebreak documented above) --
+    "embeddings_pca",
+    "corpus_bigram_top",
 ]
 
 
