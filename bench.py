@@ -314,6 +314,13 @@ def _host_probe() -> dict:
         la1, la5, la15 = os.getloadavg()
     except OSError:  # pragma: no cover - non-POSIX
         la1 = la5 = la15 = -1.0
+    def _ppid(pid: int) -> int:
+        # field 4 of /proc/<pid>/stat; comm (field 2) may contain spaces
+        # or parens, so parse from the LAST ')'
+        with open(f"/proc/{pid}/stat") as f:
+            stat = f.read()
+        return int(stat[stat.rindex(")") + 2:].split()[1])
+
     stray_java = 0
     try:
         me = os.getpid()
@@ -322,9 +329,24 @@ def _host_probe() -> dict:
                 continue
             try:
                 with open(f"/proc/{pid}/comm") as f:
-                    if f.read().strip() == "java":
-                        stray_java += 1
-            except OSError:
+                    if f.read().strip() != "java":
+                        continue
+                # ADVICE r17: the probe's purpose is FOREIGN JVMs, but
+                # the 'post' snapshot runs while our own Spark JVM is
+                # alive — walk the ppid chain and skip our descendants
+                # so post.java_procs doesn't carry a standing false
+                # positive (bounded walk: init is pid 1, ppid 0)
+                p, own = int(pid), False
+                for _ in range(64):
+                    if p == me:
+                        own = True
+                        break
+                    if p <= 1:
+                        break
+                    p = _ppid(p)
+                if not own:
+                    stray_java += 1
+            except (OSError, ValueError):
                 continue
     except OSError:  # pragma: no cover - no /proc
         stray_java = -1

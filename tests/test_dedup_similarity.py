@@ -895,7 +895,8 @@ def test_identical_nonzero_corpus_explained_variance_vacuous(spark, tmp_path):
     sum(cen2) tiny-but-nonzero (mu = s/n rounding), where the EVR ratio
     1 - res2/cen2 is pure float noise while the oracle asserts literal
     TRUE. The degenerate branch is a RELATIVE epsilon
-    (sum(cen2) <= 1e-12 * sum(nrm2)), so the flag must be TRUE here —
+    (sum(cen2) <= eps_rel * sum(nrm2), similarity.py pca_checked — 1e-24
+    since the r17 self-review tightening), so the flag must be TRUE here —
     the variance is fully 'explained' because there is none."""
     import numpy as np
     import pandas as pd

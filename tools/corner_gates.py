@@ -214,9 +214,24 @@ def main() -> int:
                 ok, sf_, of_ = gate_once(
                     spark, con, queries, oracles, name, d)
             except Exception as exc:
-                bad.append(name)
-                print(f"{corner} ERROR {name}: {type(exc).__name__}: "
-                      f"{str(exc)[:160]}", flush=True)
+                # ADVICE r17: a first-execution exception is the same
+                # transient-flake class as a first-execution mismatch —
+                # apply the identical retry-once protocol (deterministic
+                # tables: a REAL failure reproduces) before counting it.
+                try:
+                    ok2, _, _ = gate_once(
+                        spark, con, queries, oracles, name, d)
+                except Exception:
+                    ok2 = False
+                if ok2:
+                    print(f"{corner} TRANSIENT {name} (first run raised "
+                          f"{type(exc).__name__}, retry agrees) — engine "
+                          f"flake, not a divergence", flush=True)
+                else:
+                    bad.append(name)
+                    print(f"{corner} ERROR {name}: {type(exc).__name__}: "
+                          f"{str(exc)[:160]} (persists on retry)",
+                          flush=True)
                 continue
             if not ok:
                 # retry once (the fuzzer's transient protocol): the
