@@ -1398,7 +1398,21 @@ SELECT o_orderpriority,
        -- sign-preserving ROUND while Spark's BigDecimal round yields
        -- +0.0; stddev/variance are non-negative by construction
        ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) + 0.0 AS corr_price_cust,
-       ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) + 0.0 AS covar_pc,
+       -- relative-epsilon zero clamp (r18, found by the negatives
+       -- corner gate): at operand magnitude ~2^60 a TRUE-zero
+       -- covariance comes back as catastrophic-cancellation noise of
+       -- arbitrary SIGN (~1e-17 relative; Spark +16.0, DuckDB -16.0 on
+       -- the corner tables) that ROUND(,4) cannot canonicalize.
+       -- |cov| <= 1e-9 * sd_x * sd_y is |corr| <= 1e-9 — statistically
+       -- zero under the same 6-decimal convention corr itself rounds
+       -- to — so both engines clamp it to exact 0.0; real covariances
+       -- sit many orders above the bound
+       CASE WHEN abs(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)))
+                 <= 1e-9 * stddev_samp(o_totalprice)
+                         * stddev_samp(CAST(o_custkey AS DOUBLE))
+            THEN 0.0
+            ELSE ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) + 0.0
+       END AS covar_pc,
        ROUND(stddev_samp(o_totalprice), 4) AS sd_price,
        ROUND(var_samp(o_totalprice), 4) AS var_price
 FROM orders GROUP BY o_orderpriority
@@ -1411,9 +1425,16 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines use sample (n-1) semantics for the _samp forms."""
     o = _t(spark, sf_dir, "orders")
     ck = F.col("o_custkey").cast("double")
+    cov = F.covar_samp("o_totalprice", ck)
+    # relative-epsilon zero clamp, mirrored in the oracle (r18 negatives
+    # corner): cancellation noise around a true-zero covariance carries
+    # an engine-dependent sign at extreme operand magnitude
+    sd_prod = F.stddev_samp("o_totalprice") * F.stddev_samp(ck)
     return o.groupBy("o_orderpriority").agg(
         F.round(F.corr("o_totalprice", ck), 6).alias("corr_price_cust"),
-        F.round(F.covar_samp("o_totalprice", ck), 4).alias("covar_pc"),
+        F.when(F.abs(cov) <= 1e-9 * sd_prod, F.lit(0.0))
+        .otherwise(F.round(cov, 4))
+        .alias("covar_pc"),
         F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
         F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
     )

@@ -5510,3 +5510,65 @@ def test_combining_mark_word_boundary_frontier(spark):
     ).fetchone()[0]
     assert dd_comb == 1, dd_comb  # RE2: boundary at the mark
     assert dd_pre == 0, dd_pre
+
+
+def test_covar_cancellation_zero_clamp_extreme_magnitude(spark, tmp_path):
+    """Twentieth fixture — the r18 negatives-corner finding: at operand
+    magnitude ~2^60, a covariance whose TRUE value is zero comes back as
+    catastrophic-cancellation noise with an ENGINE-DEPENDENT SIGN (the
+    corner tables measured Spark +16.0 vs DuckDB -16.0), which
+    ROUND(,4) cannot canonicalize. stats_corr clamps covar_pc to exact
+    0.0 when |cov| <= 1e-9 * sd_x * sd_y (i.e. |corr| <= 1e-9 — already
+    statistically zero under the 6-decimal corr convention); a genuinely
+    correlated group at the SAME magnitude must pass through unclamped.
+    Values are exact powers of two so every sum is exact in binary."""
+    import math
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from monthly_report_etl_spark.catalog import QUERIES
+    from tools.fuzz_differential import _write
+
+    d = str(tmp_path / "covar_clamp")
+    os.makedirs(d, exist_ok=True)
+
+    big, half = -(2.0 ** 60), -(2.0 ** 59)
+    dt = pd.Timestamp("2024-03-01")
+    od = pd.DataFrame(
+        [
+            # 1-URGENT: custkey {1,3} x price {big,half} fully crossed —
+            # true covariance EXACTLY zero, computed value pure noise
+            (1, 1, "O", big, dt, "1-URGENT"),
+            (2, 3, "O", big, dt, "1-URGENT"),
+            (3, 1, "O", half, dt, "1-URGENT"),
+            (4, 3, "O", half, dt, "1-URGENT"),
+            # 5-LOW: price strictly decreasing in custkey — corr == -1,
+            # |cov| huge relative to the clamp bound: must NOT clamp
+            (5, 1, "F", -1 * 2.0 ** 57, dt, "5-LOW"),
+            (6, 2, "F", -2 * 2.0 ** 57, dt, "5-LOW"),
+            (7, 3, "F", -3 * 2.0 ** 57, dt, "5-LOW"),
+            (8, 4, "F", -4 * 2.0 ** 57, dt, "5-LOW"),
+        ],
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    od["o_orderdate"] = od["o_orderdate"].astype("datetime64[us]")
+    _write(od, d, "orders")
+
+    rows = {r["o_orderpriority"]: r
+            for r in QUERIES["stats_corr"](spark, d).collect()}
+    urgent = rows["1-URGENT"]
+    assert urgent["covar_pc"] == 0.0, urgent
+    assert math.copysign(1.0, urgent["covar_pc"]) == 1.0, urgent
+    low = rows["5-LOW"]
+    assert low["corr_price_cust"] == -1.0, low
+    assert low["covar_pc"] < -(2.0 ** 56), low  # unclamped, genuinely big
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+    )
+    _gate_compare(spark, con, d, ["stats_corr"])

@@ -14,10 +14,20 @@ RE2 \\b — the frontier this tool's unicode corner surfaced at r17),
 c_mktsegment stays ASCII (DuckDB levenshtein counts bytes), no NaN, no
 vertical-tab separators, exact-binary money values.
 
-Usage: python tools/corner_gates.py [empty nulls dup single pre_epoch far_future unicode]
-Runs all seven when no corner is named; exits nonzero on any mismatch.
+Usage: python tools/corner_gates.py [empty nulls dup single pre_epoch
+far_future unicode negatives maxtext]
+Runs all nine when no corner is named; exits nonzero on any mismatch.
 (`single` = exactly one row per table: singleton windows, LAG/LEAD over
-one row, one-point percentiles, a one-vector corpus.)
+one row, one-point percentiles, a one-vector corpus. `negatives` = every
+non-FK numeric negative at extreme magnitude — money/value columns drawn
+from exact powers of two around 2^57..2^60 (and events.value around
+2^338..2^340, where a square overflows to inf) so per-column sums stay
+EXACT and order-independent while magnitudes sit far outside the normal
+pools; FK columns keep valid positive keys so join coverage survives
+(the r17 identical-values lesson). `maxtext` = every text cell either a
+single character (ASCII, Latin-1, CJK) or a multi-KB string, including a
+multi-byte long string — NFC, no combining marks, per the frontier
+registry.)
 """
 from __future__ import annotations
 
@@ -148,6 +158,54 @@ def _rand_pool(rng, text_pool, ts_base):
     }
 
 
+# maxtext pool: multi-KB strings (ASCII and multi-byte) + single chars.
+# NFC-safe, no combining sequences, no vertical tabs.
+_LONG_ASCII = "the quick brown fox jumps over the lazy dog " * 180   # ~8.1 KB
+_LONG_ASCII2 = "data pipeline spark shuffle partition rows " * 190   # ~8.2 KB
+_LONG_MULTI = unicodedata.normalize("NFC", "é字ü ω végül 漢字 ") * 500
+MAXTEXT = [_LONG_ASCII, _LONG_ASCII2, _LONG_MULTI, "x", "é", "字", "0", None]
+
+
+def _neg_pool(rng):
+    """All-negative / extreme-magnitude numeric pools. Values are exact
+    powers of two (times exact quarters where a rate column needs a
+    fraction) within a <=3-bit mantissa span per column, so every sum a
+    query takes is EXACT in binary and order-independent — the same
+    exact-binary-money discipline as the fuzzer, at ~1e17-1e102 scale.
+    FK columns (o_custkey, l_partkey, l_suppkey, *_nationkey,
+    n_regionkey) keep their valid positive ranges."""
+    pool = _rand_pool(
+        rng, ["negative numbers here", "more words in rows", None],
+        datetime(2024, 1, 1))
+    big = [-(2.0 ** 60), -(2.0 ** 59), -(2.0 ** 58), -(2.0 ** 57)]
+    huge = [-(2.0 ** 340), -(2.0 ** 339), -(2.0 ** 338)]  # square -> inf
+    qty = [-(2.0 ** 40), -(2.0 ** 39), -(2.0 ** 38)]
+
+    def pick(opts):
+        return lambda: rng.choice(opts)
+
+    pool.update({
+        # events.value gets the near-overflow family: any squaring path
+        # goes inf on BOTH engines; sums/avgs stay exact and finite
+        "value": pick(huge + [None]),
+        "o_totalprice": pick(big),
+        "c_acctbal": pick(big),
+        "s_acctbal": pick(big),
+        "p_retailprice": pick(big),
+        "l_quantity": pick(qty),
+        "l_extendedprice": pick(big),
+        "l_discount": pick([-0.25, -0.5]),
+        "l_tax": pick([-0.25, -0.5]),
+        "n_chars": lambda: -rng.randint(5, 40),
+        "p_size": lambda: -rng.randint(1, 50),
+        "user_id": lambda: -rng.randint(1, 5),
+        "label": lambda: -rng.randint(0, 3),
+        "embedding": lambda: [
+            -(round(rng.uniform(0.25, 2) * 4) / 4) for _ in range(64)],
+    })
+    return pool
+
+
 def _build(corner: str) -> str:
     d = tempfile.mkdtemp(prefix=f"corner_{corner}_")
     if corner == "empty":
@@ -168,6 +226,11 @@ def _build(corner: str) -> str:
                           datetime(2085, 1, 1))
     elif corner == "unicode":
         pool = _rand_pool(random.Random(20260016), UNI, datetime(2024, 1, 1))
+    elif corner == "negatives":
+        pool = _neg_pool(random.Random(20260018))
+    elif corner == "maxtext":
+        pool = _rand_pool(random.Random(20268192), MAXTEXT,
+                          datetime(2024, 1, 1))
 
     for t, sch in _SCHEMAS.items():
         cols = {}
@@ -192,7 +255,7 @@ def _build(corner: str) -> str:
 def main() -> int:
     corners = sys.argv[1:] or [
         "empty", "nulls", "dup", "single", "pre_epoch", "far_future",
-        "unicode"]
+        "unicode", "negatives", "maxtext"]
     import __spark_entry__ as entrymod
     from monthly_report_etl_spark.session import get_spark
 
