@@ -21,7 +21,8 @@ Runs all nine when no corner is named; exits nonzero on any mismatch.
 one row, one-point percentiles, a one-vector corpus. `negatives` = every
 non-FK numeric negative at extreme magnitude — money/value columns drawn
 from exact powers of two around 2^57..2^60 (and events.value around
-2^338..2^340, where a square overflows to inf) so per-column sums stay
+2^338..2^340: squares stay finite at ~2^680 but any fourth-moment path
+overflows to inf identically on both engines) so per-column sums stay
 EXACT and order-independent while magnitudes sit far outside the normal
 pools; FK columns keep valid positive keys so join coverage survives
 (the r17 identical-values lesson). `maxtext` = every text cell either a
@@ -178,7 +179,8 @@ def _neg_pool(rng):
         rng, ["negative numbers here", "more words in rows", None],
         datetime(2024, 1, 1))
     big = [-(2.0 ** 60), -(2.0 ** 59), -(2.0 ** 58), -(2.0 ** 57)]
-    huge = [-(2.0 ** 340), -(2.0 ** 339), -(2.0 ** 338)]  # square -> inf
+    # squares stay finite (~2^680); fourth-moment paths go inf both ways
+    huge = [-(2.0 ** 340), -(2.0 ** 339), -(2.0 ** 338)]
     qty = [-(2.0 ** 40), -(2.0 ** 39), -(2.0 ** 38)]
 
     def pick(opts):
