@@ -15,8 +15,8 @@ c_mktsegment stays ASCII (DuckDB levenshtein counts bytes), no NaN, no
 vertical-tab separators, exact-binary money values.
 
 Usage: python tools/corner_gates.py [empty nulls dup single pre_epoch
-far_future unicode negatives maxtext]
-Runs all nine when no corner is named; exits nonzero on any mismatch.
+far_future unicode negatives maxtext negzero]
+Runs all ten when no corner is named; exits nonzero on any mismatch.
 (`single` = exactly one row per table: singleton windows, LAG/LEAD over
 one row, one-point percentiles, a one-vector corpus. `negatives` = every
 non-FK numeric negative at extreme magnitude — money/value columns drawn
@@ -28,7 +28,11 @@ pools; FK columns keep valid positive keys so join coverage survives
 (the r17 identical-values lesson). `maxtext` = every text cell either a
 single character (ASCII, Latin-1, CJK) or a multi-KB string, including a
 multi-byte long string — NFC, no combining marks, per the frontier
-registry.)
+registry. `negzero` = every float cell stores IEEE -0.0 at once — the
+class behind four past +0.0 canonicalization fixes, guaranteed
+everywhere simultaneously where the fuzzer only mixes it in; the
+all-(-0.0) embedding doubles as the all-zero-vector corpus through
+every norm/cosine/PCA/PQ branch.)
 """
 from __future__ import annotations
 
@@ -242,6 +246,20 @@ def _build(corner: str) -> str:
                 cols[f.name] = pd.Series(range(1, n + 1), dtype=dtype)
             elif corner == "nulls":
                 cols[f.name] = pd.Series([None] * n, dtype="object")
+            elif corner == "negzero":
+                # every float cell stores IEEE -0.0 AT ONCE (the class
+                # behind four past +0.0 canonicalization fixes; the
+                # fuzzer mixes -0.0 in, but no seed guarantees it
+                # everywhere simultaneously); the all-(-0.0) embedding
+                # is also the all-zero-vector corpus through every
+                # norm/cosine/PCA/PQ branch. Non-float cells reuse the
+                # identical-values constants.
+                v = (
+                    -0.0 if pa.types.is_floating(f.type)
+                    else [-0.0] * 64 if f.name == "embedding"
+                    else CONST[f.name]
+                )
+                cols[f.name] = pd.Series([v] * n, dtype="object")
             elif corner in ("dup", "single"):
                 cols[f.name] = pd.Series([CONST[f.name]] * n, dtype="object")
             else:
@@ -257,7 +275,7 @@ def _build(corner: str) -> str:
 def main() -> int:
     corners = sys.argv[1:] or [
         "empty", "nulls", "dup", "single", "pre_epoch", "far_future",
-        "unicode", "negatives", "maxtext"]
+        "unicode", "negatives", "maxtext", "negzero"]
     import __spark_entry__ as entrymod
     from monthly_report_etl_spark.session import get_spark
 
