@@ -15,8 +15,8 @@ c_mktsegment stays ASCII (DuckDB levenshtein counts bytes), no NaN, no
 vertical-tab separators, exact-binary money values.
 
 Usage: python tools/corner_gates.py [empty nulls dup single pre_epoch
-far_future unicode negatives maxtext negzero]
-Runs all ten when no corner is named; exits nonzero on any mismatch.
+far_future unicode negatives maxtext negzero month_edge]
+Runs all eleven when no corner is named; exits nonzero on any mismatch.
 (`single` = exactly one row per table: singleton windows, LAG/LEAD over
 one row, one-point percentiles, a one-vector corpus. `negatives` = every
 non-FK numeric negative at extreme magnitude — money/value columns drawn
@@ -32,7 +32,11 @@ registry. `negzero` = every float cell stores IEEE -0.0 at once — the
 class behind four past +0.0 canonicalization fixes, guaranteed
 everywhere simultaneously where the fuzzer only mixes it in; the
 all-(-0.0) embedding doubles as the all-zero-vector corpus through
-every norm/cosine/PCA/PQ branch.)
+every norm/cosine/PCA/PQ branch. `month_edge` = every timestamp/date
+exactly at a month/year/leap-day boundary — first or last representable
+microsecond — the pivot points of half-open range filters, month-trunc
+grouping, and RANGE frames, which uniform-random generation essentially
+never hits.)
 """
 from __future__ import annotations
 
@@ -212,6 +216,31 @@ def _neg_pool(rng):
     return pool
 
 
+# month-boundary instants: first and last representable microsecond of
+# month/year/leap-day edges — the points half-open range filters,
+# month-trunc grouping, and RANGE frames pivot on, which the fuzzer's
+# uniform-random microsecond offsets essentially never hit exactly
+_MONTH_EDGES = [
+    datetime(2024, 2, 29, 23, 59, 59, 999999),  # leap-day last us
+    datetime(2024, 3, 1, 0, 0, 0, 0),           # post-leap first us
+    datetime(2024, 12, 31, 23, 59, 59, 999999),  # year-end last us
+    datetime(2025, 1, 1, 0, 0, 0, 0),           # year-start first us
+    datetime(2025, 1, 31, 23, 59, 59, 999999),  # month-end last us
+    datetime(2025, 2, 1, 0, 0, 0, 0),           # month-start first us
+    datetime(2025, 6, 30, 23, 59, 59, 999999),
+    datetime(2025, 7, 1, 0, 0, 0, 0),
+]
+
+
+def _month_edge_pool(rng):
+    pool = _rand_pool(
+        rng, ["edge of month text", "more words in rows", None],
+        datetime(2025, 1, 1))
+    edge = lambda: rng.choice(_MONTH_EDGES)  # noqa: E731
+    pool.update({"ts": edge, "o_orderdate": edge, "l_shipdate": edge})
+    return pool
+
+
 def _build(corner: str) -> str:
     d = tempfile.mkdtemp(prefix=f"corner_{corner}_")
     if corner == "empty":
@@ -237,6 +266,8 @@ def _build(corner: str) -> str:
     elif corner == "maxtext":
         pool = _rand_pool(random.Random(20268192), MAXTEXT,
                           datetime(2024, 1, 1))
+    elif corner == "month_edge":
+        pool = _month_edge_pool(random.Random(20260228))
 
     for t, sch in _SCHEMAS.items():
         cols = {}
@@ -275,7 +306,7 @@ def _build(corner: str) -> str:
 def main() -> int:
     corners = sys.argv[1:] or [
         "empty", "nulls", "dup", "single", "pre_epoch", "far_future",
-        "unicode", "negatives", "maxtext", "negzero"]
+        "unicode", "negatives", "maxtext", "negzero", "month_edge"]
     import __spark_entry__ as entrymod
     from monthly_report_etl_spark.session import get_spark
 
