@@ -50,7 +50,18 @@ tool should re-find every run):
     exact binary: integer quantities/prices/balances and
     {0, 0.25, 0.5} discounts/taxes make all products and sums exact,
     and event values stay 2-decimal (their only rounded use is SUM,
-    whose true value then has nothing at the 3rd decimal).
+    whose true value then has nothing at the 3rd decimal);
+  * MIXED extreme-magnitude money values (e.g. 2^60 alongside 2^5 in
+    one column): catastrophic cancellation makes the low bits of
+    variance/covariance engine-algorithm-dependent, and with enough
+    magnitude spread the noise crosses the %.9g hash — a numerical
+    frontier, not a bug (the r18 negatives CORNER covers the extreme
+    case deterministically with <=3-bit per-column mantissa spans so
+    every sum stays exact, and the one genuine finding it produced —
+    sign-arbitrary noise around a TRUE-ZERO covariance — is fixed by
+    stats_corr's relative-epsilon clamp, not by exclusion). Do NOT
+    "generalize" the money pools to mixed magnitudes; it would mint
+    flaky non-bug findings.
 
 Usage: python tools/fuzz_differential.py [n_seeds] [start_seed]
 Writes one line per (seed, entry) mismatch; exits nonzero on any.
