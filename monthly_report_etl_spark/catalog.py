@@ -1408,33 +1408,31 @@ _register_extension_catalogs()
 # each round from CORRECTNESS_r*.json (green rows only —
 # tests/test_plans.py pins both coverage and the 50-slot fill).
 #
-# r18 recomputation (latest GREEN round per entry across r1-r17,
-# tools/rotation_report.py on the committed history): r17-latest: 50
-# (the executed r17 rotation, 50/50 green), r16-latest: 50,
-# r15-latest: 48, nothing older, nothing never-green — max staleness
-# entering this round is 3 (the r15 cohort), the pre-stated mortgage.
-# Window THIS round = the r18 plan pre-stated verbatim at r17
+# r19 recomputation (latest GREEN round per entry across r1-r18,
+# tools/rotation_report.py on the committed history): r18-latest: 50
+# (the executed r18 rotation, 50/50 green), r17-latest: 50,
+# r16-latest: 48, nothing older, nothing never-green — max staleness
+# entering this round is 3 (the r16 cohort), the pre-stated mortgage.
+# Window THIS round = the r19 plan pre-stated verbatim at r18
 # (COVERAGE.md window note; recomputed here and confirmed identical):
-# the full 48-entry r15-latest cohort — every name matches
+# the full 48-entry r16-latest cohort — every name matches
 # rotation_report's due list 1:1 — plus two slack slots:
-#   * slack #1 (pre-assigned at r17): embeddings_pca — late-r17
-#     receipts rider; its degenerate explained-variance epsilon was
-#     tightened 1e-12 → 1e-24 in the r17 self-review AFTER its r16
-#     driver row, so the post-change hard signal lands here.
-#   * slack #2 (policy: no further late-r17 rider exists, so the
-#     stalest r16-latest entry): all 50 r16-latest entries tie at
-#     prior-green r12, so staleness alone cannot rank them; the
-#     pre-stated tiebreak is lexicographic first → corpus_bigram_top
-#     (prior green r12, i.e. 4 rounds between hard signals before
-#     this refresh — the widest gap in the r16 cohort).
-# 48 + 2 = 50 exactly. This window delivers the post-change driver
-# rows for ALL SEVEN r17 boundary fixes (asof_join,
-# recursive_order_chains, grouping_sets_orders, embeddings_pq,
-# sketch_partial_merge, percentiles_exact, array_functions — each in
-# the due 48) plus the pca epsilon rider. The flagship
-# exports_report_events is r17-fresh and therefore NOT in this
-# window; ``entry()`` references it by name directly, so the smoke
-# check is unaffected by its window position.
+#   * slack #1 (pre-assigned at r18): stats_corr — the ONLY catalog
+#     entry whose code changed in r18 (the relative-epsilon covariance
+#     cancellation zero clamp, operators/relational.py, landed AFTER
+#     its r17 driver row), so its post-change hard signal lands here —
+#     per VERDICT r18 "the single most important driver row of the
+#     round".
+#   * slack #2 (policy: no further late-r18 rider exists — the covar
+#     clamp was r18's only catalog-entry code change — so the stalest
+#     r17-latest entry): 49 of the 50 r17-latest entries tie at
+#     prior-green r13, so staleness alone cannot rank them; the
+#     pre-stated tiebreak is lexicographic first →
+#     corpus_chunk_documents_udtf (prior green r13, i.e. 4 rounds
+#     between hard signals before this refresh).
+# 48 + 2 = 50 exactly. The flagship exports_report_events is
+# r17-fresh and NOT in this window; ``entry()`` references it by name
+# directly, so the smoke check is unaffected by its window position.
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list (and
@@ -1447,61 +1445,61 @@ _register_extension_catalogs()
 # The round this window was declared FOR. Bump in the same commit that
 # rotates _DRIVER_WINDOW_PRIORITY — the rotation guard derives its
 # expectations from this constant.
-_DRIVER_WINDOW_ROUND = 18
+_DRIVER_WINDOW_ROUND = 19
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- r15-latest cohort: all 48, pre-stated at r17 (COVERAGE.md) --
-    "approx_aggregates",
-    "array_functions",
-    "asof_join",
-    "calendar_spine_monthly",
-    "case_classifier",
-    "collect_types_sorted",
-    "corpus_bpe_train_merges",
-    "corpus_decontaminate",
-    "corpus_incremental_ingest",
-    "corpus_incremental_ingest_neardup_bucketed",
-    "corpus_length_trim",
-    "corpus_mix_weights",
-    "corpus_ngram_novelty",
-    "corpus_pack_sequences",
-    "corpus_pack_sequences_ranged",
-    "date_funcs_extended",
-    "dedup_canonical_selection",
-    "dedup_duplicate_spans",
-    "dedup_semdedup",
-    "dedup_semdedup_exact",
-    "dedup_semdedup_kmeans",
-    "distinct_event_types",
-    "embeddings_pq",
-    "events_last_touch_attribution",
-    "exact_distinct_bounds",
-    "exists_over_array",
-    "filter_project_window",
-    "filtered_agg_orders",
-    "grouping_sets_orders",
-    "jsonl_roundtrip_docs",
-    "lookup_enrich_broadcast",
-    "map_functions",
-    "month_membership_filter",
-    "null_profile_orders",
-    "olap_last_shipper",
-    "olap_market_share",
-    "olap_nation_pair_volume",
-    "olap_product_profit",
-    "order_nulls_handling",
-    "percentiles_exact",
-    "range_join_bucketized",
-    "recursive_order_chains",
-    "salted_join",
-    "semi_anti_join",
-    "sketch_partial_merge",
-    "streaming_interval_join_batch",
-    "window_family",
-    "window_range_frame",
+    # -- r16-latest cohort: all 48, pre-stated at r18 (COVERAGE.md) --
+    "corpus_bpe_pair_counts",
+    "corpus_bpe_tokenize",
+    "corpus_chunk_documents",
+    "corpus_sample_hash_mod",
+    "corpus_stratified_sample",
+    "corpus_tfidf_top_terms",
+    "cube_orders",
+    "date_ops",
+    "dedup_cc_star",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_latest_maxby",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_simhash",
+    "embeddings_quantize_int8",
+    "embeddings_standardize",
+    "events_funnel",
+    "events_sessionize_batch",
+    "events_sliding_window",
+    "events_user_sequences",
+    "global_denominators",
+    "json_extract_props",
+    "multimodal_byte_stats",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "numeric_coercion",
+    "pricing_summary",
+    "rank_in_segment_month",
+    "rank_pivot_merge_back",
+    "regex_clean_strings",
+    "rollup_lineitem",
+    "set_ops",
+    "similarity_ann_lsh",
+    "similarity_ivf_topk",
+    "similarity_knn_brute_force",
+    "similarity_pca_ivf",
+    "similarity_pq_adc",
+    "streaming_sessionize",
+    "streaming_tumbling_window_batch",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "topk_orders",
+    "union_by_name",
     # -- slack slots (policy + tiebreak documented above) --
-    "embeddings_pca",
-    "corpus_bigram_top",
+    "stats_corr",
+    "corpus_chunk_documents_udtf",
 ]
 
 
