@@ -337,13 +337,22 @@ def _host_probe() -> dict:
                 # so post.java_procs doesn't carry a standing false
                 # positive (bounded walk: init is pid 1, ppid 0)
                 p, own = int(pid), False
-                for _ in range(64):
-                    if p == me:
-                        own = True
-                        break
-                    if p <= 1:
-                        break
-                    p = _ppid(p)
+                try:
+                    for _ in range(64):
+                        if p == me:
+                            own = True
+                            break
+                        if p <= 1:
+                            break
+                        p = _ppid(p)
+                except (OSError, ValueError):
+                    # ADVICE r18: a /proc read failing MID-WALK (process
+                    # exited between comm read and stat read) must not
+                    # silently drop the pid from the count — fall back to
+                    # the pre-walk behavior and count it as stray. The
+                    # probe is monitoring-only; over-counting a dying JVM
+                    # beats under-counting a live foreign one.
+                    own = False
                 if not own:
                     stray_java += 1
             except (OSError, ValueError):

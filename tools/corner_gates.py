@@ -313,6 +313,11 @@ def main() -> int:
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    # ADVICE r18: the retry-once protocol absorbs first-run flakes, but
+    # a PILE of transients is itself a signal (a nondeterministic
+    # divergence that never reproduces on immediate retry). Count them
+    # and fail the gate above a threshold instead of dismissing silently.
+    transients = 0
     for corner in corners:
         d = _build(corner)
         con = duckdb.connect()
@@ -338,6 +343,7 @@ def main() -> int:
                 except Exception:
                     ok2 = False
                 if ok2:
+                    transients += 1
                     print(f"{corner} TRANSIENT {name} (first run raised "
                           f"{type(exc).__name__}, retry agrees) — engine "
                           f"flake, not a divergence", flush=True)
@@ -358,6 +364,7 @@ def main() -> int:
                 except Exception:
                     ok2 = False
                 if ok2:
+                    transients += 1
                     print(f"{corner} TRANSIENT {name} (first run "
                           f"spark={len(sf_)} oracle={len(of_)}, retry "
                           f"agrees) — engine flake, not a divergence",
@@ -371,7 +378,16 @@ def main() -> int:
         print(f"{corner}: {len(ENTRIES) - len(bad)}/{len(ENTRIES)} ok; "
               f"bad: {bad}", flush=True)
         failures += len(bad)
-    print(f"TOTAL corners={len(corners)} failures={failures}")
+    # Threshold: across the full family (~11 corners x 141 entries =
+    # ~1550 gate executions) the observed historical transient rate is
+    # zero-to-low single digits; more than 3 in one run means something
+    # nondeterministic is loose and deserves a human eye, not a pass.
+    print(f"TOTAL corners={len(corners)} failures={failures} "
+          f"transients={transients}")
+    if transients > 3:
+        print("TRANSIENT threshold exceeded (>3) — treat as gate failure "
+              "and investigate nondeterminism", flush=True)
+        return 1
     return 1 if failures else 0
 
 

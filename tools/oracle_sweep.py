@@ -50,6 +50,13 @@ def main() -> int:
     sf = "/root/testdata/sf0.01"
     if "--sf-dir" in args:
         i = args.index("--sf-dir")
+        # ADVICE r18: --sf-dir as the LAST argument used to raise an
+        # unhandled IndexError — validate and print usage instead.
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            print("usage: oracle_sweep.py [--window] [--sf-dir DIR] "
+                  "[entry ...]  (--sf-dir requires a directory value)",
+                  file=sys.stderr)
+            return 2
         sf = args[i + 1]
         del args[i:i + 2]
     window_only = "--window" in args
@@ -89,8 +96,13 @@ def main() -> int:
                 if c in o.columns and s[c].dtype != o[c].dtype:
                     try:
                         o[c] = o[c].astype(s[c].dtype)
-                    except Exception:
-                        pass
+                    except Exception as exc:
+                        # ADVICE r18: a failed coercion is worth a line —
+                        # the vhash compare below still decides pass/fail,
+                        # but a silent pass here can mask WHY it failed.
+                        print(f"  note: {name}.{c} dtype coercion "
+                              f"{o[c].dtype} -> {s[c].dtype} failed: "
+                              f"{type(exc).__name__}", flush=True)
             if not (len(s) == len(o) and list(s.columns) == list(o.columns)
                     and vhash(s) == vhash(o)):
                 bad.append(name)
