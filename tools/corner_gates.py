@@ -15,8 +15,10 @@ c_mktsegment stays ASCII (DuckDB levenshtein counts bytes), no NaN, no
 vertical-tab separators, exact-binary money values.
 
 Usage: python tools/corner_gates.py [empty nulls dup single pre_epoch
-far_future unicode negatives maxtext negzero month_edge]
-Runs all eleven when no corner is named; exits nonzero on any mismatch.
+far_future unicode negatives maxtext negzero month_edge skew
+ts_collision]
+Runs the full family when no corner is named; exits nonzero on any
+mismatch.
 (`single` = exactly one row per table: singleton windows, LAG/LEAD over
 one row, one-point percentiles, a one-vector corpus. `negatives` = every
 non-FK numeric negative at extreme magnitude — money/value columns drawn
@@ -36,7 +38,14 @@ every norm/cosine/PCA/PQ branch. `month_edge` = every timestamp/date
 exactly at a month/year/leap-day boundary — first or last representable
 microsecond — the pivot points of half-open range filters, month-trunc
 grouping, and RANGE frames, which uniform-random generation essentially
-never hits.)
+never hits. `skew` = 200 rows where one key holds 199/200 of every
+groupable column at once — the salted-join / AQE-skew / worst-case
+window-partition class — with each column's single cold row at a
+different index so rows don't collapse into full duplicates.
+`ts_collision` = every timestamp identical while all other columns stay
+randomized — the corner-ized r16 finding 42: (ts, event_id) tie
+totalization must decide every latest-wins / MAX_BY / window-order path
+at once.)
 """
 from __future__ import annotations
 
@@ -92,6 +101,31 @@ CONST = {
     "l_returnflag": "R", "l_linestatus": "F",
     "l_shipdate": pd.Timestamp("2025-06-20"),
     "embedding": [0.5] * 64, "label": 2,
+}
+
+# Cold-row constants for the skew corner: one alternative exact-binary
+# value per column, distinct from CONST, with FK columns staying valid
+# positive keys (region/nation/customer/part/supplier key 2 exists at
+# the skew corner's n=200). Money values exact in binary as everywhere.
+ALT = {
+    "ts": pd.Timestamp("2023-01-05 06:30:00"),
+    "user_id": 2, "event_type": "view", "value": 75.0, "props": '{"k": 9}',
+    "text": "a different cold row text", "lang": "fr", "source": "src2",
+    "n_chars": 25,
+    "o_custkey": 2, "o_orderstatus": "F", "o_totalprice": 3750.0,
+    "o_orderdate": pd.Timestamp("2023-01-05"), "o_orderpriority": "5-LOW",
+    "r_name": "ASIA", "n_name": "CHINA", "n_regionkey": 2,
+    "c_name": "Customer#2", "c_nationkey": 2, "c_acctbal": -250.0,
+    "c_mktsegment": "AUTOMOBILE",
+    "s_name": "Supplier#2", "s_nationkey": 2, "s_acctbal": -250.0,
+    "p_name": "azure steel", "p_brand": "Brand#2",
+    "p_type": "STANDARD POLISHED",
+    "p_size": 30, "p_retailprice": 500.0,
+    "l_partkey": 2, "l_suppkey": 2, "l_quantity": 30.0,
+    "l_extendedprice": 1600.0, "l_discount": 0.5, "l_tax": 0.25,
+    "l_returnflag": "N", "l_linestatus": "O",
+    "l_shipdate": pd.Timestamp("2023-01-10"),
+    "embedding": [-0.25] * 64, "label": 0,
 }
 
 # NFC-normalized exotic text pool for the unicode corner (astral, RTL,
@@ -241,6 +275,22 @@ def _month_edge_pool(rng):
     return pool
 
 
+def _ts_collision_pool(rng):
+    """Every timestamp/date cell the SAME instant while all other
+    columns stay randomized — the corner-ized form of r16 finding 42:
+    (ts, event_id) tie totalization must decide EVERY latest-wins /
+    MAX_BY / window-order path at once, because ORDER BY ts alone is a
+    total tie across the whole table. The dup corner already collides
+    timestamps but collapses every other column too; here the
+    tiebreakers actually have work to do."""
+    pool = _rand_pool(
+        rng, ["same instant text", "more words in rows", None],
+        datetime(2025, 3, 3))
+    tsc = lambda: datetime(2025, 3, 3, 12, 0, 0, 0)  # noqa: E731
+    pool.update({"ts": tsc, "o_orderdate": tsc, "l_shipdate": tsc})
+    return pool
+
+
 def _build(corner: str) -> str:
     d = tempfile.mkdtemp(prefix=f"corner_{corner}_")
     if corner == "empty":
@@ -249,7 +299,8 @@ def _build(corner: str) -> str:
         return d
 
     n = (4 if corner == "nulls" else 5 if corner == "dup"
-         else 1 if corner == "single" else 24)
+         else 1 if corner == "single" else 200 if corner == "skew"
+         else 24)
     pool = None
     if corner == "pre_epoch":
         pool = _rand_pool(random.Random(20261931),
@@ -268,10 +319,12 @@ def _build(corner: str) -> str:
                           datetime(2024, 1, 1))
     elif corner == "month_edge":
         pool = _month_edge_pool(random.Random(20260228))
+    elif corner == "ts_collision":
+        pool = _ts_collision_pool(random.Random(20260042))
 
     for t, sch in _SCHEMAS.items():
         cols = {}
-        for f in sch:
+        for ci, f in enumerate(sch):
             if f.name in KEYS[t]:
                 dtype = "int64" if f.type == pa.int64() else "int32"
                 cols[f.name] = pd.Series(range(1, n + 1), dtype=dtype)
@@ -293,6 +346,18 @@ def _build(corner: str) -> str:
                 cols[f.name] = pd.Series([v] * n, dtype="object")
             elif corner in ("dup", "single"):
                 cols[f.name] = pd.Series([CONST[f.name]] * n, dtype="object")
+            elif corner == "skew":
+                # one key holds 199/200 of the rows in EVERY groupable
+                # column at once — the salted-join / AQE-skew /
+                # worst-case-window-partition class the fuzzer's uniform
+                # choices never concentrate. Each column flips a
+                # DIFFERENT single row to its cold ALT value (cold index
+                # = column position mod n) so group-bys, FK joins and
+                # multi-column keys all see the 199:1 split without the
+                # hot rows collapsing into full duplicates.
+                vals = [CONST[f.name]] * n
+                vals[ci % n] = ALT[f.name]
+                cols[f.name] = pd.Series(vals, dtype="object")
             else:
                 vals = [pool[f.name]() for _ in range(n)]
                 if pa.types.is_timestamp(f.type):
@@ -306,7 +371,8 @@ def _build(corner: str) -> str:
 def main() -> int:
     corners = sys.argv[1:] or [
         "empty", "nulls", "dup", "single", "pre_epoch", "far_future",
-        "unicode", "negatives", "maxtext", "negzero", "month_edge"]
+        "unicode", "negatives", "maxtext", "negzero", "month_edge",
+        "skew", "ts_collision"]
     import __spark_entry__ as entrymod
     from monthly_report_etl_spark.session import get_spark
 
