@@ -226,8 +226,14 @@ def ngram_jaccard_pairs(
         )
     e = e.filter(F.col("df") <= hot_shingle_cap).drop("df")
     a, b = e.alias("a"), e.alias("b")
+    # r19: both sides of the posting-list self-join grow with the
+    # corpus — pin it to sort-merge (spill-safe, no resident build) so
+    # the static planner's size misestimate through the window+filter
+    # chain can never pick a broadcast build (the prefix_jaccard 100x
+    # lesson, same note there; caught by explain at the 100x input:
+    # two static BroadcastHashJoins).
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b.hint("merge"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.count("*").alias("common"),
@@ -1175,9 +1181,29 @@ def prefix_jaccard_pairs(
         * (F.col("a.n") + F.col("b.n"))
         - F.lit(1e-9)
     )
+    # r19: every join in this operator has BOTH sides growing with the
+    # corpus (prefix rows, candidate pairs, shingle rows), so none may
+    # ever rely on a broadcast: the 100x scale curve caught the static
+    # planner broadcasting the b-side prefix rows through the
+    # checkpoint+filter size misestimate and failing the broadcast
+    # build at 500k docs ("Not enough memory to build and broadcast").
+    # The pins, chosen per join by measurement at the 100x point:
+    # SHUFFLE_HASH for this prefix self-join (the build side is the
+    # r-filtered PREFIX rows — the smallest corpus-derived relation in
+    # the plan; its per-partition build fits comfortably and avoids
+    # sorting both sides) and MERGE for the two verify joins below
+    # (their inputs are the full shingle rows — the largest relation —
+    # and sort-merge is the one strategy with NO resident build
+    # structure: sorts spill to disk, so the stage is memory-safe at
+    # any corpus-to-executor ratio; an all-SHUFFLE_HASH variant
+    # exhausted execution memory in the verify stage at 100x,
+    # cannotAcquireMemoryToBuildUnsafeHashedRelation). Either hint
+    # wins over both the static planner's and AQE's broadcast
+    # conversion. Measured at sf0.1: within noise of the broadcast
+    # plan; at 100x: completes where both broadcast and all-hash OOM'd.
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(
@@ -1201,14 +1227,15 @@ def prefix_jaccard_pairs(
     )
     # verify by counting common shingles directly against the (already
     # materialized) shingle rows — no per-doc collect_set over the whole
-    # corpus; the work is proportional to candidate pairs x doc size, and
-    # with a small candidate set AQE turns both joins into broadcasts so
-    # the shingle rows never re-shuffle
+    # corpus; the work is proportional to candidate pairs x doc size.
+    # Both verify joins carry corpus-growing sides too — same MERGE
+    # pin, per the note above.
     ra, rb = e.alias("ra"), e.alias("rb")
     verified = (
-        cand.join(ra, F.col("doc_a") == F.col("ra.doc_id"))
+        cand.hint("merge")
+        .join(ra, F.col("doc_a") == F.col("ra.doc_id"))
         .join(
-            rb,
+            rb.hint("merge"),
             (F.col("doc_b") == F.col("rb.doc_id")) & (F.col("ra.s") == F.col("rb.s")),
         )
         .groupBy("doc_a", "doc_b", "na", "nb")
