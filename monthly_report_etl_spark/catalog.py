@@ -1413,26 +1413,21 @@ _register_extension_catalogs()
 # (the executed r18 rotation, 50/50 green), r17-latest: 50,
 # r16-latest: 48, nothing older, nothing never-green — max staleness
 # entering this round is 3 (the r16 cohort), the pre-stated mortgage.
-# Window THIS round = the r19 plan pre-stated verbatim at r18
-# (COVERAGE.md window note; recomputed here and confirmed identical):
-# the full 48-entry r16-latest cohort — every name matches
-# rotation_report's due list 1:1 — plus two slack slots:
-#   * slack #1 (pre-assigned at r18): stats_corr — the ONLY catalog
-#     entry whose code changed in r18 (the relative-epsilon covariance
-#     cancellation zero clamp, operators/relational.py, landed AFTER
-#     its r17 driver row), so its post-change hard signal lands here —
-#     per VERDICT r18 "the single most important driver row of the
-#     round".
-#   * slack #2 (policy: no further late-r18 rider exists — the covar
-#     clamp was r18's only catalog-entry code change — so the stalest
-#     r17-latest entry): 49 of the 50 r17-latest entries tie at
-#     prior-green r13, so staleness alone cannot rank them; the
-#     pre-stated tiebreak is lexicographic first →
-#     corpus_chunk_documents_udtf (prior green r13, i.e. 4 rounds
-#     between hard signals before this refresh).
-# 48 + 2 = 50 exactly. The flagship exports_report_events is
-# r17-fresh and NOT in this window; ``entry()`` references it by name
-# directly, so the smoke check is unaffected by its window position.
+# Window THIS round (r20) = the plan pre-stated verbatim at r19
+# (COVERAGE.md window note): the full 48-entry r17-latest cohort —
+# every name matches the due list 1:1, including the flagship
+# exports_report_events — plus two slack slots:
+#   * slack #1 (pre-assigned at r19): dedup_canonical_selection — the
+#     one late-r19 code-changed entry NOT in the r19 window (it rides
+#     the ngram posting-list path the jaccard join pins touched via
+#     dedup_connected_components), so its post-pin hard signal lands
+#     here.
+#   * slack #2 (policy: stalest r18-latest entry; all 50 tie at
+#     prior-green r15, so the pre-stated lexicographic tiebreak
+#     applies): approx_aggregates.
+# 48 + 2 = 50 exactly. r20 is an OPTIMIZATION round: the driver may
+# re-check EVERY declared entry rather than only the front-50 window;
+# the rotation guard accepts a superset key set for that reason.
 #
 # ANTI-RECURRENCE GUARD: tests/test_plans.py::
 # test_driver_window_rotated_from_last_round pins this list (and
@@ -1445,61 +1440,61 @@ _register_extension_catalogs()
 # The round this window was declared FOR. Bump in the same commit that
 # rotates _DRIVER_WINDOW_PRIORITY — the rotation guard derives its
 # expectations from this constant.
-_DRIVER_WINDOW_ROUND = 19
+_DRIVER_WINDOW_ROUND = 20
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- r16-latest cohort: all 48, pre-stated at r18 (COVERAGE.md) --
-    "corpus_bpe_pair_counts",
-    "corpus_bpe_tokenize",
-    "corpus_chunk_documents",
-    "corpus_sample_hash_mod",
-    "corpus_stratified_sample",
-    "corpus_tfidf_top_terms",
-    "cube_orders",
-    "date_ops",
-    "dedup_cc_star",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_latest_maxby",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_simhash",
-    "embeddings_quantize_int8",
-    "embeddings_standardize",
-    "events_funnel",
-    "events_sessionize_batch",
-    "events_sliding_window",
-    "events_user_sequences",
-    "global_denominators",
-    "json_extract_props",
-    "multimodal_byte_stats",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "numeric_coercion",
-    "pricing_summary",
-    "rank_in_segment_month",
-    "rank_pivot_merge_back",
-    "regex_clean_strings",
-    "rollup_lineitem",
-    "set_ops",
-    "similarity_ann_lsh",
-    "similarity_ivf_topk",
-    "similarity_knn_brute_force",
-    "similarity_pca_ivf",
-    "similarity_pq_adc",
-    "streaming_sessionize",
-    "streaming_tumbling_window_batch",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "topk_orders",
-    "union_by_name",
+    # -- r17-latest cohort: all 48, pre-stated at r19 (COVERAGE.md) --
+    "corpus_feature_hashing",
+    "corpus_incremental_ingest_bloom",
+    "corpus_incremental_ingest_bucketed",
+    "corpus_incremental_ingest_neardup",
+    "corpus_length_buckets",
+    "corpus_normalize_dedup",
+    "corpus_pii_flags",
+    "corpus_repetition_stats",
+    "corpus_source_lang_rollup",
+    "corpus_train_val_test_split",
+    "dq_violations",
+    "events_retention_cohort",
+    "exports_report_events",
+    "islands_active_months",
+    "join_hints_shuffle_hash",
+    "json_variant_extract",
+    "multimodal_audio_rms",
+    "olap_cheapest_supplier",
+    "olap_disjunctive_brackets",
+    "olap_dominant_supplier",
+    "olap_dormant_rich_customers",
+    "olap_forecast_revenue",
+    "olap_important_stock",
+    "olap_large_orders",
+    "olap_local_supplier_volume",
+    "olap_order_count_distribution",
+    "olap_order_priority_semijoin",
+    "olap_priority_linecount",
+    "olap_promo_revenue",
+    "olap_regional_revenue",
+    "olap_returned_items",
+    "olap_shipping_priority",
+    "olap_small_quantity_avg",
+    "olap_supplier_part_types",
+    "olap_top_revenue_supplier",
+    "olap_yearly_growth",
+    "posexplode_tokens",
+    "scd2_history",
+    "sketch_count_min",
+    "stats_moments_group",
+    "string_funcs_customer",
+    "text_c4_filter",
+    "text_lang_mismatch",
+    "text_unigram_logprob",
+    "unpivot_part",
+    "upsert_full_outer",
+    "window_distribution",
+    "window_fill_forward",
     # -- slack slots (policy + tiebreak documented above) --
-    "stats_corr",
-    "corpus_chunk_documents_udtf",
+    "dedup_canonical_selection",
+    "approx_aggregates",
 ]
 
 

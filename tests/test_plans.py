@@ -420,10 +420,14 @@ def test_driver_window_rotated_from_last_round():
     if _DRIVER_WINDOW_ROUND in rounds:
         with open(rounds[_DRIVER_WINDOW_ROUND]) as f:
             own_keys = set(json.load(f).keys())
-        assert own_keys == window, (
-            f"CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json exists but its key "
-            f"set differs from the declared window — the driver checked a "
-            f"different cohort than this list declares"
+        # Superset allowed from r20 on: optimization-phase driver runs
+        # re-check EVERY declared entry, not only the front-50 window —
+        # a key set that COVERS the window is the success state; only a
+        # cohort that misses declared window entries is a failure.
+        assert window <= own_keys, (
+            f"CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json exists but misses "
+            f"declared window entries {sorted(window - own_keys)} — the "
+            f"driver checked a different cohort than this list declares"
         )
         # Known trade-off (code-review r17): in this state the guard
         # cannot distinguish "round just closed" from "next round's
