@@ -971,7 +971,16 @@ YEARLY_GROWTH_ORACLE = """
 WITH yearly AS (
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           -- exact decimal accumulation (r20 fix): the double SUM's
+           -- result depends on addend order, and at sf0.001 one
+           -- (nation, year) group lands within half an ulp of a .xx5
+           -- boundary — Spark's partial-agg order rounded .07 where
+           -- DuckDB rounded .08. Casting each (deterministic, per-row
+           -- identical) product to DECIMAL makes the sum exact and
+           -- order-free on both engines; cast back to DOUBLE so the
+           -- output schema is unchanged.
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(30,12))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -998,7 +1007,16 @@ def yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort ends of the LAG window per engine (Spark asc = NULLS FIRST,
     DuckDB = NULLS LAST), shifting every YoY delta in the partition.
     Both sides exclude NULL order dates — the filter reaches the orders
-    parquet scan as IsNotNull(o_orderdate) for free."""
+    parquet scan as IsNotNull(o_orderdate) for free.
+
+    Exact-sum contract (sweep-found r20): the revenue SUM accumulates
+    in DECIMAL(30,12) (each product cast per-row — deterministic and
+    engine-identical — before aggregation) because a double sum is
+    addend-order-dependent: at sf0.001 the NATION_15/2000 group's true
+    sum sits on a .xx5 rounding boundary and Spark's partial-agg order
+    rounded down where DuckDB's rounded up. The decimal sum is exact,
+    so ROUND sees the same value on both engines at every SF; the
+    result is cast back to DOUBLE to keep the output schema."""
     li = _t(spark, sf_dir, "lineitem")
     o = (
         _t(spark, sf_dir, "orders")
@@ -1017,8 +1035,15 @@ def yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,12)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
     w = Window.partitionBy("nation").orderBy("o_year")
