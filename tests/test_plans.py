@@ -223,10 +223,11 @@ def test_monthly_report_plan_shape(spark, sf_dir, tmp_path):
     """The full monthly-report plan keeps its at-scale contract: no
     range-sampling global sort, no cartesian product, no Python stage,
     and exactly ONE deliberate repartition — the per-lender
-    REPARTITION_BY_COL that feeds the sink's file layout. (The repeated
-    scenarioId ENSURE_REQUIREMENTS exchanges are the two report branches'
-    column-pruned recomputes — measured cheaper than persisting wide
-    rows; see operators/exports.py.)"""
+    REPARTITION_BY_COL that feeds the sink's file layout. (Since r20 the
+    enriched frame is localCheckpoint'ed before add_rank_columns — the
+    rank diamond otherwise re-executed the whole upstream chain; the
+    pre-checkpoint plan is separately gated by the flagship
+    exports_report_events tests.)"""
     from monthly_report_etl_spark.config import PipelineConfig
     from monthly_report_etl_spark.fixtures import write_fixture
     from monthly_report_etl_spark.plans import monthly_report
