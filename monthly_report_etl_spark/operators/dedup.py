@@ -1220,26 +1220,34 @@ def prefix_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
-    # verify by counting common shingles directly against the (already
-    # materialized) shingle rows — no per-doc collect_set over the whole
-    # corpus; the work is proportional to candidate pairs x doc size.
-    # Both verify joins carry corpus-growing sides too — same MERGE
-    # pin, per the note above.
-    ra, rb = e.alias("ra"), e.alias("rb")
+    # verify against per-doc shingle ARRAYS (r20): one hash-agg collects
+    # each doc's (already-distinct) shingle list — it rides the
+    # checkpoint's doc_id partitioning, so the agg adds NO exchange and
+    # its state is doc-bounded — then the two pair joins move one array
+    # per candidate side and the intersection is a single array_intersect
+    # per pair. The r12-r19 row form joined the candidate pairs against
+    # the exploded shingle ROWS (one row per (pair, shingle)), which
+    # exchanged and sorted a sum-of-doc-sizes-per-pair intermediate twice;
+    # interleaved A/B at sf0.1: 5.47s -> 3.43s median (-37%), identical
+    # output, and 10x-input A/B confirms the win grows with scale (see
+    # OPTIMIZATION_r20.md). Set sizes are recomputed as size(sh) — equal
+    # by construction to the window's n — so the candidate exchange
+    # carries only the (doc_a, doc_b) pair.
+    # Both verify joins still carry corpus-growing sides — same MERGE
+    # pin, per the note above (sort-merge spills; no resident build).
+    sets = e.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         cand.hint("merge")
-        .join(ra, F.col("doc_a") == F.col("ra.doc_id"))
-        .join(
-            rb.hint("merge"),
-            (F.col("doc_b") == F.col("rb.doc_id")) & (F.col("ra.s") == F.col("rb.s")),
-        )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").alias("common"))
+        .join(sa, "doc_a")
+        .join(sb.hint("merge"), "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("na", F.size("sh_a"))
+        .withColumn("nb", F.size("sh_b"))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return verified.filter(jac >= t).select(
