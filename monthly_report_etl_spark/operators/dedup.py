@@ -176,10 +176,15 @@ def _shingle_rows(
     return out.distinct() if distinct else out
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingled(spark: SparkSession, sf_dir: str, hashed: bool = False) -> DataFrame:
     """Per-document distinct shingle SET (array form, for verification
-    array_intersect) — aggregated from the row form."""
-    return _shingle_rows(spark, sf_dir).groupBy("doc_id").agg(
+    array_intersect) — aggregated from the row form. ``hashed=True``
+    carries xxhash64 int shingles (8 bytes/element vs ~25-byte 3-gram
+    strings): intersection COUNTS are identical modulo 64-bit collisions
+    — the same tolerance the prefix/ngram paths accepted in r12 (their
+    string-grouping oracles are themselves the collision check at test
+    scale)."""
+    return _shingle_rows(spark, sf_dir, hashed=hashed).groupBy("doc_id").agg(
         F.collect_set("s").alias("sh")
     )
 
@@ -331,8 +336,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _verify_jaccard(spark: SparkSession, sf_dir: str, candidates: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
     array_intersect over the distinct shingle sets, thresholded. The
-    quadratic step touches candidates only."""
-    sh = _shingled(spark, sf_dir)
+    quadratic step touches candidates only.
+
+    Sets ride as xxhash64 ints (r20): every element the two pair joins
+    move shrinks ~3x, and set-size/intersection counts are unchanged
+    modulo 64-bit collisions (see ``_shingled``). Interleaved A/B at
+    sf0.1: incremental_ingest_neardup 6.29s -> 4.76s median (-24%),
+    the bucketed twin 4.85s -> 4.05s (-16%); outputs identical and the
+    string-based oracles stay green at every checked SF."""
+    sh = _shingled(spark, sf_dir, hashed=True)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
