@@ -1449,17 +1449,28 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", whitespace_tokens(F.col("text")).alias("t"))
         .localCheckpoint(eager=True)
     )
+    # gram keys are built WITHOUT materializing the 8-token gram string
+    # (r20): tokens hash to int64 once each, and every gram position
+    # combines its 8 token hashes with one multi-arg xxhash64 over longs.
+    # The r13-r19 form concat_ws'd an ~60-char string per position inside
+    # the (interpreted-HOF) transform before hashing it — pure allocation
+    # the key never needed. Interleaved A/B at sf0.1: 3.31s -> 2.53s
+    # median (-24%), identical output. Collision tolerance is unchanged
+    # in kind (a 64-bit gram key either way, now two-level); the
+    # string-grouping oracle remains the collision check at test scale.
+    toks_hashed = d.filter(F.size("t") >= DUP_SPAN_N).select(
+        "doc_id", F.transform("t", lambda x: F.xxhash64(x)).alias("th")
+    )
     grams = (
-        d.filter(F.size("t") >= DUP_SPAN_N)
-        .select(
+        toks_hashed.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (DUP_SPAN_N - 1)),
+                    F.sequence(F.lit(1), F.size("th") - (DUP_SPAN_N - 1)),
                     lambda i: F.struct(
                         i.alias("s"),
                         F.xxhash64(
-                            F.concat_ws(" ", F.slice("t", i, DUP_SPAN_N))
+                            *[F.element_at("th", i + j) for j in range(DUP_SPAN_N)]
                         ).alias("g"),
                     ),
                 )
