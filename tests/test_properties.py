@@ -617,8 +617,8 @@ def _assert_batched_equals_sequential(spark, words, n_merges=24, batch_m=4):
     import pandas as pd
 
     from monthly_report_etl_spark.operators.corpus import (
-        bpe_train_merges,
         bpe_train_merges_batched,
+        bpe_train_merges_sequential,
     )
 
     outdir = tempfile.mkdtemp()
@@ -632,7 +632,10 @@ def _assert_batched_equals_sequential(spark, words, n_merges=24, batch_m=4):
         }
     ).to_parquet(os.path.join(outdir, "documents.parquet"), index=False)
 
-    seq = [tuple(r) for r in bpe_train_merges(spark, outdir, n_merges).collect()]
+    seq = [
+        tuple(r)
+        for r in bpe_train_merges_sequential(spark, outdir, n_merges).collect()
+    ]
     bat = [
         tuple(r)
         for r in bpe_train_merges_batched(
@@ -832,7 +835,7 @@ def test_bpe_lineage_truncation_frees_checkpoint_storage(spark, sf_dir):
     from monthly_report_etl_spark.operators.corpus import (
         BPE_LINEAGE_TRUNC_EVERY,
         _release_vocab_frame,
-        bpe_train_merges,
+        bpe_train_merges_sequential,
     )
 
     jsc = spark.sparkContext._jsc.sc()
@@ -853,7 +856,9 @@ def test_bpe_lineage_truncation_frees_checkpoint_storage(spark, sf_dir):
 
     # loop-level: two truncations (ranks 8 and 16) must not accumulate
     baseline = n_stored()
-    merges = bpe_train_merges(spark, sf_dir, 2 * BPE_LINEAGE_TRUNC_EVERY + 1)
+    merges = bpe_train_merges_sequential(
+        spark, sf_dir, 2 * BPE_LINEAGE_TRUNC_EVERY + 1
+    )
     assert len(merges.collect()) >= 1
     assert n_stored() <= baseline
 
