@@ -829,12 +829,17 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-overlap filter of an LLM data pipeline.
 
     Scale shape: eval sets are small, so the benchmark shingle set
-    BROADCASTS (distinct shingle strings only); the corpus side streams
+    BROADCASTS (distinct shingles only); the corpus side streams
     through one left join + one per-doc aggregation keyed by doc_id —
-    which reuses the shingle window's partitioning, no extra exchange."""
+    which reuses the shingle window's partitioning, no extra exchange.
+    Shingles ride as xxhash64 ints (r20): the broadcast set and every
+    corpus row shrink ~3x, and hit/total COUNTS are identical modulo
+    64-bit collisions — the string-grouping oracle stays the collision
+    check (interleaved A/B at sf0.1: 1.52s -> 1.30s median, identical
+    output)."""
     from monthly_report_etl_spark.operators.dedup import _shingle_rows
 
-    rows = _shingle_rows(spark, sf_dir)
+    rows = _shingle_rows(spark, sf_dir, hashed=True)
     bench = (
         rows.filter(F.col("doc_id") < BENCHMARK_MAX_DOC_ID)
         .select("s")
