@@ -816,9 +816,22 @@ def simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in range(_CHUNKS):
         h = F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
         hamming = h if hamming is None else hamming + h
+    # r20 (broadcast-provenance audit, tools/broadcast_audit.py): both
+    # sides of this self-join are the corpus-growing chunk rows READ
+    # FROM THE CHECKPOINT — a LogicalRDD with no usable stats — and the
+    # static planner was broadcast-building one side (confirmed by
+    # explain at the 10x input: BroadcastHashJoin over Scan
+    # ExistingRDD). That is the r19 prefix-jaccard class exactly: the
+    # estimate never tracks the data, so the broadcast survives every
+    # scale until the build OOMs. Pin SHUFFLE_HASH (same rationale as
+    # the prefix self-join: narrow 10-long rows, per-partition build
+    # stays tiny and partition count scales with the cluster). Measured:
+    # the pin is FASTER even locally — sf0.1 3.38 -> 2.84 s median, 10x
+    # docs 12.4 -> 10.3 s — and output-identical; MERGE measured within
+    # noise at sf0.1 but slower at 10x (14.5 s med).
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
