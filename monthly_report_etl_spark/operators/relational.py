@@ -617,9 +617,18 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated_build = o.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)]))
     )
+    # r20 (broadcast-provenance audit): the static planner was
+    # broadcast-building the salt-REPLICATED orders side through the
+    # Generate's estimate — a corpus-growing x8 build that both defeats
+    # the operator's whole contract (salting exists to spread a shuffle
+    # join over B reducers when broadcast is off the table) and OOMs at
+    # scale. MERGE pin: the one strategy with no resident build for a
+    # side that is 8x a fact table — and FASTER even locally (1.63 ->
+    # 0.90 s median at sf0.1; shuffle_hash ties at 0.88 but builds the
+    # replicated side per partition, the wrong side to hold resident).
     return (
         salted_probe.join(
-            replicated_build,
+            replicated_build.hint("merge"),
             (F.col("l_orderkey") == F.col("o_orderkey")) & (salted_probe._salt == replicated_build._salt),
         )
         .select("l_orderkey", "l_linenumber", "o_orderpriority")
