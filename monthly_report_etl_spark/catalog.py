@@ -1440,61 +1440,76 @@ _register_extension_catalogs()
 # The round this window was declared FOR. Bump in the same commit that
 # rotates _DRIVER_WINDOW_PRIORITY — the rotation guard derives its
 # expectations from this constant.
-_DRIVER_WINDOW_ROUND = 20
+_DRIVER_WINDOW_ROUND = 21
+
+# Superset allowance is scoped to optimization rounds (ADVICE r20 #1):
+# the optimization-phase driver re-checks EVERY declared entry, so its
+# CORRECTNESS key set legitimately covers more than the 50-entry window.
+# When the phase ends, flip this back to False so the rotation guard
+# returns to exact key-set equality.
+_DRIVER_WINDOW_SUPERSET_OK = True  # r20/r21 are optimization rounds
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- r17-latest cohort: all 48, pre-stated at r19 (COVERAGE.md) --
-    "corpus_feature_hashing",
-    "corpus_incremental_ingest_bloom",
-    "corpus_incremental_ingest_bucketed",
-    "corpus_incremental_ingest_neardup",
-    "corpus_length_buckets",
-    "corpus_normalize_dedup",
-    "corpus_pii_flags",
-    "corpus_repetition_stats",
-    "corpus_source_lang_rollup",
-    "corpus_train_val_test_split",
-    "dq_violations",
-    "events_retention_cohort",
-    "exports_report_events",
-    "islands_active_months",
-    "join_hints_shuffle_hash",
-    "json_variant_extract",
-    "multimodal_audio_rms",
-    "olap_cheapest_supplier",
-    "olap_disjunctive_brackets",
-    "olap_dominant_supplier",
-    "olap_dormant_rich_customers",
-    "olap_forecast_revenue",
-    "olap_important_stock",
-    "olap_large_orders",
-    "olap_local_supplier_volume",
-    "olap_order_count_distribution",
-    "olap_order_priority_semijoin",
-    "olap_priority_linecount",
-    "olap_promo_revenue",
-    "olap_regional_revenue",
-    "olap_returned_items",
-    "olap_shipping_priority",
-    "olap_small_quantity_avg",
-    "olap_supplier_part_types",
-    "olap_top_revenue_supplier",
-    "olap_yearly_growth",
-    "posexplode_tokens",
-    "scd2_history",
-    "sketch_count_min",
-    "stats_moments_group",
-    "string_funcs_customer",
-    "text_c4_filter",
-    "text_lang_mismatch",
-    "text_unigram_logprob",
-    "unpivot_part",
-    "upsert_full_outer",
-    "window_distribution",
-    "window_fill_forward",
-    # -- slack slots (policy + tiebreak documented above) --
-    "dedup_canonical_selection",
-    "approx_aggregates",
+    # -- r18-latest cohort: all 48, the due cohort per
+    # tools/rotation_report.py --next-round 21 (mechanical freshness
+    # rule: oldest latest-green round first) --
+    "array_functions",
+    "asof_join",
+    "calendar_spine_monthly",
+    "case_classifier",
+    "collect_types_sorted",
+    "corpus_bigram_top",
+    "corpus_bpe_train_merges",
+    "corpus_decontaminate",
+    "corpus_incremental_ingest",
+    "corpus_incremental_ingest_neardup_bucketed",
+    "corpus_length_trim",
+    "corpus_mix_weights",
+    "corpus_ngram_novelty",
+    "corpus_pack_sequences",
+    "corpus_pack_sequences_ranged",
+    "date_funcs_extended",
+    "dedup_duplicate_spans",
+    "dedup_semdedup",
+    "dedup_semdedup_exact",
+    "dedup_semdedup_kmeans",
+    "distinct_event_types",
+    "embeddings_pca",
+    "embeddings_pq",
+    "events_last_touch_attribution",
+    "exact_distinct_bounds",
+    "exists_over_array",
+    "filter_project_window",
+    "filtered_agg_orders",
+    "grouping_sets_orders",
+    "jsonl_roundtrip_docs",
+    "lookup_enrich_broadcast",
+    "map_functions",
+    "month_membership_filter",
+    "null_profile_orders",
+    "olap_last_shipper",
+    "olap_market_share",
+    "olap_nation_pair_volume",
+    "olap_product_profit",
+    "order_nulls_handling",
+    "percentiles_exact",
+    "range_join_bucketized",
+    "recursive_order_chains",
+    "salted_join",
+    "semi_anti_join",
+    "sketch_partial_merge",
+    "streaming_interval_join_batch",
+    "window_family",
+    "window_range_frame",
+    # -- slack slots: pulled-forward r19-latest entries whose code the
+    # r21 optimization round changes (the trainer-latency work, VERDICT
+    # r20 next #1) — similarity_ivf_topk covers the IVF Lloyd trainer
+    # (shared by similarity_pca_ivf via _ivf_search and by
+    # dedup_semdedup_kmeans, which sits in the due cohort above), and
+    # similarity_pq_adc covers the separate PQ Lloyd trainer; together
+    # the two slots put a fresh driver row on BOTH changed kernels. --
+    "similarity_ivf_topk",
+    "similarity_pq_adc",
 ]
 
 

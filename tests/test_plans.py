@@ -419,17 +419,29 @@ def test_driver_window_rotated_from_last_round():
         f"was not executed (VERDICT r15 #1 recurrence)"
     )
     if _DRIVER_WINDOW_ROUND in rounds:
+        from monthly_report_etl_spark.catalog import _DRIVER_WINDOW_SUPERSET_OK
+
         with open(rounds[_DRIVER_WINDOW_ROUND]) as f:
             own_keys = set(json.load(f).keys())
-        # Superset allowed from r20 on: optimization-phase driver runs
-        # re-check EVERY declared entry, not only the front-50 window —
-        # a key set that COVERS the window is the success state; only a
-        # cohort that misses declared window entries is a failure.
-        assert window <= own_keys, (
-            f"CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json exists but misses "
-            f"declared window entries {sorted(window - own_keys)} — the "
-            f"driver checked a different cohort than this list declares"
-        )
+        if _DRIVER_WINDOW_SUPERSET_OK:
+            # Scoped to optimization rounds (ADVICE r20 #1): the
+            # optimization-phase driver re-checks EVERY declared entry,
+            # not only the front-50 window — a key set that COVERS the
+            # window is the success state; only a cohort that misses
+            # declared window entries is a failure. Build rounds flip
+            # the flag back to False and this reverts to equality.
+            assert window <= own_keys, (
+                f"CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json exists but misses "
+                f"declared window entries {sorted(window - own_keys)} — the "
+                f"driver checked a different cohort than this list declares"
+            )
+        else:
+            assert window == own_keys, (
+                f"CORRECTNESS_r{_DRIVER_WINDOW_ROUND}.json key set differs "
+                f"from the declared window (missing "
+                f"{sorted(window - own_keys)}, extra "
+                f"{sorted(own_keys - window)})"
+            )
         # Known trade-off (code-review r17): in this state the guard
         # cannot distinguish "round just closed" from "next round's
         # rotation forgotten" — a forgotten rotation now hard-fails only
