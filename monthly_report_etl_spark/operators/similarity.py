@@ -742,6 +742,83 @@ def _lloyd_partials_udf(centroids: list[list[float]]):
     return partials
 
 
+# Fused-trainer admission bound (r21, VERDICT r20 next #1): run ALL
+# Lloyd iterations in ONE single-task Arrow job when the training
+# sample is small enough that single-core matmuls beat per-iteration
+# job round-trips. ~4 Gflop is ~1 s of one BLAS core; the row bound
+# caps kernel memory at ~128 MB of float64 at dim 64. Every catalog
+# trainer input is model-bounded by _train_stride, so this admits all
+# bench/oracle shapes (sf0.1: 2000 rows x k=44 = 17 Mflop) while the
+# extreme tails (IVF k=4096 -> 131k-row sample = 103 Gflop; SemDeDup
+# k=65536 -> 2M rows) keep the distributed per-iteration partials path.
+_FUSED_TRAIN_MAX_ROWS = 1 << 18
+_FUSED_TRAIN_MAX_FLOPS = 4_000_000_000
+
+
+def _fused_train_ok(n_rows: int, k: int, iters: int, dim: int = 64) -> bool:
+    return (
+        n_rows <= _FUSED_TRAIN_MAX_ROWS
+        and n_rows * k * dim * max(1, iters) <= _FUSED_TRAIN_MAX_FLOPS
+    )
+
+
+def _lloyd_fused_udf(k: int, iters: int):
+    """ALL Lloyd iterations in ONE single-task Arrow pass (r21, VERDICT
+    r20 next #1 — guide §5 driver round-trips, §4.2/§4.5): the training
+    sample is model-bounded by _train_stride, so instead of one job +
+    driver collect PER iteration (init collect + ``iters`` sequential
+    round-trips, whose fixed latency dominated the trainer family at
+    bench SF — PERF_r20's c8/c32 scaling ratios <= 1), one task holds
+    the whole sample, computes the init and every iteration locally,
+    and emits only the k final centroids. The only collect is k
+    model-sized rows.
+
+    Summation order is PINNED, and more strongly than the per-iteration
+    path's: rows are sorted by vec_id before accumulating (np.add.at /
+    bincount over the sorted matrix), so the result is independent of
+    partitioning and Arrow batch boundaries — where the partials path
+    depended on partition/collect order. On a single-partition,
+    vec_id-ordered sample (the shape of every oracle-tested SF) the two
+    are the SAME order, and tests/test_properties.py pins fused ==
+    per-iteration bit-exact on the fixture corpus. Init is the first k
+    vectors by vec_id, identical to the collect path's
+    ``orderBy("vec_id").limit(k)``."""
+    import numpy as np
+
+    def fused(batches):
+        mats, ids = [], []
+        for pdf in batches:
+            if len(pdf):  # zero-row Arrow batch guard
+                mats.append(np.stack(pdf["e"].to_numpy()))
+                ids.append(pdf["vec_id"].to_numpy())
+        if not mats:
+            return  # empty sample: no rows — the caller raises/clamps
+        X = np.vstack(mats) if len(mats) > 1 else mats[0]
+        order = np.argsort(np.concatenate(ids), kind="stable")
+        X = X[order]
+        kk = min(k, len(X))
+        centroids = X[:kk].astype(np.float64, copy=True)
+        dim = centroids.shape[1]
+        for _ in range(iters):
+            c = centroids.T  # dim x kk, the partials udf's orientation
+            cid = np.argmax(X @ c, axis=1)
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, cid, X)
+            counts = np.bincount(cid, minlength=kk)
+            nz = counts > 0
+            new = centroids.copy()
+            new[nz] = sums[nz] / counts[nz, None]
+            centroids = new
+        yield pd.DataFrame(
+            {
+                "cid": np.arange(kk, dtype=np.int32),
+                "c": [row.tolist() for row in centroids],
+            }
+        )
+
+    return fused
+
+
 def _probe_cids_udf(centroids: list[list[float]], probes: int):
     """Per-query probe list (top ``probes`` centroids by dot) as one
     Arrow matmul + argsort — replaces the k x dim literal expression tree
@@ -777,6 +854,8 @@ def train_ivf_centroids(
     k: int = IVF_CLUSTERS,
     iters: int = IVF_ITERS,
     v: DataFrame | None = None,
+    n_rows: int | None = None,
+    fused: bool | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means on normalized vectors (cosine k-means).
 
@@ -792,13 +871,25 @@ def train_ivf_centroids(
     sf0.1; a wide ``groupBy(cid).agg(64 sums)`` rewrite was measured at
     ~0.65s/iteration, the shuffle-free partials form at ~0.35.) Init is
     the first k vectors by vec_id (deterministic, no RNG).
+
+    r21 (VERDICT r20 next #1): samples inside the _fused_train_ok
+    budget train through ``_lloyd_fused_udf`` — ONE single-task Arrow
+    job running init + every iteration, collecting only the k final
+    centroids — because at bench SF the per-iteration jobs were pure
+    round-trip latency (~0.3 s each against microseconds of matmul).
+    ``repartition(1)`` (an exchange of the model-bounded sample, not
+    coalesce) keeps the upstream scan/normalize parallel. Past the
+    budget the distributed per-iteration partials path below is
+    unchanged. ``fused`` forces the choice (the differential pytest
+    pins the two paths bit-equal on the fixture corpus).
     """
     import numpy as np
 
     persisted = None  # the frame WE persisted (pre-filter), if owned
     if v is None:
-        # persist: every Lloyd iteration re-reads the normalized corpus;
-        # without the cache each iteration re-runs the scan + HOF
+        # persist: the sizing count + fused job (or every Lloyd
+        # iteration on the distributed path) re-read the normalized
+        # corpus; without the cache each action re-runs the scan + HOF
         # normalization (measured ~3x the training time)
         persisted = _normalized(
             read_vectors(spark, sf_dir).select(
@@ -813,6 +904,24 @@ def train_ivf_centroids(
     # is F.when-null-guarded and sorts last)
     v = v.filter(~F.exists("e", lambda x: x.isNull()))
     try:
+        if fused is None:
+            if n_rows is None:
+                n_rows = v.count()  # scalar model sizing
+            fused = _fused_train_ok(n_rows, k, iters)
+        if fused:
+            rows = (
+                v.select("vec_id", "e")
+                .repartition(1)
+                .mapInPandas(
+                    _lloyd_fused_udf(k, iters), "cid int, c array<double>"
+                )
+                .collect()
+            )  # k x dim floats: the trained model, not a data path
+            if not rows:
+                raise ValueError(
+                    "cannot train IVF centroids on an empty corpus"
+                )
+            return [r["c"] for r in sorted(rows, key=lambda r: r["cid"])]
         centroids = [
             r["e"] for r in v.orderBy("vec_id").limit(k).collect()
         ]  # k x dim floats: model init, not a data path
@@ -885,13 +994,22 @@ def _ivf_search(
         k, probes = _ivf_k_probes(n)
         stride = _train_stride(n, max(32 * k, 2048))
         if stride > 1:
-            tv = v.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).persist()
+            # persist only for the distributed trainer (one read per
+            # iteration); the fused kernel reads the sample exactly once
+            s_rows = -(-n // stride)
+            fused = _fused_train_ok(s_rows, k, IVF_ITERS)
+            tv = v.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+            if not fused:
+                tv = tv.persist()
             try:
-                centroids = train_ivf_centroids(spark, sf_dir, k=k, v=tv)
+                centroids = train_ivf_centroids(
+                    spark, sf_dir, k=k, v=tv, n_rows=s_rows, fused=fused
+                )
             finally:
-                tv.unpersist()
+                if not fused:
+                    tv.unpersist()
         else:
-            centroids = train_ivf_centroids(spark, sf_dir, k=k, v=v)
+            centroids = train_ivf_centroids(spark, sf_dir, k=k, v=v, n_rows=n)
         # materialize the tagged corpus (cid per vector) WHILE v is
         # cached: localCheckpoint truncates lineage, so the two search
         # consumers below (query side + candidate join) read the stored
@@ -1268,11 +1386,19 @@ def semdedup_kmeans_keep(
     sample = base.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0).select(
         "vec_id", F.col("en").alias("e")
     )
-    sample = sample.persist()  # each Lloyd iteration re-reads the sample
+    # persist only for the distributed trainer (one read per iteration);
+    # the fused kernel (r21) reads the sample exactly once
+    s_rows = -(-n // stride)
+    fused = _fused_train_ok(s_rows, k, IVF_ITERS)
+    if not fused:
+        sample = sample.persist()
     try:
-        centroids = train_ivf_centroids(spark, sf_dir, k=k, v=sample)
+        centroids = train_ivf_centroids(
+            spark, sf_dir, k=k, v=sample, n_rows=s_rows, fused=fused
+        )
     finally:
-        sample.unpersist()
+        if not fused:
+            sample.unpersist()
     assign_udf = (
         _two_level_assign_udf(centroids)
         if k >= SEMDEDUP_TWO_LEVEL_MIN_K
@@ -1411,10 +1537,70 @@ def _pq_partials_udf(codebooks):
     return partials
 
 
+def _pq_fused_udf(iters: int):
+    """ALL PQ-Lloyd iterations for ALL M subspaces in ONE single-task
+    Arrow pass (r21 — same restructuring and pinned-order contract as
+    ``_lloyd_fused_udf``): the PQ training sample is bounded by a
+    CONSTANT cap (max(256 x PQ_K, 4096) rows), so the init collect and
+    the per-iteration partials jobs were pure round-trip latency. Rows
+    sort by vec_id before accumulating (partitioning/batch-boundary
+    independent); init is the first PQ_K vectors by vec_id, cycled on
+    sub-K corpora — identical to the collect path. Emits the M x K
+    final sub-centroids; tests pin fused == per-iteration bit-exact."""
+    import numpy as np
+
+    def fused(batches):
+        mats, ids = [], []
+        for pdf in batches:
+            if len(pdf):  # zero-row Arrow batch guard
+                mats.append(np.stack(pdf["e"].to_numpy()))
+                ids.append(pdf["vec_id"].to_numpy())
+        if not mats:
+            return  # empty sample: no rows — the caller raises/returns None
+        X = np.vstack(mats) if len(mats) > 1 else mats[0]
+        order = np.argsort(np.concatenate(ids), kind="stable")
+        X = X[order]
+        first = X[: min(PQ_K, len(X))]
+        init = first[np.arange(PQ_K) % len(first)]
+        C = np.stack(
+            [init[:, m * PQ_DSUB : (m + 1) * PQ_DSUB] for m in range(PQ_M)]
+        ).astype(np.float64, copy=True)  # M x K x dsub
+        for _ in range(iters):
+            sums = np.zeros((PQ_M, PQ_K, PQ_DSUB))
+            counts = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for m in range(PQ_M):
+                xm = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                # argmin ||x - c||^2 = argmin ||c||^2 - 2 x.c — the same
+                # L2 objective expression as _pq_partials_udf
+                d2 = (C[m] ** 2).sum(-1)[None, :] - 2.0 * (xm @ C[m].T)
+                cid = np.argmin(d2, axis=1)
+                np.add.at(sums[m], cid, xm)
+                counts[m] += np.bincount(cid, minlength=PQ_K)
+            new = C.copy()
+            nz = counts > 0
+            new[nz] = sums[nz] / counts[nz][:, None]
+            C = new
+        m_idx, k_idx = np.meshgrid(
+            np.arange(PQ_M, dtype=np.int32),
+            np.arange(PQ_K, dtype=np.int32),
+            indexing="ij",
+        )
+        yield pd.DataFrame(
+            {
+                "m": m_idx.ravel(),
+                "cid": k_idx.ravel(),
+                "c": [row.tolist() for row in C.reshape(PQ_M * PQ_K, PQ_DSUB)],
+            }
+        )
+
+    return fused
+
+
 def train_pq_codebooks(
     spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS,
     v: DataFrame | None = None,
     allow_empty: bool = False,
+    fused: bool = True,
 ) -> list[list[list[float]]] | None:
     """M x K x dsub PQ codebooks via Lloyd on NORMALIZED vectors (the
     index stores unit vectors so ADC inner product approximates cosine).
@@ -1427,7 +1613,14 @@ def train_pq_codebooks(
     here — one such row would otherwise poison the driver-side centroid
     sums with Nones — while the ENCODE path keeps a row for them
     (Arrow surfaces the nulls as NaN, the norm check fails, recon_cos
-    comes out NULL; see the zero-norm pytest)."""
+    comes out NULL; see the zero-norm pytest).
+
+    r21 (VERDICT r20 next #1): the default path is ``_pq_fused_udf`` —
+    ONE single-task Arrow job for init + every iteration, admitted
+    unconditionally because the PQ sample cap is a CONSTANT
+    (max(256 x PQ_K, 4096) rows, ~2 MB); the per-iteration partials
+    path is kept under ``fused=False`` for the bit-equality pytest and
+    as the distributed reference."""
     import numpy as np
 
     stride = 1  # assigned before any statement that can raise
@@ -1444,9 +1637,32 @@ def train_pq_codebooks(
         n = v.count()
         stride = _train_stride(n, max(256 * PQ_K, 4096))
         if stride > 1:
+            # persist only for the distributed trainer (one read per
+            # iteration + the init collect); the fused kernel reads the
+            # sample exactly once
             v_full, v = v, v.filter(
                 F.pmod(F.col("vec_id"), F.lit(stride)) == 0
-            ).persist()
+            )
+            if not fused:
+                v = v.persist()
+        if fused:
+            rows = (
+                v.select("vec_id", "e")
+                .repartition(1)
+                .mapInPandas(_pq_fused_udf(iters), "m int, cid int, c array<double>")
+                .collect()
+            )  # M x K model rows: the trained codebooks, not a data path
+            if not rows:
+                if allow_empty:
+                    return None
+                raise ValueError("cannot train PQ codebooks on an empty corpus")
+            cb: list[list[list[float] | None]] = [
+                [None] * PQ_K for _ in range(PQ_M)
+            ]
+            for r in rows:
+                cb[r["m"]][r["cid"]] = r["c"]
+            assert all(c is not None for m in cb for c in m)
+            return cb
         first = [r["e"] for r in v.orderBy("vec_id").limit(PQ_K).collect()]
         if not first:
             # allow_empty split (r16 tiny-table fuzz, the pre-stated r17
@@ -1484,7 +1700,7 @@ def train_pq_codebooks(
                 for m in range(PQ_M)
             ]
     finally:
-        if stride > 1:
+        if stride > 1 and not fused:
             v.unpersist()  # the training sample; the caller's frame is v_full
         if persisted is not None:
             persisted.unpersist()

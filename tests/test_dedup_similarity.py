@@ -524,6 +524,51 @@ def test_pq_adc_rerank_recall_vs_brute_force(spark, sf_dir):
     )
 
 
+def test_fused_trainers_match_per_iteration_paths(spark, sf_dir):
+    """r21 (VERDICT r20 next #1): the fused single-task multi-iteration
+    Arrow kernels must be BIT-IDENTICAL to the per-iteration partials
+    paths on the fixture corpus — same init rule (first k by vec_id),
+    same per-row argmax/argmin, same accumulation and division — so the
+    job-count optimization can never move a centroid, an assignment, or
+    any downstream recall flag."""
+    from pyspark.sql import functions as F
+
+    from monthly_report_etl_spark.functions.vectors import read_vectors
+
+    # IVF Lloyd, both at the default k and at the corpus-sized k the
+    # search path actually uses
+    cf = similarity.train_ivf_centroids(spark, sf_dir, fused=True)
+    cd = similarity.train_ivf_centroids(spark, sf_dir, fused=False)
+    assert cf == cd
+    v = similarity._normalized(
+        read_vectors(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).persist()
+    try:
+        n = v.count()
+        k, _ = similarity._ivf_k_probes(n)
+        assert similarity.train_ivf_centroids(
+            spark, sf_dir, k=k, v=v, fused=True
+        ) == similarity.train_ivf_centroids(spark, sf_dir, k=k, v=v, fused=False)
+    finally:
+        v.unpersist()
+    # PQ Lloyd (fused is the default path)
+    assert similarity.train_pq_codebooks(
+        spark, sf_dir
+    ) == similarity.train_pq_codebooks(spark, sf_dir, fused=False)
+
+
+def test_fused_trainer_budget_gate():
+    """The fused kernel only admits model-bounded samples: the extreme
+    tails (IVF k=4096 at its 131k-row cap, SemDeDup k=65536 at 2M rows)
+    must stay on the distributed per-iteration path."""
+    assert similarity._fused_train_ok(2000, 44, 3)          # bench SF
+    assert similarity._fused_train_ok(15385, 447, 3)        # 100x replica
+    assert not similarity._fused_train_ok(131072, 4096, 3)  # IVF max-k cap
+    assert not similarity._fused_train_ok(2_097_152, 65_536, 3)  # SemDeDup max
+
+
 def test_pq_codebooks_shape_and_determinism(spark, sf_dir):
     """The trained codebooks are M x K x dsub, finite, and
     deterministic across retrains (first-K init, fixed iterations, no
