@@ -43,7 +43,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from monthly_report_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+# r21 (VERDICT r20 what's-wrong #3 / next #3): REPS default raised 3 -> 5
+# GLOBALLY. At REPS=3 this host's bimodal per-entry noise (untouched
+# ~1-4s entries swinging 1.4-2.4x run-to-run, e.g. sketch_count_min
+# 0.401x in PERF_r20 with zero code change) swamped cross-round
+# attribution; the r20 HIGH_VARIANCE set covered only ten entries. The
+# reported statistic is UNCHANGED (per-query median over all reps,
+# warm = reps 2..N) so medians stay comparable round-over-round — the
+# extra reps only tighten them. Cost: ~+2 min bench wall.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
 # Variance-weighted reps (r20, VERDICT r19 what's-wrong #1 / next #3):
 # the ~1-4 s entries below showed the widest same-code warm spreads
@@ -487,10 +495,23 @@ def main() -> None:
     with open(os.path.join(art_dir, "bench_results.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
+    # r21 (VERDICT r20 next #3, additions-only): warm-min per query next
+    # to the medians — the statistic least sensitive to ambient host
+    # phase (a warm min can only improve with noise, never degrade), so
+    # regression claims can be separated from host smear without the
+    # full spread dict. The per-query dict lives in the FULL json only
+    # (the compact line has a ~2000-char driver tail-capture budget —
+    # see the code-review r17 note below); compact carries the scalar
+    # warm-min TOTAL. Keys/semantics of every existing field unchanged.
+    warm_min = {
+        name: (s.get("warm") or s)["min"] for name, s in spread.items()
+    }
+    full["queries_warm_min"] = warm_min
     compact = {
         "metric": "headline_queries_wall_time",
         "value": total,
         "unit": "sec",
+        "value_warm_min": round(sum(warm_min.values()), 3),
         "queries": timings,
         "streaming_rows_per_sec": streaming["rows_per_sec"],
         "streaming_input_rows": streaming["input_rows"],
