@@ -739,7 +739,18 @@ def _portable_chunks_udf():
     is bit-equal to both the expression form and the oracle's SQL.
     Replaces a 64-SUM aggregate of nested affine-mod expressions — a
     tree big enough to fall out of codegen (SCALE.md §2's huge-method
-    trap): measured 6.3s → ~0.9s for the signature stage at sf0.1."""
+    trap): measured 6.3s → ~0.9s for the signature stage at sf0.1.
+
+    r21 (VERDICT r20 next #5): docs flatten into ~BLOCK-token groups
+    and each group computes all parities in ONE in-place int64 buffer,
+    per-doc vote sums via np.add.reduceat — amortizing the per-doc
+    numpy call overhead ~50x while the 2048 x 64 x 8 B working set
+    stays cache-resident (r20's rejected WHOLE-CORPUS flatten built
+    33 MB intermediates and went memory-bandwidth-bound, 4.29 → 5.57 s;
+    the blocked form measures -15% on the signature stage at sf0.1 and
+    -7% at 10x docs). Integer arithmetic is grouping-independent, so
+    signatures stay bit-identical (asserted doc-for-doc at sf0.1 in
+    the r21 A/B receipt; the vote is votes > 0 ⟺ 2·Σparity > n)."""
     import numpy as np
 
     c1 = np.array([c for c, _ in SIMHASH_PERMS], dtype=np.int64)
@@ -748,18 +759,54 @@ def _portable_chunks_udf():
     d2 = np.array([d for _, d in SIMHASH_PERMS2], dtype=np.int64)
     m = FINGERPRINT_MOD
     powers = 1 << np.arange(_CHUNK_BITS)
+    BLOCK = 2048  # tokens per flattened block (~1 MB per int64 lane buffer)
 
     @F.pandas_udf("array<long>")
     def chunks(hs: pd.Series) -> pd.Series:
-        out = []
-        for arr in hs:
-            tf = np.asarray(arr, dtype=np.int64)[:, None]
-            par = ((tf * c1 + d1) % m * c2 + d2) % m % 2
-            votes = (par * 2 - 1).sum(axis=0)
-            bits = (votes > 0).astype(np.int64)
-            out.append(
-                (bits.reshape(_CHUNKS, _CHUNK_BITS) * powers).sum(axis=1).tolist()
-            )
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.fromiter(
+            (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+        )
+        out: list = [None] * len(arrs)
+        i, n = 0, len(arrs)
+        while i < n:
+            j, tot = i, 0
+            while j < n and (j == i or tot + lens[j] <= BLOCK):
+                tot += lens[j]
+                j += 1
+            seg = lens[i:j]
+            if (seg == 0).any():
+                # zero-token docs never reach this udf (explode emits no
+                # row), but reduceat misdefines empty segments — keep
+                # the exact per-doc form as the defensive path
+                for dnum in range(i, j):
+                    tf = arrs[dnum][:, None]
+                    par = ((tf * c1 + d1) % m * c2 + d2) % m % 2
+                    votes = (par * 2 - 1).sum(axis=0)
+                    bits = (votes > 0).astype(np.int64)
+                    out[dnum] = (
+                        bits.reshape(_CHUNKS, _CHUNK_BITS) * powers
+                    ).sum(axis=1).tolist()
+                i = j
+                continue
+            tf = (np.concatenate(arrs[i:j]) if j - i > 1 else arrs[i])[:, None]
+            buf = tf * c1
+            buf += d1
+            buf %= m
+            buf *= c2
+            buf += d2
+            buf %= m
+            buf &= 1  # parity — operands non-negative, identical to % 2
+            starts = np.zeros(j - i, dtype=np.int64)
+            np.cumsum(seg[:-1], out=starts[1:])
+            s = np.add.reduceat(buf, starts, axis=0)
+            bits = (2 * s > seg[:, None]).astype(np.int64)
+            packed = (
+                bits.reshape(j - i, _CHUNKS, _CHUNK_BITS) * powers
+            ).sum(axis=2)
+            for dnum, row in enumerate(packed):
+                out[i + dnum] = row.tolist()
+            i = j
         return pd.Series(out)
 
     return chunks

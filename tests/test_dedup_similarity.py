@@ -107,6 +107,49 @@ def test_simhash_portable_pigeonhole_complete(spark, sf_dir):
     assert len(truth) > 0, "fixture should contain simhash near-dups"
 
 
+def test_portable_simhash_blocked_kernel_matches_per_doc(spark):
+    """r21: the blocked vote/pack kernel (docs flattened into ~2048-token
+    groups, np.add.reduceat per block) must be bit-identical to the
+    direct per-doc formula — exercised across block boundaries: many
+    small docs packing into one block, a doc larger than the whole
+    block budget, and single-token docs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    sizes = [1, 3, 40, 40, 2047, 2048, 2049, 5000] + [17] * 300
+    docs = [rng.randint(0, 1 << 40, size=s).tolist() for s in sizes]
+
+    c1 = np.array([c for c, _ in dedup.SIMHASH_PERMS], dtype=np.int64)
+    d1 = np.array([d for _, d in dedup.SIMHASH_PERMS], dtype=np.int64)
+    c2 = np.array([c for c, _ in dedup.SIMHASH_PERMS2], dtype=np.int64)
+    d2 = np.array([d for _, d in dedup.SIMHASH_PERMS2], dtype=np.int64)
+    m = dedup.FINGERPRINT_MOD
+    powers = 1 << np.arange(dedup._CHUNK_BITS)
+
+    def reference(arr):
+        tf = np.asarray(arr, dtype=np.int64)[:, None]
+        par = ((tf * c1 + d1) % m * c2 + d2) % m % 2
+        votes = (par * 2 - 1).sum(axis=0)
+        bits = (votes > 0).astype(np.int64)
+        return (
+            bits.reshape(dedup._CHUNKS, dedup._CHUNK_BITS) * powers
+        ).sum(axis=1).tolist()
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "hs": docs}),
+        "doc_id long, hs array<long>",
+    ).repartition(1)
+    got = {
+        r["doc_id"]: r["cs"]
+        for r in sdf.select(
+            "doc_id", dedup._portable_chunks_udf()(F.col("hs")).alias("cs")
+        ).collect()
+    }
+    for i, arr in enumerate(docs):
+        assert got[i] == reference(arr), f"doc {i} (len {len(arr)})"
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     """Recall@5 of the LSH ANN against the exact brute force — with 4
     OR'd tables of 8 bits each, recall must be well above chance; we
