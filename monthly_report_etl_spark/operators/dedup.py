@@ -1237,7 +1237,12 @@ def prefix_jaccard_pairs(
     # identical output (the prefix bound needs only SOME consistent total
     # order, so (df, hash) ordering is as valid as (df, string); the
     # exact-verify count is collision-exact per the _shingle_rows note)
-    rows = _shingle_rows(spark, sf_dir, hashed=True)
+    # distinct=True passed EXPLICITLY (ADVICE r20 #2): the verify below
+    # computes na/nb as size(collect_list(s)) and common as an
+    # array_intersect — both correct ONLY because these rows are a SET
+    # per doc. If this call ever drifted to distinct=False, Jaccard
+    # counts would silently corrupt with nothing pointing here.
+    rows = _shingle_rows(spark, sf_dir, distinct=True, hashed=True)
     # set size + global shingle frequency; the df window shuffles by s,
     # the n/rank windows share one doc_id exchange
     e = rows.withColumn("df", F.count("*").over(Window.partitionBy("s")))

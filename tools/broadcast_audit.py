@@ -68,17 +68,45 @@ def _walk(node):
         yield from _walk(c)
 
 
-def _scan_paths(node) -> list[str]:
-    """Scaled-table file scans anywhere under ``node``."""
-    hits = []
+def _scan_paths(node) -> tuple[list[str], bool]:
+    """Scaled-table file scans anywhere under ``node``.
+
+    Returns (tables hit, any_unparseable). ADVICE r20 #3: the original
+    matched only the FIRST LINE of the scan node's toString — a
+    FileSourceScanExec with a long Location list truncates it, so a
+    scaled-table scan could be missed and a corpus-growing broadcast
+    classified OK. Now the file index's rootPaths are read structurally;
+    scans where that fails fall back to the FULL node string, and if no
+    scaled table matches there either, the scan is flagged unparseable
+    so the caller classifies REVIEW instead of OK."""
+    hits, unparseable = [], False
     for n in _walk(node):
         name = n.getClass().getSimpleName()
-        if name in ("FileSourceScanExec", "BatchScanExec", "RowDataSourceScanExec"):
-            s = n.toString().split("\n")[0]
-            for t in SCALED_TABLES:
-                if f"{t}.parquet" in s:
-                    hits.append(t)
-    return hits
+        if name not in (
+            "FileSourceScanExec", "BatchScanExec", "RowDataSourceScanExec"
+        ):
+            continue
+        text = None
+        if name == "FileSourceScanExec":
+            try:
+                it = n.relation().location().rootPaths().iterator()
+                parts = []
+                while it.hasNext():
+                    parts.append(it.next().toString())
+                text = " ".join(parts)
+            except Exception:
+                text = None
+        if text is None:
+            # non-V1 scans (or a failed structural read): the full
+            # multi-line string, which still elides very long location
+            # lists — an empty match here is therefore NOT trusted
+            text = n.toString()
+            if not any(f"{t}.parquet" in text for t in SCALED_TABLES):
+                unparseable = True
+        for t in SCALED_TABLES:
+            if f"{t}.parquet" in text:
+                hits.append(t)
+    return hits, unparseable
 
 
 OPAQUE_NODES = (
@@ -94,7 +122,7 @@ OPAQUE_NODES = (
 
 
 def _classify_build(build) -> tuple[str, str]:
-    scans = _scan_paths(build)
+    scans, unparseable = _scan_paths(build)
     names = [n.getClass().getSimpleName() for n in _walk(build)]
     aggs = [n for n in _walk(build) if n.getClass().getSimpleName() in AGG_NODES]
     has_limit = any(n in LIMIT_NODES for n in names)
@@ -106,6 +134,13 @@ def _classify_build(build) -> tuple[str, str]:
             return "FLAG", (
                 "checkpoint/RDD build side with no reducing aggregate — "
                 "stats-opaque, provenance unknown (the r19 evasion shape)"
+            )
+        if unparseable and not (aggs or has_limit):
+            # ADVICE r20 #3: a scan whose location could not be read is
+            # never silently OK — surface it for adjudication
+            return "REVIEW", (
+                "build side contains a scan whose location is unparseable "
+                "— provenance unverified, adjudicate manually"
             )
         return "OK", "no scaled-table scan in build side"
     if has_limit:
