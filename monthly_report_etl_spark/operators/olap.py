@@ -979,7 +979,14 @@ WITH yearly AS (
            -- identical) product to DECIMAL makes the sum exact and
            -- order-free on both engines; cast back to DOUBLE so the
            -- output schema is unchanged.
-           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+           -- TRY_CAST, not CAST (r21, negatives-corner find): Spark's
+           -- session is non-ANSI, so its decimal cast NULLs (and the
+           -- SUM skips) any |product| >= 10^18 — DuckDB's plain CAST
+           -- raised instead, an ENGINE DIVERGENCE on extreme-magnitude
+           -- corners. TRY_CAST makes overflow behavior identical; in
+           -- range (every real SF — prices are ~10^4) the two casts
+           -- are the same function.
+           CAST(ROUND(SUM(TRY_CAST(l.l_extendedprice * (1 - l.l_discount)
                               AS DECIMAL(30,12))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1016,7 +1023,17 @@ def yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum sits on a .xx5 rounding boundary and Spark's partial-agg order
     rounded down where DuckDB's rounded up. The decimal sum is exact,
     so ROUND sees the same value on both engines at every SF; the
-    result is cast back to DOUBLE to keep the output schema."""
+    result is cast back to DOUBLE to keep the output schema.
+
+    Overflow contract (r21, found by the negatives corner gate): a
+    per-row |product| >= 10^18 cannot be represented in DECIMAL(30,12).
+    Spark's non-ANSI cast NULLs such a row and the SUM skips it; the
+    oracle now TRY_CASTs so DuckDB does the identical thing (its plain
+    CAST raised — an engine divergence, not a wrong answer). The
+    engine's exact-revenue domain is therefore |price*(1-discount)| <
+    10^18 — twelve orders of magnitude above any real price — and rows
+    beyond it are excluded identically by both engines rather than
+    summed approximately in a re-order-dependent double."""
     li = _t(spark, sf_dir, "lineitem")
     o = (
         _t(spark, sf_dir, "orders")
