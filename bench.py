@@ -468,11 +468,23 @@ def main() -> None:
     # java_procs > 0 there means FOREIGN JVMs were running; "post" load
     # includes our own work and is the contention-during-run signal
     host = {"pre": host_pre, "post": _host_probe()}
+    # r21 (VERDICT r20 next #3, additions-only): warm-min per query next
+    # to the medians — the statistic least sensitive to ambient host
+    # phase (a warm min can only improve with noise, never degrade), so
+    # regression claims can be separated from host smear without the
+    # full spread dict. The per-query dict lives in the FULL json only
+    # (the compact line has a ~2000-char driver tail-capture budget —
+    # see the code-review r17 note below); compact carries the scalar
+    # warm-min TOTAL. Keys/semantics of every existing field unchanged.
+    warm_min = {
+        name: (s.get("warm") or s)["min"] for name, s in spread.items()
+    }
     full = {
         "metric": "headline_queries_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm_min": warm_min,
         "spread": spread,
         "streaming": streaming,
         "reps": REPS,
@@ -495,18 +507,6 @@ def main() -> None:
     with open(os.path.join(art_dir, "bench_results.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
-    # r21 (VERDICT r20 next #3, additions-only): warm-min per query next
-    # to the medians — the statistic least sensitive to ambient host
-    # phase (a warm min can only improve with noise, never degrade), so
-    # regression claims can be separated from host smear without the
-    # full spread dict. The per-query dict lives in the FULL json only
-    # (the compact line has a ~2000-char driver tail-capture budget —
-    # see the code-review r17 note below); compact carries the scalar
-    # warm-min TOTAL. Keys/semantics of every existing field unchanged.
-    warm_min = {
-        name: (s.get("warm") or s)["min"] for name, s in spread.items()
-    }
-    full["queries_warm_min"] = warm_min
     compact = {
         "metric": "headline_queries_wall_time",
         "value": total,
